@@ -1,0 +1,230 @@
+"""Declarative feature-definition API.
+
+Small dataclasses mirroring the reference's thrift surface (GroupBy / Join /
+Aggregation / Window; reference: api/thrift/api.thrift:136-336 and python
+surface api/py/ai/chronon/group_by.py:57-83) that *compile to DataFrame
+plans* (see operators/groupby.py, operators/join.py). No thrift, no codegen.
+"""
+
+from __future__ import annotations
+
+import enum
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+
+class Op(str, enum.Enum):
+    """The 19 aggregation operations of the reference engine.
+
+    Reference enum: api/thrift/api.thrift:136-165; dispatch:
+    aggregator/src/main/scala/ai/chronon/aggregator/row/ColumnAggregator.scala:220-417.
+    """
+
+    COUNT = "count"
+    SUM = "sum"
+    AVERAGE = "average"
+    VARIANCE = "variance"
+    SKEW = "skew"
+    KURTOSIS = "kurtosis"
+    MIN = "min"
+    MAX = "max"
+    UNIQUE_COUNT = "unique_count"
+    APPROX_UNIQUE_COUNT = "approx_unique_count"
+    APPROX_PERCENTILE = "approx_percentile"
+    PERCENTILE = "percentile"  # exact variant (ours; oracle-friendly)
+    HISTOGRAM = "histogram"
+    APPROX_HISTOGRAM_K = "approx_histogram_k"
+    FIRST = "first"
+    LAST = "last"
+    FIRST_K = "first_k"
+    LAST_K = "last_k"
+    TOP_K = "top_k"
+    BOTTOM_K = "bottom_k"
+
+
+class TimeUnit(str, enum.Enum):
+    MINUTES = "m"
+    HOURS = "h"
+    DAYS = "d"
+
+
+_UNIT_MS = {TimeUnit.MINUTES: 60_000, TimeUnit.HOURS: 3_600_000, TimeUnit.DAYS: 86_400_000}
+
+
+@dataclass(frozen=True)
+class Window:
+    """A trailing event-time window, e.g. Window(7, TimeUnit.DAYS).
+
+    Output-name suffix convention `_{length}{unit}` mirrors the reference
+    (api/src/main/scala/ai/chronon/api/Extensions.scala:62-72).
+    """
+
+    length: int
+    unit: TimeUnit = TimeUnit.DAYS
+
+    @property
+    def millis(self) -> int:
+        return self.length * _UNIT_MS[self.unit]
+
+    @property
+    def suffix(self) -> str:
+        return f"{self.length}{self.unit.value}"
+
+    def tail_hop_millis(self) -> int:
+        """Sawtooth tail resolution: 5min (<12h), 1h (<12d), 1d (>=12d).
+
+        Reference: aggregator/src/main/scala/ai/chronon/aggregator/windowing/
+        Resolution.scala:37-47 (FiveMinuteResolution).
+        """
+        ms = self.millis
+        if ms >= 12 * 86_400_000:
+            return 86_400_000
+        if ms >= 12 * 3_600_000:
+            return 3_600_000
+        return 300_000
+
+
+class Accuracy(str, enum.Enum):
+    """TEMPORAL = millisecond-exact point-in-time; SNAPSHOT = midnight as-of.
+
+    Reference: api/thrift/api.thrift:219-222.
+    """
+
+    TEMPORAL = "temporal"
+    SNAPSHOT = "snapshot"
+
+
+@dataclass(frozen=True)
+class Aggregation:
+    """operation + input column, auto-exploded to one output column per
+    (window x bucket) pair (reference: api/thrift/api.thrift:182-208; explode
+    at api/src/main/scala/ai/chronon/api/Extensions.scala:185-207).
+
+    ``windows=None`` means a single unwindowed (lifetime) output.
+    ``k`` parameterizes the *_K ops; ``percentiles`` the percentile ops.
+    """
+
+    operation: Op
+    input_column: str
+    windows: tuple[Window, ...] | None = None
+    buckets: tuple[str, ...] | None = None
+    k: int | None = None
+    percentiles: tuple[float, ...] | None = None
+    lg_k: int = 8  # approx_unique_count sketch size knob (rsd mapping)
+
+    def output_name(self, window: Window | None, bucket: str | None) -> str:
+        """`{input}_{op}[{k}][_{window}][_by_{bucket}]` — reference naming
+        convention (api/.../Extensions.scala:154-179 outputColumnName; k-ops
+        render without the `_k`, e.g. `text_last10`)."""
+        opname = self.operation.value
+        if self.k is not None and opname.endswith("_k"):
+            opname = opname[:-2]
+        name = f"{self.input_column}_{opname}"
+        if self.k is not None:
+            name += str(self.k)
+        if window is not None:
+            name += f"_{window.suffix}"
+        if bucket is not None:
+            name += f"_by_{bucket}"
+        return name
+
+    def unpacked(self) -> list[tuple[Window | None, str | None]]:
+        """All (window, bucket) combinations this aggregation explodes to."""
+        windows: list[Window | None] = list(self.windows) if self.windows else [None]
+        buckets: list[str | None] = list(self.buckets) if self.buckets else [None]
+        return [(w, b) for w in windows for b in buckets]
+
+
+@dataclass
+class GroupBy:
+    """A keyed feature set: keys + aggregations (+ accuracy + derivations).
+
+    Reference: api/thrift/api.thrift:266-282. ``name`` feeds join-part column
+    prefixes. ``derivations`` are post-agg Spark SQL select expressions
+    (name -> expr), applied after aggregation like the reference's
+    derivationProjection (api/.../Extensions.scala:1069-1120).
+    """
+
+    name: str
+    keys: list[str]
+    aggregations: list[Aggregation]
+    accuracy: Accuracy = Accuracy.TEMPORAL
+    time_column: str = "ts"
+    derivations: dict[str, str] = field(default_factory=dict)
+
+    def output_columns(self) -> list[str]:
+        cols = []
+        for agg in self.aggregations:
+            for w, b in agg.unpacked():
+                cols.append(agg.output_name(w, b))
+        return cols
+
+    def max_window_millis(self) -> int | None:
+        """Largest trailing window; None if any aggregation is unwindowed
+        (then the scan can never be narrowed)."""
+        out: int = 0
+        for agg in self.aggregations:
+            if agg.windows is None:
+                return None
+            out = max(out, max(w.millis for w in agg.windows))
+        return out
+
+    def semantic_hash(self) -> str:
+        """Stable hash of the definition — change detection for incremental
+        recompute (reference: spark/.../SemanticHashUtils.scala)."""
+        payload = json.dumps(
+            {
+                "name": self.name,
+                "keys": self.keys,
+                "accuracy": self.accuracy.value,
+                "time_column": self.time_column,
+                "derivations": self.derivations,
+                "aggs": [
+                    {
+                        "op": a.operation.value,
+                        "col": a.input_column,
+                        "windows": [w.suffix for w in a.windows] if a.windows else None,
+                        "buckets": list(a.buckets) if a.buckets else None,
+                        "k": a.k,
+                        "percentiles": list(a.percentiles) if a.percentiles else None,
+                    }
+                    for a in self.aggregations
+                ],
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+@dataclass
+class JoinPart:
+    """One GroupBy attached to a Join, with left->right key mapping and a
+    column prefix (reference: api/thrift/api.thrift:284-288; key flipping
+    api/.../Extensions.scala:745-755)."""
+
+    group_by: GroupBy
+    key_mapping: dict[str, str] = field(default_factory=dict)  # left col -> right key
+    prefix: str | None = None
+
+    def full_prefix(self) -> str:
+        base = self.group_by.name
+        return f"{self.prefix}_{base}" if self.prefix else base
+
+    def left_keys(self) -> list[str]:
+        inv = {v: k for k, v in self.key_mapping.items()}
+        return [inv.get(k, k) for k in self.group_by.keys]
+
+
+@dataclass
+class Join:
+    """left query rows enriched point-in-time by many GroupBys.
+
+    Reference: api/thrift/api.thrift:304-336; engine spark/.../Join.scala.
+    """
+
+    name: str
+    left_keys: list[str]  # informational; parts declare their own mapping
+    join_parts: list[JoinPart]
+    time_column: str = "ts"
+    derivations: dict[str, str] = field(default_factory=dict)

@@ -1,0 +1,242 @@
+"""Aggregation operation -> native Spark Column expression mapping.
+
+Every reference operation (api/thrift/api.thrift:136-165, implemented in
+aggregator/src/main/scala/ai/chronon/aggregator/base/SimpleAggregators.scala
+and TimedAggregators.scala) is re-expressed as a *built-in* Spark aggregate
+expression so it runs JVM-side inside whole-stage codegen with map-side
+partial aggregation — no Python in the hot path.
+
+The planner applies window masks by passing pre-masked ``value``/``ts``
+columns (``F.when(in_window, col)``): Spark aggregates skip NULLs, which
+matches the reference's update-skips-null contract
+(aggregator/.../row/ColumnAggregator.scala:80-117).
+
+HISTOGRAM / APPROX_HISTOGRAM_K and bucketed aggregations are *two-phase*
+plans (group by keys+value, then map assembly) and are handled by the
+planner (operators/groupby.py), not here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from chronon_spark.api import Aggregation, Op
+
+# ops whose output is a deterministic scalar computable in one agg expression
+DIRECT_OPS = {
+    Op.COUNT,
+    Op.SUM,
+    Op.AVERAGE,
+    Op.VARIANCE,
+    Op.SKEW,
+    Op.KURTOSIS,
+    Op.MIN,
+    Op.MAX,
+    Op.UNIQUE_COUNT,
+    Op.APPROX_UNIQUE_COUNT,
+    Op.APPROX_PERCENTILE,
+    Op.PERCENTILE,
+    Op.FIRST,
+    Op.LAST,
+    Op.FIRST_K,
+    Op.LAST_K,
+    Op.TOP_K,
+    Op.BOTTOM_K,
+}
+
+# ops requiring a two-phase (keys+value grouping) plan
+MAP_OPS = {Op.HISTOGRAM, Op.APPROX_HISTOGRAM_K}
+
+
+def direct_agg(
+    agg: Aggregation,
+    value: Column,
+    ts: Column,
+    tiebreak: Column | None = None,
+) -> Column:
+    """Build the aggregate Column for one (op, masked value, masked ts).
+
+    ``tiebreak`` breaks ordering ties for FIRST/LAST/*_K determinism (the
+    reference keeps first-seen on ts ties, which is partition-order dependent;
+    we instead demand an explicit total order so results are reproducible).
+    """
+    op = agg.operation
+    if op == Op.COUNT:
+        return F.count(value)
+    if op == Op.SUM:
+        return F.sum(value)
+    if op == Op.AVERAGE:
+        return F.avg(value)
+    if op == Op.VARIANCE:
+        return F.var_pop(value)
+    if op == Op.SKEW:
+        return F.skewness(value)
+    if op == Op.KURTOSIS:
+        return F.kurtosis(value)
+    if op == Op.MIN:
+        return F.min(value)
+    if op == Op.MAX:
+        return F.max(value)
+    if op == Op.UNIQUE_COUNT:
+        return F.count_distinct(value)
+    if op == Op.APPROX_UNIQUE_COUNT:
+        # reference uses a CPC sketch (lgK default 8); HLL++ here — values are
+        # tolerance-comparable, not bit-identical (SURVEY.md §2.1).
+        rsd = max(0.005, 1.04 / (2.0 ** (agg.lg_k / 2.0)))
+        return F.approx_count_distinct(value, rsd)
+    if op in (Op.APPROX_PERCENTILE, Op.PERCENTILE):
+        ps = list(agg.percentiles or (0.5,))
+        arr = F.array(*[F.lit(p) for p in ps])
+        if op == Op.PERCENTILE:
+            return F.percentile(value, arr)
+        return F.percentile_approx(value, arr, 10000)
+    # time-ordered ops: order key = (ts, tiebreak) for determinism
+    ordk = F.struct(ts.alias("t"), (tiebreak if tiebreak is not None else F.lit(0)).alias("tb"))
+    ordk = F.when(value.isNotNull() & ts.isNotNull(), ordk)
+    if op == Op.FIRST:
+        return F.min_by(value, ordk)
+    if op == Op.LAST:
+        return F.max_by(value, ordk)
+    if op in (Op.FIRST_K, Op.LAST_K):
+        k = agg.k or 1
+        pair = F.when(
+            value.isNotNull() & ts.isNotNull(), F.struct(ordk.alias("o"), value.alias("v"))
+        )
+        lst = F.array_sort(F.collect_list(pair))
+        if op == Op.LAST_K:
+            lst = F.reverse(lst)
+        return F.slice(F.transform(lst, lambda s: s["v"]), 1, k)
+    if op in (Op.TOP_K, Op.BOTTOM_K):
+        k = agg.k or 1
+        lst = F.array_sort(F.collect_list(value))
+        if op == Op.TOP_K:
+            lst = F.reverse(lst)
+        return F.slice(lst, 1, k)
+    raise ValueError(f"{op} is not a direct aggregation (two-phase map op)")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable partial IRs for the hop-based (tiled) estimator.
+#
+# Mirrors the reference's prepare/update/merge/finalize IR contract
+# (aggregator/.../base/BaseAggregator.scala:21-69) with plain columns: each op
+# gets a partial form computable per hop tile and a merge that combines an
+# arbitrary set of tiles. All expressible as built-in aggregates so Spark's
+# partial/final HashAggregate applies at both levels.
+# ---------------------------------------------------------------------------
+
+# ops supported by the hop (tiled) estimator; others fall back to exact
+HOP_MERGEABLE_OPS = {
+    Op.COUNT,
+    Op.SUM,
+    Op.AVERAGE,
+    Op.VARIANCE,
+    Op.MIN,
+    Op.MAX,
+    Op.FIRST,
+    Op.LAST,
+    Op.FIRST_K,
+    Op.LAST_K,
+    Op.TOP_K,
+    Op.BOTTOM_K,
+    Op.UNIQUE_COUNT,
+    Op.APPROX_UNIQUE_COUNT,
+}
+
+
+def partial_cols(agg: Aggregation, value: Column, ts: Column, tiebreak: Column | None, slot: str) -> dict[str, Column]:
+    """Per-tile partial aggregate columns for one op. Keys are IR slot names."""
+    op = agg.operation
+    k = agg.k or 1
+    ordk = F.struct(ts.alias("t"), (tiebreak if tiebreak is not None else F.lit(0)).alias("tb"))
+    ordk = F.when(value.isNotNull() & ts.isNotNull(), ordk)
+    if op == Op.COUNT:
+        return {f"{slot}__n": F.count(value)}
+    if op == Op.SUM:
+        return {f"{slot}__s": F.sum(value)}
+    if op == Op.AVERAGE:
+        return {f"{slot}__s": F.sum(value), f"{slot}__n": F.count(value)}
+    if op == Op.VARIANCE:
+        # (n, sum, sumsq) moments — merged then finalized to population var.
+        d = value.cast("double")
+        return {
+            f"{slot}__n": F.count(d),
+            f"{slot}__s": F.sum(d),
+            f"{slot}__q": F.sum(d * d),
+        }
+    if op == Op.MIN:
+        return {f"{slot}__m": F.min(value)}
+    if op == Op.MAX:
+        return {f"{slot}__m": F.max(value)}
+    if op == Op.FIRST:
+        return {f"{slot}__p": F.min_by(F.struct(ordk.alias("o"), value.alias("v")), ordk)}
+    if op == Op.LAST:
+        return {f"{slot}__p": F.max_by(F.struct(ordk.alias("o"), value.alias("v")), ordk)}
+    if op in (Op.FIRST_K, Op.LAST_K):
+        pair = F.when(
+            value.isNotNull() & ts.isNotNull(), F.struct(ordk.alias("o"), value.alias("v"))
+        )
+        lst = F.array_sort(F.collect_list(pair))
+        if op == Op.LAST_K:
+            lst = F.reverse(lst)
+        # pre-truncate per tile: safe because first_k/last_k is a monoid under
+        # sorted-merge + truncate (SURVEY.md §7 risk register)
+        return {f"{slot}__l": F.slice(lst, 1, k)}
+    if op in (Op.TOP_K, Op.BOTTOM_K):
+        lst = F.array_sort(F.collect_list(value))
+        if op == Op.TOP_K:
+            lst = F.reverse(lst)
+        return {f"{slot}__l": F.slice(lst, 1, k)}
+    if op == Op.UNIQUE_COUNT:
+        return {f"{slot}__set": F.collect_set(value)}
+    if op == Op.APPROX_UNIQUE_COUNT:
+        return {f"{slot}__hll": F.hll_sketch_agg(value)}
+    raise ValueError(f"{op} has no mergeable partial form (use exact estimator)")
+
+
+def merge_finalize(agg: Aggregation, slot: str) -> Column:
+    """Merge partial IR columns named per ``partial_cols`` across tiles and
+    finalize to the user-facing value. Used in a groupBy over (keys, query_ts)
+    where each input row is one tile's partials."""
+    op = agg.operation
+    k = agg.k or 1
+    if op == Op.COUNT:
+        return F.coalesce(F.sum(F.col(f"{slot}__n")), F.lit(0))
+    if op == Op.SUM:
+        return F.sum(F.col(f"{slot}__s"))
+    if op == Op.AVERAGE:
+        return F.sum(F.col(f"{slot}__s")) / F.when(F.sum(F.col(f"{slot}__n")) > 0, F.sum(F.col(f"{slot}__n")))
+    if op == Op.VARIANCE:
+        n = F.sum(F.col(f"{slot}__n"))
+        s = F.sum(F.col(f"{slot}__s"))
+        q = F.sum(F.col(f"{slot}__q"))
+        return F.when(n > 0, q / n - (s / n) * (s / n))
+    if op == Op.MIN:
+        return F.min(F.col(f"{slot}__m"))
+    if op == Op.MAX:
+        return F.max(F.col(f"{slot}__m"))
+    if op == Op.FIRST:
+        p = F.col(f"{slot}__p")
+        return F.min_by(p, p["o"])["v"]
+    if op == Op.LAST:
+        p = F.col(f"{slot}__p")
+        return F.max_by(p, p["o"])["v"]
+    if op in (Op.FIRST_K, Op.LAST_K):
+        flat = F.flatten(F.collect_list(F.col(f"{slot}__l")))
+        srt = F.array_sort(flat)
+        if op == Op.LAST_K:
+            srt = F.reverse(srt)
+        return F.slice(F.transform(srt, lambda s: s["v"]), 1, k)
+    if op in (Op.TOP_K, Op.BOTTOM_K):
+        flat = F.array_sort(F.flatten(F.collect_list(F.col(f"{slot}__l"))))
+        if op == Op.TOP_K:
+            flat = F.reverse(flat)
+        return F.slice(flat, 1, k)
+    if op == Op.UNIQUE_COUNT:
+        return F.size(F.array_distinct(F.flatten(F.collect_list(F.col(f"{slot}__set"))))).cast(
+            "long"
+        )
+    if op == Op.APPROX_UNIQUE_COUNT:
+        return F.hll_sketch_estimate(F.hll_union_agg(F.col(f"{slot}__hll")))
+    raise ValueError(f"{op} has no mergeable partial form")

@@ -1,0 +1,542 @@
+"""GroupBy estimators: point-in-time (TEMPORAL) and daily (SNAPSHOT) plans.
+
+Re-implements the reference's GroupBy semantics (spark/src/main/scala/ai/
+chronon/spark/GroupBy.scala — temporalEvents L278-357, snapshotEvents
+L143-168, snapshotEntities L99-141) as declarative DataFrame plans:
+
+- ``temporal_events``: for each left row (keys, ts), aggregate events with
+  ``sawtooth_tail(ts, w) <= ev.ts < ts`` (strict head, zero leakage).
+  Two strategies:
+    * ``exact``  — range join queries x events, one conditional aggregate per
+      (op, window). Fan-out is bounded by events-per-key-per-max-window; best
+      when keys are not hot.
+    * ``hops``   — pre-aggregate events into hop tiles
+      (groupBy(key, floor(ts/hop))) — the Spark-native equivalent of the
+      reference's HopsAggregator (aggregator/.../windowing/HopsAggregator.
+      scala:33-165) — then range-join *tiles* to queries and merge partial
+      IRs. Fan-out is bounded by window/hop (<= 168) regardless of key
+      hotness: this is the 100TB-scale path for skewed keys.
+  ``auto`` uses hops for every hop-mergeable aggregation and exact for the
+  rest, joining the two feature frames.
+
+- ``snapshot_events``: per (key, ds) end-of-day aggregates over trailing
+  windows `[eod - w, eod)` for every day in the requested range.
+
+Aggregations are computed in up to three kinds of passes joined on the group
+columns: direct scalar aggs (single groupBy), bucketed aggs (groupBy + map
+assembly per bucket column), and map-valued HISTOGRAM ops (groupBy including
+the value). All passes share one shuffle key (keys + query ts), so AQE can
+coalesce/skew-split them uniformly.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chronon_spark.api import Accuracy, Aggregation, GroupBy, Op, Window
+from chronon_spark.functions import ops as O
+from chronon_spark.plans import windows as W
+
+QTS = "__q_ts_ms"  # query-time long millis
+ETS = "__e_ts_ms"  # event-time long millis
+TILE = "__tile_ms"  # hop tile start long millis
+DAY_MS = W.MS_PER_DAY
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _normalize_events(events: DataFrame, gb: GroupBy, tiebreak: str | None) -> DataFrame:
+    """Project events to (keys, inputs, buckets, ETS [, tiebreak]) with long-ms time."""
+    needed = set(gb.keys)
+    for a in gb.aggregations:
+        needed.add(a.input_column)
+        for b in a.buckets or ():
+            needed.add(b)
+    if tiebreak:
+        needed.add(tiebreak)
+    cols = [F.col(c) for c in sorted(needed)]
+    return events.select(*cols, W.to_millis(F.col(gb.time_column)).alias(ETS))
+
+
+def _split_passes(
+    gb: GroupBy,
+) -> tuple[list[Aggregation], dict[str, list[Aggregation]], list[Aggregation]]:
+    """(direct aggs, bucket_col -> bucketed aggs, map-op aggs)."""
+    direct: list[Aggregation] = []
+    bucketed: dict[str, list[Aggregation]] = defaultdict(list)
+    mapops: list[Aggregation] = []
+    for a in gb.aggregations:
+        if a.operation in O.MAP_OPS:
+            mapops.append(a)
+        elif a.buckets:
+            for b in a.buckets:
+                bucketed[b].append(a)
+        else:
+            direct.append(a)
+    return direct, dict(bucketed), mapops
+
+
+def _apply_derivations(df: DataFrame, gb: GroupBy) -> DataFrame:
+    if not gb.derivations:
+        return df
+    return df.select("*", *[F.expr(e).alias(n) for n, e in gb.derivations.items()])
+
+
+def _tiebreak_col(tiebreak: str | None) -> Column:
+    return F.col(tiebreak) if tiebreak else F.lit(0)
+
+
+# ---------------------------------------------------------------------------
+# TEMPORAL events — exact estimator
+# ---------------------------------------------------------------------------
+
+
+def _join_lower_bound(gb: GroupBy, q_ts: Column) -> Column | None:
+    """Widest inclusive lower bound across all windows; None if any agg is
+    unwindowed (lifetime). Narrows the range join — the window-aware scan
+    narrowing of the reference (GroupBy.scala:565-606), expressed as a join
+    predicate Catalyst can push."""
+    tails = []
+    for a in gb.aggregations:
+        if a.windows is None:
+            return None
+        tails.extend(W.sawtooth_tail(q_ts, w) for w in a.windows)
+    if not tails:
+        return None
+    return tails[0] if len(tails) == 1 else F.least(*tails)
+
+
+def _agg_exprs_exact(
+    aggs: list[Aggregation], q_ts: Column, e_ts: Column, tiebreak: Column
+) -> list[Column]:
+    """One conditional aggregate per (agg, window): mask = sawtooth window."""
+    out = []
+    for a in aggs:
+        for w, _ in a.unpacked():
+            mask = W.in_window(e_ts, q_ts, w)
+            val = F.when(mask, F.col(a.input_column))
+            ts = F.when(mask, e_ts)
+            out.append(O.direct_agg(a, val, ts, F.when(mask, tiebreak)).alias(a.output_name(w, None)))
+    return out
+
+
+def _temporal_pass_exact(
+    q: DataFrame,
+    ev: DataFrame,
+    gb: GroupBy,
+    aggs: list[Aggregation],
+    tiebreak: str | None,
+    extra_group: list[str] | None = None,
+) -> DataFrame:
+    """queries x events range join -> groupBy(keys + QTS [+ extra]) -> aggregates."""
+    keys = gb.keys
+    eva = ev.select(
+        *[F.col(k).alias(f"__e_{k}") for k in keys],
+        *[F.col(c) for c in ev.columns if c not in keys],
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__e_{k}"))
+    cond = cond & (F.col(ETS) < F.col(QTS))
+    lb = _join_lower_bound(gb, F.col(QTS))
+    if lb is not None:
+        cond = cond & (F.col(ETS) >= lb)
+    joined = q.join(eva, cond, "left")
+    group = [*keys, QTS, *(extra_group or [])]
+    exprs = _agg_exprs_exact(aggs, F.col(QTS), F.col(ETS), _tiebreak_col(tiebreak))
+    return joined.groupBy(*group).agg(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# TEMPORAL events — hop-tile estimator (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hop_groups(aggs: list[Aggregation]) -> dict[int, list[tuple[Aggregation, Window | None]]]:
+    """Group (agg, window) pairs by tail-hop size; lifetime aggs use 1d tiles."""
+    groups: dict[int, list[tuple[Aggregation, Window | None]]] = defaultdict(list)
+    for a in aggs:
+        for w, _ in a.unpacked():
+            hop = w.tail_hop_millis() if w is not None else DAY_MS
+            groups[hop].append((a, w))
+    return dict(groups)
+
+
+def _temporal_pass_hops(
+    q: DataFrame,
+    ev: DataFrame,
+    gb: GroupBy,
+    aggs: list[Aggregation],
+    tiebreak: str | None,
+) -> DataFrame:
+    """Tile-merge estimator. Per hop size h:
+      tiles   = events.groupBy(keys, floor(ts/h)) -> partial IRs   (1 shuffle,
+                reused across all windows of that hop and all queries)
+      tail    = q join tiles on keys AND tile in [min_tail, floor(qts/h))
+      head    = q join raw events on keys AND ts in [floor(qts/h), qts)
+                aggregated to a per-query pseudo-tile of the same IR shape
+      merge   = groupBy(keys, QTS) over union(tail, head) with per-window
+                masks tile >= sawtooth_tail(qts, w), then finalize.
+    """
+    keys = gb.keys
+    out: DataFrame | None = None
+    for hop, pairs in _hop_groups(aggs).items():
+        # --- build tile partials (slot per (agg, window) is shared per agg) ---
+        slot_of: dict[int, str] = {}
+        partial_exprs: dict[str, Column] = {}
+        tb = _tiebreak_col(tiebreak)
+        for a, _w in pairs:
+            if id(a) not in slot_of:
+                slot = f"a{len(slot_of)}"
+                slot_of[id(a)] = slot
+                partial_exprs.update(
+                    O.partial_cols(a, F.col(a.input_column), F.col(ETS), tb, slot)
+                )
+        tiles = (
+            ev.withColumn(TILE, W.round_down(F.col(ETS), hop))
+            .groupBy(*keys, TILE)
+            .agg(*[c.alias(n) for n, c in partial_exprs.items()])
+        )
+        ir_cols = list(partial_exprs.keys())
+
+        # --- tail: join tiles strictly before the query's current hop ---
+        ta = tiles.select(
+            *[F.col(k).alias(f"__e_{k}") for k in keys], TILE, *ir_cols
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__e_{k}"))
+        cur_hop = W.round_down(F.col(QTS), hop)
+        cond = cond & (F.col(TILE) < cur_hop)
+        tails = [
+            W.sawtooth_tail(F.col(QTS), w) for a, w in pairs if w is not None
+        ]
+        if any(w is None for _, w in pairs):
+            pass  # lifetime agg present: no lower bound
+        elif tails:
+            cond = cond & (F.col(TILE) >= (tails[0] if len(tails) == 1 else F.least(*tails)))
+        tail_df = q.join(ta, cond, "left").select(
+            *keys, QTS, F.col(TILE), *ir_cols
+        )
+
+        # --- head: raw events in the query's own (incomplete) hop ---
+        eva = ev.select(
+            *[F.col(k).alias(f"__e_{k}") for k in keys],
+            *[c for c in ev.columns if c not in keys],
+        )
+        hcond = F.lit(True)
+        for k in keys:
+            hcond = hcond & (F.col(k) == F.col(f"__e_{k}"))
+        hcond = hcond & (F.col(ETS) >= cur_hop) & (F.col(ETS) < F.col(QTS))
+        head_df = (
+            q.join(eva, hcond, "inner")
+            .groupBy(*keys, QTS)
+            .agg(*[c.alias(n) for n, c in partial_exprs.items()])
+            .withColumn(TILE, W.round_down(F.col(QTS), hop))
+            .select(*keys, QTS, F.col(TILE), *ir_cols)
+        )
+
+        # --- merge tiles per query with per-window masks, finalize ---
+        unioned = tail_df.unionByName(head_df)
+        merge_exprs = []
+        for a, w in pairs:
+            slot = slot_of[id(a)]
+            name = a.output_name(w, None)
+            if w is None:
+                merge_exprs.append(O.merge_finalize(a, slot).alias(name))
+            else:
+                mask = F.col(TILE) >= W.sawtooth_tail(F.col(QTS), w)
+                merge_exprs.append(_merge_with_masked_cols(a, slot, mask).alias(name))
+        part = unioned.groupBy(*keys, QTS).agg(*merge_exprs)
+        out = part if out is None else out.join(part, [*keys, QTS], "full")
+    return out
+
+
+def _merge_with_masked_cols(a: Aggregation, slot: str, mask: Column) -> Column:
+    """Same shapes as ops.merge_finalize but every IR column is masked."""
+    op = a.operation
+    k = a.k or 1
+
+    def c(suffix: str) -> Column:
+        return F.when(mask, F.col(f"{slot}__{suffix}"))
+
+    if op == Op.COUNT:
+        return F.coalesce(F.sum(c("n")), F.lit(0))
+    if op == Op.SUM:
+        return F.sum(c("s"))
+    if op == Op.AVERAGE:
+        return F.sum(c("s")) / F.when(F.sum(c("n")) > 0, F.sum(c("n")))
+    if op == Op.VARIANCE:
+        n, s, q_ = F.sum(c("n")), F.sum(c("s")), F.sum(c("q"))
+        return F.when(n > 0, q_ / n - (s / n) * (s / n))
+    if op == Op.MIN:
+        return F.min(c("m"))
+    if op == Op.MAX:
+        return F.max(c("m"))
+    if op == Op.FIRST:
+        p = c("p")
+        return F.min_by(p, p["o"])["v"]
+    if op == Op.LAST:
+        p = c("p")
+        return F.max_by(p, p["o"])["v"]
+    if op in (Op.FIRST_K, Op.LAST_K):
+        flat = F.flatten(F.collect_list(c("l")))
+        srt = F.array_sort(flat)
+        if op == Op.LAST_K:
+            srt = F.reverse(srt)
+        return F.slice(F.transform(srt, lambda s: s["v"]), 1, k)
+    if op in (Op.TOP_K, Op.BOTTOM_K):
+        flat = F.array_sort(F.flatten(F.collect_list(c("l"))))
+        if op == Op.TOP_K:
+            flat = F.reverse(flat)
+        return F.slice(flat, 1, k)
+    if op == Op.UNIQUE_COUNT:
+        return F.size(F.array_distinct(F.flatten(F.collect_list(c("set"))))).cast("long")
+    if op == Op.APPROX_UNIQUE_COUNT:
+        return F.hll_sketch_estimate(F.hll_union_agg(c("hll")))
+    raise ValueError(f"{op} not hop-mergeable")
+
+
+# ---------------------------------------------------------------------------
+# bucketed + histogram passes (two-phase map assembly)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_pass(
+    q: DataFrame,
+    ev: DataFrame,
+    gb: GroupBy,
+    bucket_col: str,
+    aggs: list[Aggregation],
+    tiebreak: str | None,
+) -> DataFrame:
+    """groupBy(keys + QTS + bucket) then assemble Map[bucket -> agg] per
+    feature (reference: aggregator/.../row/BucketedColumnAggregator.scala)."""
+    inner = _temporal_pass_exact(q, ev, gb, aggs, tiebreak, extra_group=[bucket_col])
+    inner = inner.where(F.col(bucket_col).isNotNull())
+    assembled = inner.groupBy(*gb.keys, QTS).agg(
+        *[
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(bucket_col).alias("k"),
+                            F.col(a.output_name(w, None)).alias("v"),
+                        )
+                    )
+                )
+            ).alias(a.output_name(w, bucket_col))
+            for a in aggs
+            for w, _ in a.unpacked()
+        ]
+    )
+    return assembled
+
+
+def _histogram_pass(
+    q: DataFrame, ev: DataFrame, gb: GroupBy, agg: Aggregation, tiebreak: str | None
+) -> DataFrame:
+    """HISTOGRAM / APPROX_HISTOGRAM_K: two-phase value-count map.
+
+    Phase 1 groups by (keys, QTS, value) with one conditional count per
+    window; phase 2 assembles Map[value -> count], optionally truncated to
+    the k most frequent entries (APPROX_HISTOGRAM_K's exact-at-test-scale
+    behavior; reference aggregator/.../SimpleAggregators.scala:458-600).
+    """
+    keys = gb.keys
+    vcol = agg.input_column
+    eva = ev.select(
+        *[F.col(k).alias(f"__e_{k}") for k in keys],
+        *[c for c in ev.columns if c not in keys],
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__e_{k}"))
+    cond = cond & (F.col(ETS) < F.col(QTS)) & F.col(vcol).isNotNull()
+    lb = _join_lower_bound(gb, F.col(QTS))
+    if lb is not None:
+        cond = cond & (F.col(ETS) >= lb)
+    joined = q.join(eva, cond, "inner")
+    counts = joined.groupBy(*keys, QTS, vcol).agg(
+        *[
+            F.count(F.when(W.in_window(F.col(ETS), F.col(QTS), w), F.lit(1))).alias(
+                f"__n_{a_i}"
+            )
+            for a_i, (w, _) in enumerate(agg.unpacked())
+        ]
+    )
+    exprs = []
+    for a_i, (w, _) in enumerate(agg.unpacked()):
+        entries = F.collect_list(
+            F.when(
+                F.col(f"__n_{a_i}") > 0,
+                F.struct(F.col(vcol).cast("string").alias("k"), F.col(f"__n_{a_i}").alias("v")),
+            )
+        )
+        if agg.operation == Op.APPROX_HISTOGRAM_K and agg.k:
+            # keep k most frequent (ties: lexicographic key) then re-sort by key
+            ranked = F.reverse(
+                F.array_sort(
+                    F.transform(entries, lambda s: F.struct(s["v"].alias("v"), s["k"].alias("k")))
+                )
+            )
+            topk = F.slice(ranked, 1, agg.k)
+            entries = F.array_sort(
+                F.transform(topk, lambda s: F.struct(s["k"].alias("k"), s["v"].alias("v")))
+            )
+        else:
+            entries = F.array_sort(entries)
+        # empty window -> NULL, not {} (matches null-feature semantics)
+        exprs.append(
+            F.when(F.size(entries) > 0, F.map_from_entries(entries)).alias(
+                agg.output_name(w, None)
+            )
+        )
+    return counts.groupBy(*keys, QTS).agg(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# public estimators
+# ---------------------------------------------------------------------------
+
+
+def temporal_events(
+    left: DataFrame,
+    events: DataFrame,
+    gb: GroupBy,
+    left_time_column: str | None = None,
+    tiebreak: str | None = None,
+    strategy: str = "exact",
+) -> DataFrame:
+    """Point-in-time features for every left row. Returns left columns +
+    one feature column per (aggregation x window x bucket).
+
+    Left rows are deduplicated to distinct (keys, ts) for aggregation and
+    fanned back out by an equi-join, preserving duplicate left rows
+    (reference row-count preservation: JoinTest.scala:589-590).
+    """
+    assert gb.accuracy == Accuracy.TEMPORAL
+    ltc = left_time_column or gb.time_column
+    ev = _normalize_events(events, gb, tiebreak)
+    left_n = left.withColumn(QTS, W.to_millis(F.col(ltc)))
+    q = left_n.select(*gb.keys, QTS).distinct()
+
+    direct, bucketed, mapops = _split_passes(gb)
+    parts: list[DataFrame] = []
+    if direct:
+        if strategy == "hops":
+            hop_ok = [a for a in direct if a.operation in O.HOP_MERGEABLE_OPS]
+            rest = [a for a in direct if a.operation not in O.HOP_MERGEABLE_OPS]
+            if hop_ok:
+                parts.append(_temporal_pass_hops(q, ev, gb, hop_ok, tiebreak))
+            if rest:
+                parts.append(_temporal_pass_exact(q, ev, gb, rest, tiebreak))
+        else:
+            parts.append(_temporal_pass_exact(q, ev, gb, direct, tiebreak))
+    for bcol, aggs in bucketed.items():
+        parts.append(_bucket_pass(q, ev, gb, bcol, aggs, tiebreak))
+    for a in mapops:
+        parts.append(_histogram_pass(q, ev, gb, a, tiebreak))
+
+    feat = parts[0]
+    for p in parts[1:]:
+        feat = feat.join(p, [*gb.keys, QTS], "left")
+    out = left_n.join(feat, [*gb.keys, QTS], "left").drop(QTS)
+    return _apply_derivations(out, gb)
+
+
+def snapshot_events(
+    events: DataFrame,
+    gb: GroupBy,
+    start_ds: str | None = None,
+    end_ds: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """End-of-day features per (key, ds) for every day in [start_ds, end_ds].
+
+    Window semantics: an N-day window at partition ds covers
+    ``[epoch(ds)+1d - N, epoch(ds)+1d)`` — N whole days ending at the end of
+    ds (reference oracle GroupByTest.scala:57-66,109-121). Output has one row
+    per key x day over the full grid (features carry forward through
+    event-less days via the trailing windows).
+    """
+    ev = _normalize_events(events, gb, tiebreak)
+    if start_ds is None or end_ds is None:
+        lo, hi = ev.select(F.min(ETS), F.max(ETS)).first()
+        start_ms = lo - lo % DAY_MS
+        end_ms = hi - hi % DAY_MS
+    else:
+        import datetime as _dt
+
+        start_ms = int(_dt.datetime.strptime(start_ds, "%Y-%m-%d").timestamp()) * 1000
+        end_ms = int(_dt.datetime.strptime(end_ds, "%Y-%m-%d").timestamp()) * 1000
+    days = F.sequence(F.lit(start_ms), F.lit(end_ms), F.lit(DAY_MS))
+    grid = (
+        ev.select(*gb.keys)
+        .distinct()
+        .select("*", F.explode(days).alias("__day_ms"))
+        # snapshot-as-of-ds == temporal query at next midnight (end of ds)
+        .withColumn(QTS, F.col("__day_ms") + F.lit(DAY_MS))
+    )
+    gb_snap = GroupBy(
+        name=gb.name,
+        keys=gb.keys,
+        aggregations=[_day_rounded(a) for a in gb.aggregations],
+        accuracy=Accuracy.TEMPORAL,
+        time_column=gb.time_column,
+        derivations=gb.derivations,
+    )
+    direct, bucketed, mapops = _split_passes(gb_snap)
+    parts: list[DataFrame] = []
+    if direct:
+        parts.append(_temporal_pass_exact(grid, ev, gb_snap, direct, tiebreak))
+    for bcol, aggs in bucketed.items():
+        parts.append(_bucket_pass(grid, ev, gb_snap, bcol, aggs, tiebreak))
+    for a in mapops:
+        parts.append(_histogram_pass(grid, ev, gb_snap, a, tiebreak))
+    feat = parts[0]
+    for p in parts[1:]:
+        feat = feat.join(p, [*gb_snap.keys, QTS], "left")
+    out = feat.withColumn(
+        "ds", F.date_format((F.col(QTS) / 1000 - DAY_MS / 1000).cast("timestamp"), "yyyy-MM-dd")
+    ).drop(QTS)
+    return _apply_derivations(out, gb)
+
+
+def _day_rounded(a: Aggregation) -> Aggregation:
+    """Snapshot windows are exact multiples of days ending at midnight, so the
+    sawtooth tail rounding is a no-op for day-unit windows; windows pass
+    through unchanged (queries sit exactly on day boundaries)."""
+    return a
+
+
+def snapshot_entities(
+    snapshots: DataFrame, gb: GroupBy, ds_column: str = "ds"
+) -> DataFrame:
+    """Entity (dimension snapshot) GroupBy: aggregate each day's snapshot rows
+    per key with windowed update ``ts < epoch(ds)+1d`` (reference
+    GroupBy.scala:99-141). Input already carries a ds partition column."""
+    day_ms = W.to_millis(F.to_timestamp(F.col(ds_column)))
+    ev = snapshots.withColumn(ETS, W.to_millis(F.col(gb.time_column))).withColumn(
+        QTS, day_ms + F.lit(DAY_MS)
+    )
+    exprs = []
+    for a in gb.aggregations:
+        for w, _ in a.unpacked():
+            if w is None:
+                mask = F.col(ETS) < F.col(QTS)
+            else:
+                mask = (F.col(ETS) < F.col(QTS)) & (
+                    F.col(ETS) >= F.col(QTS) - F.lit(w.millis)
+                )
+            val = F.when(mask, F.col(a.input_column))
+            ts = F.when(mask, F.col(ETS))
+            exprs.append(O.direct_agg(a, val, ts, None).alias(a.output_name(w, None)))
+    out = ev.groupBy(*gb.keys, ds_column).agg(*exprs)
+    return _apply_derivations(out, gb)

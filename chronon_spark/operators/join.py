@@ -1,0 +1,118 @@
+"""Join orchestration: a left query table enriched by many GroupBys.
+
+Reference lifecycle: spark/src/main/scala/ai/chronon/spark/Join.scala /
+JoinBase.scala — per-part backfill + coalesced left join + prefixing
+(column prefix `{prefix}_{group_by_name}_{value_col}`:
+api/.../Extensions.scala:739-766, JoinBase.scala:87-101).
+
+Spark-first differences: each join part is an independent DataFrame branch
+(Catalyst dedups the shared left scan); at scale parts can optionally be
+materialized to intermediate tables (sources/tableio.write_partitioned) for
+lineage + resume, mirroring the reference's per-part tables
+(JoinBase.scala:139,196-213).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chronon_spark.api import Accuracy, Join, JoinPart
+from chronon_spark.operators import groupby as G
+
+
+def coalesced_join(
+    left: DataFrame, right: DataFrame, keys: list[str], how: str = "left"
+) -> DataFrame:
+    """Equi-join where non-key columns present on BOTH sides are merged via
+    ``coalesce(left, right)``; output order keys -> left -> right.
+    Reference: spark/.../JoinUtils.scala:137-168 (coalescedJoin)."""
+    shared = (set(left.columns) & set(right.columns)) - set(keys)
+    r = right
+    for c in shared:
+        r = r.withColumnRenamed(c, f"__r_{c}")
+    out = left.join(r, keys, how)
+    for c in shared:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__r_{c}"))).drop(f"__r_{c}")
+    ordered = keys + [c for c in left.columns if c not in keys]
+    ordered += [c for c in out.columns if c not in ordered]
+    return out.select(*ordered)
+
+
+def compute_join_part(
+    left: DataFrame,
+    events: DataFrame,
+    part: JoinPart,
+    left_time_column: str = "ts",
+    tiebreak: str | None = None,
+    strategy: str = "exact",
+) -> DataFrame:
+    """Features for one join part, keyed by the LEFT column names, with the
+    part's `{prefix}_{group_by}_` column prefix applied."""
+    gb = part.group_by
+    lkeys = part.left_keys()
+    # rename left keys to the GroupBy's key names (keyMapping flip,
+    # reference api/.../Extensions.scala:745-755)
+    q = left.select(
+        *[F.col(lk).alias(rk) for lk, rk in zip(lkeys, gb.keys)],
+        F.col(left_time_column),
+    ).dropDuplicates([*gb.keys, left_time_column])
+    if gb.accuracy == Accuracy.TEMPORAL:
+        feat = G.temporal_events(
+            q, events, gb, left_time_column=left_time_column, tiebreak=tiebreak, strategy=strategy
+        )
+    else:
+        # SNAPSHOT accuracy: features as of the previous midnight — join key
+        # is (keys, date(ts)) against the daily snapshot shifted +1 day
+        # (reference JoinBase.scala:70-130). Implemented by querying at the
+        # left row's midnight rather than its exact ts.
+        q_mid = q.withColumn(
+            "__orig_ts", F.col(left_time_column)
+        ).withColumn(
+            left_time_column,
+            F.to_timestamp(F.date_trunc("day", F.col(left_time_column))),
+        )
+        feat = G.temporal_events(
+            q_mid.select(*gb.keys, left_time_column, "__orig_ts").dropDuplicates(),
+            events,
+            gb,
+            left_time_column=left_time_column,
+            tiebreak=tiebreak,
+            strategy=strategy,
+        )
+        feat = feat.withColumn(left_time_column, F.col("__orig_ts")).drop("__orig_ts")
+    prefix = part.full_prefix()
+    renames = {c: f"{prefix}_{c}" for c in gb.output_columns()}
+    for old, new in renames.items():
+        feat = feat.withColumnRenamed(old, new)
+    # flip key names back to the left's column names
+    for lk, rk in zip(lkeys, gb.keys):
+        if lk != rk:
+            feat = feat.withColumnRenamed(rk, lk)
+    return feat
+
+
+def compute_join(
+    left: DataFrame,
+    sources: dict[str, DataFrame],
+    join: Join,
+    tiebreak: str | None = None,
+    strategy: str = "exact",
+) -> DataFrame:
+    """Enrich ``left`` with every join part. ``sources`` maps GroupBy name ->
+    its events DataFrame. Preserves left row count (incl. duplicates)."""
+    out = left
+    for part in join.join_parts:
+        events = sources[part.group_by.name]
+        feat = compute_join_part(
+            out.select(*part.left_keys(), join.time_column).dropDuplicates(),
+            events,
+            part,
+            left_time_column=join.time_column,
+            tiebreak=tiebreak,
+            strategy=strategy,
+        )
+        out = coalesced_join(out, feat, [*part.left_keys(), join.time_column])
+    if join.derivations:
+        out = out.select("*", *[F.expr(e).alias(n) for n, e in join.derivations.items()])
+    return out
