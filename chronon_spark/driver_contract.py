@@ -1,0 +1,695 @@
+"""Driver-contract queries: engine plans + DuckDB oracle SQL, in pairs.
+
+Each entry in QUERIES runs a chronon_spark operator through the public API
+and returns a DataFrame whose values are *bit-reproducible* against the
+matching ORACLE_SQL executed by DuckDB on the same parquet files:
+
+- every float is rounded identically on both sides (inputs have <=2 decimal
+  places, so round-to-3+ is never on a rounding boundary);
+- timestamps are projected to epoch-millis BIGINT;
+- arrays are ordered deterministically (ts, id tiebreak) and joined to '|'
+  strings; maps are exploded to rows;
+- approximate sketches (HLL, simhash, minhash-LSH) have NO oracle entry —
+  the driver records a rows-only check for those, and pytest covers them
+  against tolerance/pandas oracles instead.
+
+Tables available per sf_dir: region nation customer supplier part orders
+lineitem events documents embeddings (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as SW
+
+from chronon_spark.api import Accuracy, Aggregation, GroupBy, Join, JoinPart, Op, TimeUnit, Window
+from chronon_spark.operators import groupby as G
+from chronon_spark.operators.join import compute_join
+from chronon_spark.operators.sessionize import sessionize, with_lag_lead
+from chronon_spark.plans.windows import sawtooth_tail_sql, to_millis
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r(col, n=3):
+    return F.round(col, n)
+
+
+def _avg(value, n_round_sum=3):
+    """Cross-engine-stable average: round(sum, k) snaps both engines' sums to
+    the same double (inputs have <=2 decimals, so the true sum is never on a
+    round-k boundary), then the division and final round are bit-identical.
+    A raw round(avg(x), 4) is NOT stable: sum/n often terminates exactly on
+    the rounding grid (e.g. 481.23/8 = 60.153750) and last-ulp summation
+    differences flip the half-up rounding across engines."""
+    return F.round(F.round(F.sum(value), n_round_sum) / F.count(value), 6)
+
+
+def _avg_sql(expr, n_round_sum=3):
+    return f"round(round(sum({expr}), {n_round_sum}) / count({expr}), 6)"
+
+
+W7D = Window(7, TimeUnit.DAYS)
+W1D = Window(1, TimeUnit.DAYS)
+W6H = Window(6, TimeUnit.HOURS)
+
+# SQL fragments for the sawtooth tails (shared by several oracles)
+TAIL_7D = sawtooth_tail_sql("q.ts_ms", W7D)  # hop 1h
+TAIL_1D = sawtooth_tail_sql("q.ts_ms", W1D)  # hop 1h
+TAIL_6H = sawtooth_tail_sql("q.ts_ms", W6H)  # hop 5min
+
+
+# ---------------------------------------------------------------------------
+# 1. relational core on TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _avg(F.col("l_quantity")).alias("avg_qty"),
+            _avg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 3) AS sum_qty,
+       round(sum(l_extendedprice), 3) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+       round(round(sum(l_quantity), 3) / count(l_quantity), 6) AS avg_qty,
+       round(round(sum(l_discount), 3) / count(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-table join with broadcast dims: revenue per nation/segment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            _r(F.sum("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_JOIN_PRICING = """
+SELECT n_name, c_mktsegment,
+       round(sum(o_totalprice), 3) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. GroupBy aggregation operators on events
+# ---------------------------------------------------------------------------
+
+
+def q_groupby_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").agg(
+        F.count("value").alias("value_count"),
+        _r(F.sum("value")).alias("value_sum"),
+        _avg(F.col("value")).alias("value_average"),
+        _r(F.min("value"), 2).alias("value_min"),
+        _r(F.max("value"), 2).alias("value_max"),
+        F.count_distinct("event_type").alias("event_type_unique_count"),
+    )
+    return out
+
+
+SQL_GROUPBY_LIFETIME = """
+SELECT user_id,
+       count(value) AS value_count,
+       round(sum(value), 3) AS value_sum,
+       round(round(sum(value), 3) / count(value), 6) AS value_average,
+       round(min(value), 2) AS value_min,
+       round(max(value), 2) AS value_max,
+       count(DISTINCT event_type) AS event_type_unique_count
+FROM events GROUP BY user_id
+"""
+
+
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variance / skew / kurtosis — population moments per user."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        _r(F.var_pop("value"), 3).alias("value_variance"),
+        _r(F.skewness("value"), 4).alias("value_skew"),
+        _r(F.kurtosis("value"), 4).alias("value_kurtosis"),
+    )
+
+
+# population skew = m3 / m2^1.5 ; excess kurtosis = m4/m2^2 - 3 (same
+# definition as Spark's skewness/kurtosis)
+SQL_MOMENTS = """
+WITH m AS (
+  SELECT user_id,
+         avg(value) AS m1,
+         avg(value*value) AS r2,
+         avg(value*value*value) AS r3,
+         avg(value*value*value*value) AS r4
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       round(r2 - m1*m1, 3) AS value_variance,
+       round((r3 - 3*m1*r2 + 2*m1*m1*m1) / pow(r2 - m1*m1, 1.5), 4) AS value_skew,
+       round((r4 - 4*m1*r3 + 6*m1*m1*r2 - 3*m1*m1*m1*m1) / pow(r2 - m1*m1, 2) - 3, 4)
+         AS value_kurtosis
+FROM m
+"""
+
+
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return ev.groupBy("event_type").agg(
+        _r(pct[0], 4).alias("p25"),
+        _r(pct[1], 4).alias("p50"),
+        _r(pct[2], 4).alias("p75"),
+    )
+
+
+SQL_PERCENTILE = """
+SELECT event_type,
+       round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 4) AS p25,
+       round(CAST(quantile_cont(value, 0.50) AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_cont(value, 0.75) AS DOUBLE), 4) AS p75
+FROM events GROUP BY event_type
+"""
+
+
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("event_type_first"),
+        F.max_by("event_type", "event_id").alias("event_type_last"),
+        _r(F.min_by("value", "event_id"), 2).alias("value_first"),
+        _r(F.max_by("value", "event_id"), 2).alias("value_last"),
+    )
+
+
+SQL_FIRST_LAST = """
+SELECT user_id,
+       arg_min(event_type, event_id) AS event_type_first,
+       arg_max(event_type, event_id) AS event_type_last,
+       round(arg_min(value, event_id), 2) AS value_first,
+       round(arg_max(value, event_id), 2) AS value_last
+FROM events GROUP BY user_id
+"""
+
+
+def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP_K / BOTTOM_K as pipe-joined strings (deterministic tiebreak)."""
+    ev = _t(spark, sf_dir, "events")
+    lst = F.array_sort(F.collect_list(F.struct(F.col("value").alias("v"), F.col("event_id").alias("i"))))
+    top3 = F.slice(F.reverse(lst), 1, 3)
+    bot3 = F.slice(lst, 1, 3)
+    fmt = lambda arr: F.array_join(  # noqa: E731
+        F.transform(arr, lambda s: F.format_string("%.2f", s["v"])), "|"
+    )
+    return ev.groupBy("user_id").agg(
+        fmt(top3).alias("value_top3"), fmt(bot3).alias("value_bottom3")
+    )
+
+
+SQL_TOPK_PER_USER = """
+WITH ranked AS (
+  SELECT user_id, value, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rd,
+         row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS ra
+  FROM events
+)
+SELECT user_id,
+       array_to_string(list(printf('%.2f', value) ORDER BY rd) FILTER (WHERE rd <= 3), '|') AS value_top3,
+       array_to_string(list(printf('%.2f', value) ORDER BY ra) FILTER (WHERE ra <= 3), '|') AS value_bottom3
+FROM ranked GROUP BY user_id
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM op, exploded to (user_id, event_type, n) rows for hashing."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_HISTOGRAM = "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2"
+
+
+def q_groupby_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed SUM (map exploded to rows: the map-assembly path is covered
+    by pytest against the same numbers)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        _r(F.sum("value")).alias("value_sum_by_event_type")
+    )
+
+
+SQL_GROUPBY_BUCKETS = """
+SELECT user_id, event_type, round(sum(value), 3) AS value_sum_by_event_type
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. point-in-time as-of join (the flagship engine path)
+# ---------------------------------------------------------------------------
+
+
+def _purchase_left(ev: DataFrame) -> DataFrame:
+    return ev.where(F.col("event_type") == "purchase").select("user_id", "ts").distinct()
+
+
+def q_asof_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/avg over sawtooth 7d & 1d windows + lifetime, strict <."""
+    ev = _t(spark, sf_dir, "events")
+    gb = GroupBy(
+        name="user_events",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(W7D, W1D)),
+            Aggregation(Op.SUM, "value", windows=(W7D,)),
+            Aggregation(Op.SUM, "value", windows=(W1D,)),
+            Aggregation(Op.COUNT, "value"),
+            Aggregation(Op.MAX, "value", windows=(W6H,)),
+        ],
+    )
+    out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id", strategy="exact")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("value_count_7d"),
+        F.col("value_count_1d"),
+        _r(F.col("value_sum_7d")).alias("value_sum_7d"),
+        F.round(
+            _r(F.col("value_sum_1d")) / F.when(F.col("value_count_1d") > 0, F.col("value_count_1d")),
+            6,
+        ).alias("value_average_1d"),
+        F.col("value_count"),
+        _r(F.col("value_max_6h"), 2).alias("value_max_6h"),
+    )
+
+
+SQL_ASOF_WINDOW_AGG = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value FROM events
+)
+SELECT q.user_id, q.ts_ms,
+       count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS value_count_7d,
+       count(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END) AS value_count_1d,
+       round(sum(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END), 3) AS value_sum_7d,
+       round(round(sum(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END), 3)
+             / nullif(count(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END), 0), 6) AS value_average_1d,
+       count(e.value) AS value_count,
+       round(max(CASE WHEN e.ems >= {TAIL_6H} THEN e.value END), 2) AS value_max_6h
+FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
+GROUP BY q.user_id, q.ts_ms
+"""
+
+
+def q_asof_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics computed by the HOP-TILE estimator (the scale path) —
+    must hash-match the same oracle as the exact estimator."""
+    ev = _t(spark, sf_dir, "events")
+    gb = GroupBy(
+        name="user_events",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(W7D, W1D)),
+            Aggregation(Op.SUM, "value", windows=(W7D,)),
+        ],
+    )
+    out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id", strategy="hops")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("value_count_7d"),
+        F.col("value_count_1d"),
+        _r(F.col("value_sum_7d")).alias("value_sum_7d"),
+    )
+
+
+SQL_ASOF_HOPS = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value FROM events
+)
+SELECT q.user_id, q.ts_ms,
+       count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS value_count_7d,
+       count(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END) AS value_count_1d,
+       round(sum(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END), 3) AS value_sum_7d
+FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
+GROUP BY q.user_id, q.ts_ms
+"""
+
+
+def q_asof_last_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST_K(event_type, 5) point-in-time, pipe-joined most-recent-first."""
+    ev = _t(spark, sf_dir, "events")
+    gb = GroupBy(
+        name="user_events",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.LAST_K, "event_type", k=5, windows=(W7D,))],
+    )
+    out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.array_join(F.col("event_type_last5_7d"), "|").alias("event_type_last5_7d"),
+    )
+
+
+SQL_ASOF_LAST_K = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, event_id, event_type FROM events
+), m AS (
+  SELECT q.user_id, q.ts_ms, e.event_type, e.ems, e.event_id,
+         row_number() OVER (PARTITION BY q.user_id, q.ts_ms
+                            ORDER BY e.ems DESC, e.event_id DESC) AS rn
+  FROM q JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms AND e.ems >= {TAIL_7D}
+)
+SELECT q.user_id, q.ts_ms, coalesce(s.lst, '') AS event_type_last5_7d
+FROM q LEFT JOIN (
+  SELECT user_id, ts_ms, array_to_string(list(event_type ORDER BY rn), '|') AS lst
+  FROM m WHERE rn <= 5 GROUP BY user_id, ts_ms
+) s ON s.user_id = q.user_id AND s.ts_ms = q.ts_ms
+"""
+
+
+def q_asof_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join orchestration: two GroupBys (keyed user_id and event_type) with
+    key mapping + prefixes, coalesced onto one left."""
+    ev = _t(spark, sf_dir, "events")
+    left = _purchase_left(ev).withColumn("etype", F.lit("click"))
+    gb_user = GroupBy(
+        name="user_stats",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(W7D,))],
+    )
+    gb_type = GroupBy(
+        name="type_stats",
+        keys=["event_type"],
+        aggregations=[Aggregation(Op.SUM, "value", windows=(W1D,))],
+    )
+    j = Join(
+        name="multi",
+        left_keys=["user_id", "etype"],
+        join_parts=[
+            JoinPart(group_by=gb_user),
+            JoinPart(group_by=gb_type, key_mapping={"etype": "event_type"}, prefix="ctx"),
+        ],
+    )
+    out = compute_join(left, {"user_stats": ev, "type_stats": ev}, j, tiebreak="event_id")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("user_stats_value_count_7d"),
+        _r(F.col("ctx_type_stats_value_sum_1d")).alias("ctx_type_stats_value_sum_1d"),
+    )
+
+
+SQL_ASOF_JOIN_MULTI = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ems, value FROM events
+), p1 AS (
+  SELECT q.user_id, q.ts_ms,
+         count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS user_stats_value_count_7d
+  FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
+  GROUP BY 1, 2
+), qt AS (
+  SELECT DISTINCT ts_ms FROM q
+), p2 AS (
+  SELECT qt.ts_ms AS q2_ts,
+         round(sum(CASE WHEN e.ems >= (qt.ts_ms - 86400000) - ((qt.ts_ms - 86400000) % 3600000)
+                        THEN e.value END), 3) AS ctx_type_stats_value_sum_1d
+  FROM qt LEFT JOIN e ON e.event_type = 'click' AND e.ems < qt.ts_ms
+  GROUP BY 1
+)
+SELECT p1.user_id, p1.ts_ms, p1.user_stats_value_count_7d, p2.ctx_type_stats_value_sum_1d
+FROM p1 JOIN p2 ON p2.q2_ts = p1.ts_ms
+"""
+
+
+def q_snapshot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT GroupBy: per (user, ds) end-of-day 7d/1d aggregates, only for
+    days the user has events (grid rows with activity, for oracle parity)."""
+    ev = _t(spark, sf_dir, "events")
+    gb = GroupBy(
+        name="daily",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(W7D,)),
+            Aggregation(Op.SUM, "value", windows=(W1D,)),
+        ],
+        accuracy=Accuracy.SNAPSHOT,
+    )
+    out = G.snapshot_events(ev, gb, tiebreak="event_id")
+    active = ev.select(
+        "user_id", F.date_format(F.col("ts"), "yyyy-MM-dd").alias("ds")
+    ).distinct()
+    return out.join(active, ["user_id", "ds"]).select(
+        "user_id",
+        "ds",
+        F.col("value_count_7d"),
+        _r(F.col("value_sum_1d")).alias("value_sum_1d"),
+    )
+
+
+SQL_SNAPSHOT_DAILY = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS ds,
+         epoch_ms(CAST(CAST(ts AS DATE) AS TIMESTAMP)) + 86400000 AS eod_ms
+  FROM events
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value FROM events
+)
+SELECT a.user_id, a.ds,
+       count(CASE WHEN e.ems >= a.eod_ms - 7*86400000 THEN e.value END) AS value_count_7d,
+       round(sum(CASE WHEN e.ems >= a.eod_ms - 86400000 THEN e.value END), 3) AS value_sum_1d
+FROM active a LEFT JOIN e ON e.user_id = a.user_id AND e.ems < a.eod_ms
+GROUP BY a.user_id, a.ds
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. turn/sequence features: lag-lead, sessionization, transcript backfill
+# ---------------------------------------------------------------------------
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = with_lag_lead(
+        ev, ["user_id"], [F.col("ts"), F.col("event_id")], {"event_type": 1}
+    )
+    w = SW.partitionBy("user_id").orderBy("ts", "event_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("event_type_lag1").alias("prev_type"),
+        F.col("event_type_lead1").alias("next_type"),
+        (to_millis(F.col("ts")) - F.lag(to_millis(F.col("ts")), 1).over(w)).alias("gap_ms"),
+    )
+
+
+SQL_LAG_LEAD = """
+SELECT user_id, event_id,
+       lag(event_type) OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessions per user: id assignment + per-session stats."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], ts_column="ts", gap="30 minutes", order_by=["ts", "event_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(to_millis(F.col("ts"))).alias("start_ms"),
+        F.max(to_millis(F.col("ts"))).alias("end_ms"),
+        _r(F.sum("value")).alias("value_sum"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, value, ts, event_id, epoch_ms(ts) AS ems,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 0
+              WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, value, ems,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ems) AS start_ms, max(ems) AS end_ms, round(sum(value), 3) AS value_sum
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# transcripts synthesized identically in Spark and DuckDB from events
+TRANSCRIPTS_SQL_DUCK = """
+SELECT 'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+       CASE WHEN event_type IN ('click','view') THEN 'user' ELSE 'assistant' END AS role,
+       props AS text,
+       event_type AS tool,
+       ts, epoch_ms(ts) AS ts_ms
+FROM events
+"""
+
+
+def _transcripts_from_events(ev: DataFrame) -> DataFrame:
+    w = SW.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "view"), F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("props").alias("text"),
+        F.col("event_type").alias("tool"),
+        F.col("ts"),
+        to_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
+def q_transcripts_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: full feature backfill over a transcript-shaped table —
+    as-of windowed aggregates + lag + session id per assistant turn, with
+    per-turn text passed through byte-identical."""
+    ev = _t(spark, sf_dir, "events")
+    t = _transcripts_from_events(ev)
+    t = sessionize(t, ["conv_id"], ts_column="ts", gap="30 minutes", order_by=["ts", "turn_idx"])
+    w = SW.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    t = t.withColumn("prev_role", F.lag("role").over(w))
+    left = t.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "text", "ts", "session_id", "prev_role"
+    )
+    gb = GroupBy(
+        name="conv",
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "turn_idx", windows=(W1D,)),
+            Aggregation(Op.COUNT, "turn_idx"),
+        ],
+    )
+    out = G.temporal_events(left, t, gb, left_time_column="ts", tiebreak="turn_idx")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("text"),
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("session_id"),
+        F.col("prev_role"),
+        F.col("turn_idx_count_1d").alias("turns_1d"),
+        F.col("turn_idx_count").alias("turns_lifetime"),
+    )
+
+
+SQL_TRANSCRIPTS_BACKFILL = f"""
+WITH t AS ({TRANSCRIPTS_SQL_DUCK}),
+g AS (
+  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL THEN 0
+                 WHEN ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess,
+         lag(role) OVER w AS prev_role
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+s AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+),
+q AS (SELECT conv_id, turn_idx, text, ts_ms, session_id, prev_role FROM s WHERE role = 'assistant')
+SELECT q.conv_id, q.turn_idx, q.text, q.ts_ms, q.session_id, q.prev_role,
+       count(CASE WHEN e.ts_ms >= (q.ts_ms - 86400000) - ((q.ts_ms - 86400000) % 3600000)
+                  THEN 1 END) AS turns_1d,
+       count(e.ts_ms) AS turns_lifetime
+FROM q LEFT JOIN t e ON e.conv_id = q.conv_id AND e.ts_ms < q.ts_ms
+GROUP BY q.conv_id, q.turn_idx, q.text, q.ts_ms, q.session_id, q.prev_role
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tpch_q1": q_tpch_q1,
+    "join_pricing": q_join_pricing,
+    "groupby_lifetime": q_groupby_lifetime,
+    "moments": q_moments,
+    "percentile": q_percentile,
+    "first_last": q_first_last,
+    "topk_per_user": q_topk_per_user,
+    "histogram": q_histogram,
+    "groupby_buckets": q_groupby_buckets,
+    "asof_window_agg": q_asof_window_agg,
+    "asof_hops": q_asof_hops,
+    "asof_last_k": q_asof_last_k,
+    "asof_join_multi": q_asof_join_multi,
+    "snapshot_daily": q_snapshot_daily,
+    "lag_lead": q_lag_lead,
+    "sessionize": q_sessionize,
+    "transcripts_backfill": q_transcripts_backfill,
+}
+
+ORACLES: dict[str, str] = {
+    "tpch_q1": SQL_TPCH_Q1,
+    "join_pricing": SQL_JOIN_PRICING,
+    "groupby_lifetime": SQL_GROUPBY_LIFETIME,
+    "moments": SQL_MOMENTS,
+    "percentile": SQL_PERCENTILE,
+    "first_last": SQL_FIRST_LAST,
+    "topk_per_user": SQL_TOPK_PER_USER,
+    "histogram": SQL_HISTOGRAM,
+    "groupby_buckets": SQL_GROUPBY_BUCKETS,
+    "asof_window_agg": SQL_ASOF_WINDOW_AGG,
+    "asof_hops": SQL_ASOF_HOPS,
+    "asof_last_k": SQL_ASOF_LAST_K,
+    "asof_join_multi": SQL_ASOF_JOIN_MULTI,
+    "snapshot_daily": SQL_SNAPSHOT_DAILY,
+    "lag_lead": SQL_LAG_LEAD,
+    "sessionize": SQL_SESSIONIZE,
+    "transcripts_backfill": SQL_TRANSCRIPTS_BACKFILL,
+}
