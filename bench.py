@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+ "sf": ..., "rows_per_sec": ..., "feature_rows": ...}
+
+The headline metric mirrors BASELINE.json: backfilled feature rows/sec for
+the as-of join + window agg path. Scaling evidence across two parallelism
+levels is produced by bench_scaling.py (writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+
+    from chronon_spark import get_spark
+    from chronon_spark.driver_contract import QUERIES
+
+    spark = get_spark("bench", master=master, shuffle_partitions=max(cpus, 8))
+
+    headline = [
+        "transcripts_backfill",  # flagship: as-of + session + lag over transcripts
+        "asof_window_agg",       # exact range-join estimator
+        "asof_hops",             # hop-tile estimator (scale path)
+        "asof_join_multi",       # multi-part join orchestration
+        "snapshot_daily",        # daily snapshot GroupBy
+        "sessionize",
+        "lag_lead",
+        "tpch_q1",
+        "groupby_lifetime",
+    ]
+    # optional heavy data-pipeline queries (added as they land)
+    for extra in ("dedup_minhash_lsh", "knn_cosine", "text_stats"):
+        if extra in QUERIES:
+            headline.append(extra)
+
+    timings: dict[str, float] = {}
+    feature_rows = 0
+    t_all = time.time()
+    for name in headline:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        if name in ("transcripts_backfill", "asof_window_agg", "asof_hops", "asof_join_multi"):
+            feature_rows += n
+    total = round(time.time() - t_all, 3)
+
+    asof_sec = sum(
+        timings[q]
+        for q in ("transcripts_backfill", "asof_window_agg", "asof_hops", "asof_join_multi")
+    )
+    rows_per_sec = round(feature_rows / asof_sec, 1) if asof_sec > 0 else 0.0
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (backfill rows/sec in rows_per_sec)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "feature_rows": feature_rows,
+                "rows_per_sec": rows_per_sec,
+                "master": master,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""The scaling-evidence job: full feature backfill over a large synthetic
+transcript table (read from parquet), identical at every parallelism level.
+
+Work: hop-tile as-of windowed aggregates (count/sum 1d+7d, last_k roles) for
+every assistant turn + gap sessionization + lag features — the north-rule
+workload. Prints one JSON line {"rows": N, "sec": S, "rows_per_sec": T}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    input_dir = os.environ["SCALE_INPUT_DIR"]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as SW
+
+    from chronon_spark import Aggregation, GroupBy, Op, TimeUnit, Window, get_spark
+    from chronon_spark.operators.groupby import temporal_events
+    from chronon_spark.operators.sessionize import sessionize
+
+    spark = get_spark("scale_job", master=master, shuffle_partitions=max(cpus * 2, 16))
+    t = spark.read.parquet(input_dir)
+
+    t0 = time.time()
+    s = sessionize(t, ["conv_id"], ts_column="ts", gap="30 minutes", order_by=["ts", "turn_idx"])
+    w = SW.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    s = s.withColumn("prev_role", F.lag("role").over(w)).withColumn(
+        "gap_ms", F.unix_millis(F.col("ts").cast("timestamp")) - F.lag(F.unix_millis(F.col("ts").cast("timestamp"))).over(w)
+    )
+    left = s.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts", "session_id", "prev_role", "gap_ms"
+    )
+    gb = GroupBy(
+        name="conv",
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "turn_idx", windows=(Window(1, TimeUnit.DAYS), Window(7, TimeUnit.DAYS))),
+            Aggregation(Op.SUM, "turn_idx", windows=(Window(7, TimeUnit.DAYS),)),
+        ],
+    )
+    out = temporal_events(left, t, gb, left_time_column="ts", tiebreak="turn_idx", strategy="hops")
+    n = out.count()
+    sec = time.time() - t0
+    print(json.dumps({"rows": n, "sec": round(sec, 2), "rows_per_sec": round(n / sec, 1)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

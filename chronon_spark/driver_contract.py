@@ -693,3 +693,314 @@ ORACLES: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "transcripts_backfill": SQL_TRANSCRIPTS_BACKFILL,
 }
+
+
+# ---------------------------------------------------------------------------
+# 5. training-data pipeline: text analysis, dedup, similarity, multimodal
+# ---------------------------------------------------------------------------
+
+NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.text_ops import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_features(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars_calc"),
+        "n_tokens",
+        F.round("avg_token_len", 4).alias("avg_token_len"),
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+SQL_TEXT_STATS = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CASE WHEN length(regexp_replace(trim(text), '\\s+', ' ', 'g')) = 0 THEN 0
+              ELSE CAST((length(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                   - length(replace(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ', ''))) AS BIGINT) + 1
+         END AS n_tokens,
+         CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+            + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3
+            + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5
+            + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4
+            + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', ''))) / 4
+          AS BIGINT) AS stop
+  FROM documents
+)
+SELECT doc_id, n_chars_calc, n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_chars_calc AS DOUBLE) / n_tokens END, 4) AS avg_token_len,
+       round(CAST(stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round(
+         least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+         + CASE WHEN (CAST(n_chars_calc AS DOUBLE) / n_tokens) >= 3
+                 AND (CAST(n_chars_calc AS DOUBLE) / n_tokens) <= 12 THEN 0.3 ELSE 0.0 END
+         + least(CAST(stop AS DOUBLE) / greatest(n_tokens, 1) * 4.0, 1.0) * 0.2, 6) AS quality_score
+FROM b
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.text_ops import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _marker_sql(markers: list[str]) -> str:
+    terms = [
+        f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}" for m in markers
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+SQL_LANG_ID = f"""
+WITH p0 AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p, text FROM documents),
+s AS (
+  SELECT doc_id, text,
+         {_marker_sql([' the ', ' and ', ' of '])} AS s_en,
+         {_marker_sql([' der ', ' und ', ' die '])} AS s_de,
+         {_marker_sql([' le ', ' la ', ' et '])} AS s_fr,
+         {_marker_sql([' el ', ' los ', ' que '])} AS s_es
+  FROM p0
+)
+SELECT doc_id,
+  CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
+       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.text_ops import fingerprint_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT = f"SELECT doc_id, md5({NORM_SQL}) AS fp FROM documents"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 30-char normalized prefix (the full texts are all
+    distinct in this corpus; the prefix creates real duplicate groups)."""
+    from chronon_spark.operators.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.substring(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), 1, 30)
+    )
+    return dedup_exact(docs, "text", "doc_id", normalize=False)
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5(substr({NORM_SQL}, 1, 30)) AS content_hash,
+       min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=8, threshold=0.5)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH norm AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+sh AS (SELECT DISTINCT doc_id AS id,
+              unnest(list_transform(range(1, greatest(len(ws)-7, 0)+1),
+                                    i -> array_to_string(ws[i:i+7], ' '))) AS shingle
+       FROM w),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+shared AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+SELECT shared.id_a, shared.id_b, shared.shared, sa.sz AS sz_a, sb.sz AS sz_b,
+       round(CAST(shared.shared AS DOUBLE) / (sa.sz + sb.sz - shared.shared), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.id = shared.id_a JOIN sizes sb ON sb.id = shared.id_b
+WHERE CAST(shared.shared AS DOUBLE) / (sa.sz + sb.sz - shared.shared) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", n=8, num_perm=16, bands=4)
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH norm AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+sh AS (SELECT DISTINCT doc_id AS id,
+              unnest(list_transform(range(1, greatest(len(ws)-7, 0)+1),
+                                    i -> array_to_string(ws[i:i+7], ' '))) AS shingle
+       FROM w),
+sig AS (SELECT id, CAST(perm AS INT) AS perm,
+               min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS minhash
+        FROM sh, (SELECT unnest(range(0, 16)) AS perm) p GROUP BY id, perm),
+bands AS (SELECT id, CAST(perm / 4 AS INT) AS band,
+                 md5(array_to_string(list(lpad(CAST(perm AS VARCHAR), 2, '0') || ':' || minhash
+                                          ORDER BY perm), ',')) AS band_key
+          FROM sig GROUP BY id, CAST(perm / 4 AS INT)),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+SELECT c.id_a, c.id_b,
+       round(CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.id = c.id_a
+JOIN sig sb ON sb.id = c.id_b AND sb.perm = sa.perm
+GROUP BY c.id_a, c.id_b
+"""
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.similarity import brute_force_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 100)
+    return brute_force_knn(emb, queries, k=3)
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+v AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(q.embedding, v.embedding),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS sim
+  FROM q JOIN v ON q.vec_id <> v.vec_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+FROM pairs QUALIFY rank <= 3
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-duplicate pairs (threshold 0.9) — the brute-force
+    oracle baseline; the LSH-bucketed variant is pytest-verified for recall."""
+    from chronon_spark.operators.similarity import brute_force_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = brute_force_knn(emb, emb, k=1 << 20)
+    return (
+        res.where((F.col("sim") >= 0.9) & (F.col("query_id") < F.col("neighbor_id")))
+        .select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"), "sim")
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.multimodal import attach_binary_payload, decode_image_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_image_meta(attach_binary_payload(docs))
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       CAST(64 + octet_length(CAST(text AS BLOB)) % 192 AS INT) AS width,
+       CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 192 AS INT) AS height,
+       CASE octet_length(CAST(text AS BLOB)) % 3
+         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.multimodal import attach_binary_payload, frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return frame_sample(attach_binary_payload(docs), every_n_bytes=64)
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id, CAST(i AS INT) AS frame_idx, md5(substr(text, CAST(i AS INT) * 64 + 1, 64)) AS frame_md5
+FROM (SELECT doc_id, text, unnest(range(0, greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1))) AS i
+      FROM documents)
+"""
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (xxhash64-based — not SQL-replicable; rows-only
+    driver check, pytest verifies identity/locality properties)."""
+    from chronon_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH (rows-only driver check;
+    pytest verifies recall against brute force)."""
+    from chronon_spark.operators.similarity import lsh_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    return lsh_knn(emb, queries, k=3)
+
+
+QUERIES.update(
+    {
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "knn_cosine": q_knn_cosine,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
+        "simhash_neardup": q_simhash_neardup,
+        "lsh_knn": q_lsh_knn,
+    }
+)
+
+ORACLES.update(
+    {
+        "text_stats": SQL_TEXT_STATS,
+        "lang_id": SQL_LANG_ID,
+        "fingerprint": SQL_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "knn_cosine": SQL_KNN_COSINE,
+        "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "multimodal_meta": SQL_MULTIMODAL_META,
+        "frame_sample": SQL_FRAME_SAMPLE,
+        # simhash_neardup / lsh_knn: intentionally no oracle (hash-dependent)
+    }
+)

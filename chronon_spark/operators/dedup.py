@@ -1,0 +1,219 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure DataFrame plans (no Python in the hot path):
+
+- exact:          hash-groupBy on normalized content
+- ngram Jaccard:  shingle -> shared-shingle candidate join -> exact Jaccard
+- MinHash + LSH:  shingle -> per-permutation min-hash -> band buckets ->
+                  bucket join -> candidate pairs (verify with exact Jaccard)
+- SimHash:        per-token 64-bit hashes -> bitwise majority -> banded
+                  hamming candidate join
+
+Scale notes: candidate generation is always a *bucket equi-join* (shuffle on
+band/bucket key), never a cross join; the O(n^2) step only touches documents
+sharing a bucket. Shingle/minhash tables explode ~L rows per doc — at 100TB
+prefer 9-word shingles + 16 perms (4 bands x 4 rows) which keeps the
+explosion linear in corpus token count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace — the canonical form for exact dedup."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
+) -> DataFrame:
+    """One row per distinct content: canonical (min) id + duplicate count."""
+    key = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.withColumn("__h", F.md5(key))
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .withColumnRenamed("__h", "content_hash")
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 8) -> DataFrame:
+    """(id, shingle) rows: n-word sliding windows over whitespace tokens."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share >=1 shingle.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from shingle-set
+    sizes — one shuffle on shingle (candidate join) + one on the pair key.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "sz_a", "sz_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_perm: int = 16,
+) -> DataFrame:
+    """(id, perm, minhash) — permutation i = md5(i || shingle) (md5 is
+    available in both Spark and DuckDB, making signatures oracle-checkable).
+    min over hex strings == min over the permuted hash order."""
+    sh = shingles(df, text_col, id_col, n)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    return (
+        sh.select("id", "shingle", perms)
+        .groupBy("id", "perm")
+        .agg(F.min(F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")))).alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_perm: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """LSH candidate pairs: signatures split into ``bands`` bands of
+    num_perm/bands rows; docs sharing any band-key become candidates; the
+    estimated Jaccard = fraction of agreeing permutations."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm)
+    sig = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    # zero-pad the perm so lexicographic order == numeric order (keeps the
+    # band key reproducible by a SQL oracle's ORDER BY perm)
+    band_keys = sig.groupBy("id", "band").agg(
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(":", F.lpad(F.col("perm").cast("string"), 2, "0"), "minhash")
+                    )
+                ),
+                ",",
+            )
+        ).alias("band_key")
+    )
+    a, b = band_keys.alias("a"), band_keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # estimate jaccard = agreeing perms / num_perm
+    sa = sig.select(F.col("id").alias("id_a"), "perm", F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col("id").alias("id_b"), "perm", F.col("minhash").alias("mh_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "perm"])
+        .groupBy("id_a", "id_b")
+        .agg((F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)) / num_perm).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= min_est_jaccard)
+    )
+    return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, bitwise weighted majority.
+
+    Plan shape: explode tokens -> one groupBy with ``bits`` conditional sums
+    (all inside whole-stage codegen) -> bit assembly via bitwise ops.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("w")).where(
+        F.col("w") != ""
+    )
+    h = F.xxhash64("w")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*sums)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup candidates: 4x16-bit bands of the simhash as LSH buckets
+    (any pair within hamming distance 3 shares at least one exact band by
+    pigeonhole; wider distances are caught probabilistically), then exact
+    hamming filter via bit_count(xor)."""
+    s = simhash(df, text_col, id_col)
+    bandcols = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"band{i}")
+        for i in range(4)
+    ]
+    sb = s.select("id", "simhash", *bandcols)
+    pairs = None
+    for i in range(4):
+        a = sb.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"band{i}").alias("bk"))
+        b = sb.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"band{i}").alias("bk"))
+        p = a.join(b, "bk").where(F.col("id_a") < F.col("id_b")).drop("bk")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    out = (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return out

@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_knn``: exact top-k by cosine — broadcast the (small) query
+  side, dot products via zip_with/aggregate higher-order functions (JVM-side,
+  no Python). The correctness baseline.
+- ``lsh_knn``: random-hyperplane LSH — deterministic pseudo-random planes
+  derived from xxhash64 (no RNG state to ship), sign-bit signatures, bucket
+  equi-join + exact re-rank within buckets. The scale path: candidate
+  generation is a shuffle on the bucket key, never a cross join.
+- ``cosine_neardup_pairs``: embedding near-duplicate detection (pairs with
+  cosine >= threshold) over LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as SW
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    return df.withColumn(
+        out, _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    )
+
+
+def brute_force_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per query. queries must be broadcastable."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+    joined = v.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
+    if metric == "cosine":
+        sim = _dot(F.col("__qv"), F.col("__v")) / (
+            _norm(F.col("__qv")) * _norm(F.col("__v"))
+        )
+    elif metric == "dot":
+        sim = _dot(F.col("__qv"), F.col("__v"))
+    else:
+        raise ValueError(metric)
+    scored = joined.withColumn("sim", F.round(sim, 6))
+    w = SW.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _plane_component(plane: Column, dim: Column, seed: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]."""
+    h = F.xxhash64(plane, dim, F.lit(seed))
+    return (F.pmod(h, F.lit(20011)).cast("double") / 10005.0) - 1.0
+
+
+def rh_signature(
+    df: DataFrame, vec_col: str, n_planes: int = 16, seed: int = 7
+) -> DataFrame:
+    """Random-hyperplane sign bits packed into one long column ``rh_sig``."""
+    vec = F.col(vec_col)
+    bits = []
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x.cast("double") * _plane_component(F.lit(p), i, seed),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return df.withColumn("rh_sig", sig)
+
+
+def lsh_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any signature band
+    with the query; exact cosine re-rank within candidates. Recall grows
+    with bands; cost stays ~ bucket sizes (shuffle join on band key)."""
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        s = rh_signature(df, vec_col, n_planes, seed).select(
+            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_v"), "rh_sig"
+        )
+        bandrows = s.select(
+            f"{prefix}_id",
+            f"{prefix}_v",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.lit(i),
+                            F.shiftrightunsigned(F.col("rh_sig"), bits_per_band * i)
+                            .bitwiseAND(F.lit(mask))
+                            .cast("string"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band_key"),
+        )
+        return bandrows
+
+    qb = banded(queries, "q")
+    vb = banded(vectors, "n")
+    cand = (
+        qb.join(vb, "band_key")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "q_v", "n_id", "n_v")
+        .distinct()
+    )
+    sim = _dot(F.col("q_v"), F.col("n_v")) / (_norm(F.col("q_v")) * _norm(F.col("n_v")))
+    scored = cand.withColumn("sim", F.round(sim, 6))
+    w = SW.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("n_id").alias("neighbor_id"), "sim", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-duplicates: LSH-bucketed candidate pairs with exact
+    cosine >= threshold. For the exact (small-scale / oracle) variant use a
+    self brute_force_knn + filter."""
+    res = lsh_knn(vectors, vectors, k=1 << 30, id_col=id_col, vec_col=vec_col,
+                  n_planes=n_planes, bands=bands, seed=seed)
+    return (
+        res.where((F.col("sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        .select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"), "sim")
+    )

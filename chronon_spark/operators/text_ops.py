@@ -1,0 +1,112 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting — all native Column expressions (JVM-side).
+
+Heuristics are intentionally simple and deterministic: the contract is
+bit-reproducible plumbing at 100TB, not model accuracy. Where a marker-word
+count is needed we use replace-length arithmetic (identical semantics in
+every SQL engine, used by the DuckDB oracles too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker words per language for the n-gram language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " que "],
+}
+
+
+def occurrence_count(col: Column, needle: str) -> Column:
+    """# occurrences of ``needle`` via length arithmetic (engine-portable)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count: collapse runs, count separators + 1."""
+    norm = F.regexp_replace(F.trim(col), r"\s+", " ")
+    return F.when(F.length(norm) == 0, F.lit(0).cast("long")).otherwise(
+        occurrence_count(norm, " ") + 1
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword estimate: word-piece regex split (letters runs,
+    digit runs, single punctuation) — a deterministic proxy for tokenizer
+    cost accounting at corpus scale."""
+    pieces = F.regexp_extract_all(col, F.lit(r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces).cast("long")
+
+
+def lang_id(col: Column, pad: bool = True) -> Column:
+    """Argmax of marker-word counts; 'zh' if CJK chars present; 'und' if no
+    marker hits. Deterministic tie-break: language name ascending."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" ")) if pad else F.lower(col)
+    scores = [
+        (lang, sum_cols([occurrence_count(padded, m) for m in markers]))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    has_cjk = F.length(F.regexp_replace(col, r"[^一-鿿]", "")) > 0
+    best_score = F.greatest(*[s for _, s in scores])
+    pick = F.lit("und")
+    # reversed so earlier (alphabetically-first) language wins ties
+    for lang, s in reversed(scores):
+        pick = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(pick)
+    return F.when(has_cjk, F.lit("zh")).otherwise(pick)
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+    quality_score (0..1, length+structure heuristic)."""
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("long")
+    n_tokens = token_count(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("long")
+    stop = sum_cols(
+        [occurrence_count(F.concat(F.lit(" "), F.lower(c), F.lit(" ")), f" {w} ")
+         for w in ("the", "a", "and", "of", "to")]
+    )
+    avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens)
+    score = (
+        F.least(n_tokens.cast("double") / 64.0, F.lit(1.0)) * 0.5
+        + F.when((avg_tok >= 3) & (avg_tok <= 12), 0.3).otherwise(0.0)
+        + F.least(stop.cast("double") / F.greatest(n_tokens, F.lit(1)) * 4.0, F.lit(1.0)) * 0.2
+    )
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", F.round(avg_tok, 4))
+        .withColumn("punct_ratio", F.round(punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("stopword_ratio", F.round(stop / F.greatest(n_tokens, F.lit(1)), 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Content fingerprint of the normalized text (engine-portable md5)."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
+
+
+def rolling_fingerprint(col: Column, window: int = 16) -> Column:
+    """Winnowing-style rolling fingerprint: min xxhash64 over ``window``-char
+    substrings — robust to small edits (Spark-only; pytest-verified)."""
+    n = F.length(col)
+    subs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
+        lambda i: F.xxhash64(col.substr(i, F.lit(window))),
+    )
+    return F.array_min(subs)
