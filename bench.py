@@ -44,13 +44,26 @@ def main() -> None:
         if extra in QUERIES:
             headline.append(extra)
 
+    from pyspark.sql import functions as F
+
+    def force(df):
+        """count + checksum over all columns — defeats Catalyst column
+        pruning so the timed work includes every feature value."""
+        hashable = [
+            f.name for f in df.schema.fields if f.dataType.typeName() not in ("map",)
+        ]
+        n, _ = df.select(
+            F.count(F.lit(1)), F.avg(F.xxhash64(*[F.col(c) for c in hashable]))
+        ).first()
+        return n
+
     timings: dict[str, float] = {}
     feature_rows = 0
     t_all = time.time()
     for name in headline:
         fn = QUERIES[name]
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        n = force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
         if name in ("transcripts_backfill", "asof_window_agg", "asof_hops", "asof_join_multi"):
             feature_rows += n

@@ -49,7 +49,12 @@ def main() -> None:
         ],
     )
     out = temporal_events(left, t, gb, left_time_column="ts", tiebreak="turn_idx", strategy="hops")
-    n = out.count()
+    # checksum over every output column: forces full feature materialization
+    # (a bare count() lets Catalyst prune the aggregate columns and measures
+    # only the join skeleton)
+    n, _ = out.select(
+        F.count(F.lit(1)), F.avg(F.xxhash64(*[F.col(c) for c in out.columns]))
+    ).first()
     sec = time.time() - t0
     print(json.dumps({"rows": n, "sec": round(sec, 2), "rows_per_sec": round(n / sec, 1)}))
     spark.stop()

@@ -44,6 +44,9 @@ def get_spark(
         # under the UTC session zone — same instant arithmetic as the DuckDB
         # oracle's naive timestamps, and unix_millis() applies directly
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # ds partition values stay strings (reference PartitionSpec contract),
+        # not auto-inferred DATEs
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     )
     # Iceberg support is optional: the sandbox image has no Iceberg jars, so we
     # fall back to plain parquet tables with hive-style `ds=` partitioning

@@ -1,0 +1,172 @@
+"""Property/recall tests for the hash-dependent pipeline operators that have
+no SQL oracle (simhash, LSH ANN), plus multimodal plumbing and streaming
+tiles. The oracle-checkable variants are covered by test_entry_parity.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
+from chronon_spark.operators.multimodal import attach_binary_payload, decode_image_meta, frame_sample
+from chronon_spark.operators.similarity import brute_force_knn, lsh_knn
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_simhash_identity_and_locality(spark, docs):
+    s = simhash(docs, "text", "doc_id")
+    # deterministic: same text -> same hash
+    dup = docs.select(F.col("doc_id"), F.col("text")).unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    s2 = simhash(dup, "text", "doc_id")
+    a = {r["id"]: r["simhash"] for r in s2.collect()}
+    for r in s.collect():
+        assert a[r["id"]] == a[r["id"] + 100000]
+
+    # locality: a doc with one word changed stays within small hamming dist
+    mod = docs.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extrawordz")).alias("text"),
+    )
+    s3 = simhash(docs.select("doc_id", "text").limit(5).unionByName(mod), "text", "doc_id")
+    h = {r["id"]: r["simhash"] for r in s3.collect()}
+    import math
+
+    for i in h:
+        if i < 200000:
+            ham = bin((h[i] ^ h[i + 200000]) & ((1 << 64) - 1)).count("1")
+            assert ham <= 16, ham
+
+
+def test_simhash_neardup_finds_planted_dups(spark, docs):
+    mod = docs.limit(10).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" q")).alias("text"),
+    )
+    pairs = simhash_neardup_pairs(
+        docs.select("doc_id", "text").limit(10).unionByName(mod), "text", "doc_id", max_hamming=16
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    hits = sum(1 for i in range(10) if any(a == i and b == i + 300000 for a, b in found))
+    assert hits >= 7  # banded LSH recall on 1-word edits
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=8, threshold=0.5).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, n=8, num_perm=16, bands=4).collect()
+    }
+    # every strong true pair is found by LSH (4 bands of 4: p_miss tiny at j>=0.5)
+    strong = {k: v for k, v in exact.items() if v >= 0.6}
+    missed = [k for k in strong if k not in est]
+    assert len(missed) <= max(1, len(strong) // 10), missed
+    for k, j in strong.items():
+        if k in est:
+            assert abs(est[k] - j) <= 0.4  # 16-perm estimate is coarse but sane
+
+
+def test_lsh_knn_recall_vs_brute_force(spark, emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_knn(emb, queries, k=5)
+    approx = lsh_knn(emb, queries, k=5, n_planes=16, bands=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # 8 bands of 2 bits: generous candidates
+
+
+def test_multimodal_decode_and_frames(spark, docs):
+    payload = attach_binary_payload(docs)
+    meta = decode_image_meta(payload)
+    rows = meta.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert r["width"] == 64 + r["byte_len"] % 192
+        assert len(r["content_md5"]) == 32
+    frames = frame_sample(payload, every_n_bytes=64)
+    import math
+
+    exp = docs.select(
+        F.sum(F.greatest(F.ceil(F.length("text") / 64), F.lit(1)))
+    ).first()[0]
+    assert frames.count() == exp
+    # 1:N fan-out keyed correctly
+    per_doc = frames.groupBy("doc_id").count()
+    chk = per_doc.join(docs, "doc_id").where(
+        F.col("count") != F.greatest(F.ceil(F.length("text") / 64), F.lit(1))
+    )
+    assert chk.count() == 0
+
+
+def test_real_decode_raises_not_implemented(spark, docs):
+    payload = attach_binary_payload(docs.limit(2))
+    with pytest.raises(Exception) as ei:
+        decode_image_meta(payload, real_decode=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "pillow" in str(ei.value)
+
+
+def test_streaming_tiles_match_batch_hops(spark, tmp_path):
+    """Drive a parquet-backed stream through the tile aggregation and check
+    tiles equal the batch hop pre-aggregation on the same data."""
+    from chronon_spark.api import Aggregation, GroupBy, Op
+    from chronon_spark.streaming.tiles import streaming_tiles
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value"), Aggregation(Op.SUM, "value")],
+    )
+    src_dir = str(tmp_path / "stream_src")
+    import shutil, os
+
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(f"{SF}/events.parquet", f"{src_dir}/events.parquet")
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    tiles = streaming_tiles(stream, gb, hop="1 hour")
+    q = (
+        tiles.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tiles_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["tile_start_ms"]): (r["a0__n"], round(r["a1__s"], 6))
+        for r in spark.sql("SELECT * FROM tiles_out").collect()
+    }
+    batch = (
+        ev.groupBy(
+            "user_id",
+            F.unix_millis(F.date_trunc("hour", "ts")).alias("tile_start_ms"),
+        )
+        .agg(F.count("value").alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        .collect()
+    )
+    assert len(got) == len(batch)
+    for r in batch:
+        assert got[(r["user_id"], r["tile_start_ms"])] == (r["n"], r["s"])

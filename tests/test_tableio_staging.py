@@ -1,0 +1,119 @@
+"""Incremental backfill, resume, salted writes, staging macros."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.sources.tableio import (
+    PartitionedTable,
+    backfill,
+    ds_range,
+    insert_overwrite_partitions,
+    salted_repartition,
+    unfilled_ranges,
+)
+from chronon_spark.staging import backfill_staging_query, render
+
+
+def test_ds_range_and_unfilled():
+    assert ds_range("2024-01-30", "2024-02-02") == [
+        "2024-01-30", "2024-01-31", "2024-02-01", "2024-02-02",
+    ]
+    req = ds_range("2024-01-01", "2024-01-10")
+    have = ["2024-01-03", "2024-01-04", "2024-01-08"]
+    chunks = unfilled_ranges(req, have)
+    assert chunks == [
+        ("2024-01-01", "2024-01-02"),
+        ("2024-01-05", "2024-01-07"),
+        ("2024-01-09", "2024-01-10"),
+    ]
+    # step chunking
+    assert unfilled_ranges(req, [], step_days=4) == [
+        ("2024-01-01", "2024-01-04"),
+        ("2024-01-05", "2024-01-08"),
+        ("2024-01-09", "2024-01-10"),
+    ]
+
+
+@pytest.fixture()
+def tmp_table(tmp_path):
+    return PartitionedTable(str(tmp_path / "tbl"))
+
+
+def _mk(spark, lo, hi, tag="a"):
+    days = ds_range(lo, hi)
+    return spark.createDataFrame(
+        [(d, i, tag) for d in days for i in range(5)], "ds string, v int, tag string"
+    )
+
+
+def test_backfill_resume_and_hash_invalidation(spark, tmp_table):
+    calls = []
+
+    def compute(s, lo, hi):
+        calls.append((lo, hi))
+        return _mk(s, lo, hi)
+
+    recs = backfill(spark, tmp_table, compute, "2024-01-01", "2024-01-06", "h1", step_days=3)
+    assert [r["range"] for r in recs] == [["2024-01-01", "2024-01-03"], ["2024-01-04", "2024-01-06"]]
+    assert tmp_table.partitions() == ds_range("2024-01-01", "2024-01-06")
+
+    # resume: nothing recomputed
+    recs2 = backfill(spark, tmp_table, compute, "2024-01-01", "2024-01-06", "h1", step_days=3)
+    assert recs2 == [] and len(calls) == 2
+
+    # extend: only the new tail computed
+    backfill(spark, tmp_table, compute, "2024-01-01", "2024-01-08", "h1", step_days=30)
+    assert calls[-1] == ("2024-01-07", "2024-01-08")
+
+    # semantic-hash change invalidates everything
+    backfill(spark, tmp_table, compute, "2024-01-01", "2024-01-02", "h2", step_days=30)
+    assert calls[-1] == ("2024-01-01", "2024-01-02")
+    assert tmp_table.lineage("2024-01-01")["semantic_hash"] == "h2"
+
+
+def test_dynamic_partition_overwrite(spark, tmp_table):
+    insert_overwrite_partitions(_mk(spark, "2024-01-01", "2024-01-03", "a"), tmp_table)
+    insert_overwrite_partitions(_mk(spark, "2024-01-02", "2024-01-02", "b"), tmp_table)
+    df = tmp_table.read(spark)
+    tags = {r["ds"]: r["tag"] for r in df.select("ds", "tag").distinct().collect()}
+    assert tags == {"2024-01-01": "a", "2024-01-02": "b", "2024-01-03": "a"}
+    # partition-pruned read
+    pruned = tmp_table.read_range(spark, "2024-01-02", "2024-01-03")
+    assert pruned.select("ds").distinct().count() == 2
+
+
+def test_salted_repartition_spreads_and_preserves(spark):
+    df = spark.range(1000).select(
+        F.lit("2024-01-01").alias("ds"), F.col("id").cast("int").alias("v")
+    )
+    out = salted_repartition(df, "ds", 8)
+    assert out.count() == 1000
+    n_parts = out.rdd.getNumPartitions()
+    assert n_parts == 8
+    sizes = out.rdd.glom().map(len).collect()
+    assert max(sizes) < 1000  # hot partition actually spread
+
+
+def test_staging_macros_and_backfill(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.createOrReplaceTempView("events_v")
+    sql = """
+      SELECT CAST(CAST(ts AS DATE) AS STRING) AS ds, count(*) AS n
+      FROM events_v
+      WHERE CAST(ts AS DATE) >= CAST({{ start_date }} AS DATE)
+        AND CAST(ts AS DATE) <= CAST({{ end_date }} AS DATE)
+      GROUP BY 1
+    """
+    rendered = render(spark, sql, "2024-01-01", "2024-01-03")
+    assert "'2024-01-01'" in rendered and "{{" not in rendered
+
+    tbl = PartitionedTable(str(tmp_path / "sq"))
+    recs = backfill_staging_query(spark, sql, tbl, "2024-01-01", "2024-01-04", "h")
+    assert tbl.partitions() == ds_range("2024-01-01", "2024-01-04")
+    total = tbl.read(spark).agg(F.sum("n")).first()[0]
+    oracle = ev.where(F.col("ts") < F.lit("2024-01-05").cast("timestamp")).count()
+    assert total == oracle
