@@ -48,7 +48,7 @@ def main() -> None:
             Aggregation(Op.SUM, "turn_idx", windows=(Window(7, TimeUnit.DAYS),)),
         ],
     )
-    out = temporal_events(left, t, gb, left_time_column="ts", tiebreak="turn_idx", strategy="hops")
+    out = temporal_events(left, t, gb, left_time_column="ts", tiebreak="turn_idx", strategy="sliding")
     # checksum over every output column: forces full feature materialization
     # (a bare count() lets Catalyst prune the aggregate columns and measures
     # only the join skeleton)

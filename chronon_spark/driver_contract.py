@@ -1004,3 +1004,249 @@ ORACLES.update(
         # simhash_neardup / lsh_knn: intentionally no oracle (hash-dependent)
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# 6. breadth: map/json inputs, array explode, derivations, semi-join
+#    reduction, null-safe join, union/dedup, estimator cross-check, analyzer
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/JSON-valued input columns: extract and aggregate per key (the
+    reference's MapColumnAggregator path over a JSON props column)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.regexp_extract(F.col("props"), r"([0-9]+)", 1)
+    return (
+        ev.withColumn("k", F.when(v != "", v.cast("long")))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("props_k_sum"),
+            F.count("k").alias("props_k_count"),
+            F.max("k").alias("props_k_max"),
+        )
+    )
+
+
+SQL_JSON_EXTRACT_SUM = """
+WITH e AS (SELECT event_type, CAST(NULLIF(regexp_extract(props, '([0-9]+)', 1), '') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, CAST(sum(k) AS BIGINT) AS props_k_sum,
+       count(k) AS props_k_count, max(k) AS props_k_max
+FROM e GROUP BY event_type
+"""
+
+
+def q_array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-explode list inputs: each array element feeds the aggregation
+    (reference VectorDispatcher semantics) — component stats per label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.explode("embedding").alias("x"))
+    return ex.groupBy("label").agg(
+        F.count("x").alias("n_components"),
+        _r(F.sum(F.col("x").cast("double"))).alias("comp_sum"),
+        _r(F.min(F.col("x").cast("double")), 6).alias("comp_min"),
+        _r(F.max(F.col("x").cast("double")), 6).alias("comp_max"),
+    )
+
+
+SQL_ARRAY_EXPLODE_AGG = """
+WITH ex AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+SELECT label, count(x) AS n_components,
+       round(sum(x), 3) AS comp_sum,
+       round(min(x), 6) AS comp_min, round(max(x), 6) AS comp_max
+FROM ex GROUP BY label
+"""
+
+
+def q_asof_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation derivations: Spark SQL expressions over feature
+    columns (reference derivationProjection)."""
+    ev = _t(spark, sf_dir, "events")
+    gb = GroupBy(
+        name="user_events",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(W7D,)),
+            Aggregation(Op.COUNT, "value"),
+        ],
+        derivations={
+            "recency_ratio": "round(CAST(value_count_7d AS DOUBLE) / nullif(value_count, 0), 6)"
+        },
+    )
+    out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        "value_count_7d",
+        "value_count",
+        "recency_ratio",
+    )
+
+
+SQL_ASOF_DERIVATIONS = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), e AS (SELECT user_id, epoch_ms(ts) AS ems, value FROM events),
+agg AS (
+  SELECT q.user_id, q.ts_ms,
+         count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS value_count_7d,
+         count(e.value) AS value_count
+  FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
+  GROUP BY 1, 2
+)
+SELECT user_id, ts_ms, value_count_7d, value_count,
+       round(CAST(value_count_7d AS DOUBLE) / nullif(value_count, 0), 6) AS recency_ratio
+FROM agg
+"""
+
+
+def q_semijoin_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction (small-mode IN-list / broadcast LEFT SEMI) before
+    an aggregation — result is exact, the reduction only prunes the scan."""
+    from chronon_spark.operators.skew import semi_join_reduce
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("user_id") < 20).select("user_id")
+    reduced = semi_join_reduce(ev, left, ["user_id"])
+    return reduced.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), _r(F.sum("value")).alias("value_sum")
+    )
+
+
+SQL_SEMIJOIN_REDUCE = """
+SELECT user_id, count(*) AS n, round(sum(value), 3) AS value_sum
+FROM events WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE user_id < 20)
+GROUP BY user_id
+"""
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<=> join: NULL keys match NULL (reference nullSafeJoin)."""
+    from chronon_spark.operators.skew import null_safe_join
+
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.withColumn(
+        "nk", F.when(F.col("value") >= 5, F.col("event_type"))
+    )
+    a = keyed.groupBy("nk").agg(F.count(F.lit(1)).alias("n_a"))
+    b = keyed.groupBy("nk").agg(_r(F.sum("value")).alias("sum_b"))
+    return null_safe_join(a, b, ["nk"], "inner")
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH keyed AS (SELECT CASE WHEN value >= 5 THEN event_type END AS nk, value FROM events),
+a AS (SELECT nk, count(*) AS n_a FROM keyed GROUP BY nk),
+b AS (SELECT nk, round(sum(value), 3) AS sum_b FROM keyed GROUP BY nk)
+SELECT a.nk, a.n_a, b.sum_b FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+"""
+
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName + dropDuplicates (reference bootstrap-row dedup)."""
+    ev = _t(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev).dropDuplicates(["event_id"])
+    return doubled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_UNION_DEDUP = """
+SELECT event_type, count(*) AS n FROM (
+  SELECT DISTINCT ON (event_id) * FROM (
+    SELECT * FROM events UNION ALL SELECT * FROM events
+  )
+) GROUP BY event_type
+"""
+
+
+def q_compare_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison/diff operator as a self-check: exact vs hop-tile estimator
+    must produce ZERO differing rows on identical GroupBys."""
+    from chronon_spark.operators.compare import side_by_side
+
+    ev = _t(spark, sf_dir, "events")
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(W7D,)),
+            Aggregation(Op.SUM, "value", windows=(W1D,)),
+        ],
+    )
+    left = _purchase_left(ev)
+    a = G.temporal_events(left, ev, gb, tiebreak="event_id", strategy="exact")
+    b = G.temporal_events(left, ev, gb, tiebreak="event_id", strategy="hops")
+    keyed = lambda d: d.select(  # noqa: E731
+        "user_id", to_millis(F.col("ts")).alias("ts_ms"), "value_count_7d", "value_sum_1d"
+    )
+    diff = side_by_side(keyed(a), keyed(b), ["user_id", "ts_ms"])
+    return diff.agg(F.count(F.lit(1)).alias("n_diffs"))
+
+
+SQL_COMPARE_ESTIMATORS = "SELECT CAST(0 AS BIGINT) AS n_diffs"
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzer heavy-hitter detection (skew-key discovery)."""
+    from chronon_spark.operators.analyzer import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, ["event_type"], min_count=1, top_k=10)
+
+
+SQL_HEAVY_HITTERS = """
+SELECT 'event_type' AS column, CAST(event_type AS VARCHAR) AS key, count(*) AS n
+FROM events GROUP BY event_type ORDER BY n DESC, key LIMIT 10
+"""
+
+QUERIES.update(
+    {
+        "json_extract_sum": q_json_extract_sum,
+        "array_explode_agg": q_array_explode_agg,
+        "asof_derivations": q_asof_derivations,
+        "semijoin_reduce": q_semijoin_reduce,
+        "null_safe_join": q_null_safe_join,
+        "union_dedup": q_union_dedup,
+        "compare_estimators": q_compare_estimators,
+        "heavy_hitters": q_heavy_hitters,
+    }
+)
+
+ORACLES.update(
+    {
+        "json_extract_sum": SQL_JSON_EXTRACT_SUM,
+        "array_explode_agg": SQL_ARRAY_EXPLODE_AGG,
+        "asof_derivations": SQL_ASOF_DERIVATIONS,
+        "semijoin_reduce": SQL_SEMIJOIN_REDUCE,
+        "null_safe_join": SQL_NULL_SAFE_JOIN,
+        "union_dedup": SQL_UNION_DEDUP,
+        "compare_estimators": SQL_COMPARE_ESTIMATORS,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
+    }
+)
+
+
+def q_asof_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sawtooth semantics computed by the SLIDING-TILE estimator (the
+    skew-proof scale path: densified window passes, no range joins) — must
+    hash-match the same oracle as the exact and cascade estimators."""
+    ev = _t(spark, sf_dir, "events")
+    gb = GroupBy(
+        name="user_events",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(W7D, W1D)),
+            Aggregation(Op.SUM, "value", windows=(W7D,)),
+        ],
+    )
+    out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id", strategy="sliding")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("value_count_7d"),
+        F.col("value_count_1d"),
+        _r(F.col("value_sum_7d")).alias("value_sum_7d"),
+    )
+
+
+QUERIES["asof_sliding"] = q_asof_sliding
+ORACLES["asof_sliding"] = SQL_ASOF_HOPS

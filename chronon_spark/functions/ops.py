@@ -240,3 +240,53 @@ def merge_finalize(agg: Aggregation, slot: str) -> Column:
     if op == Op.APPROX_UNIQUE_COUNT:
         return F.hll_sketch_estimate(F.hll_union_agg(F.col(f"{slot}__hll")))
     raise ValueError(f"{op} has no mergeable partial form")
+
+
+def partial_merge_cols(agg: Aggregation, slot: str) -> dict[str, Column]:
+    """Partial -> partial merge: build a coarser tile's IR columns from finer
+    tiles' IR columns (same names in, same names out). This is the 'merge'
+    half of the reference IR contract and lets 1d tiles be built from 1h
+    tiles from 5min tiles — one shuffle per resolution over shrinking data."""
+    op = agg.operation
+    k = agg.k or 1
+
+    def c(suffix: str) -> Column:
+        return F.col(f"{slot}__{suffix}")
+
+    if op == Op.COUNT:
+        return {f"{slot}__n": F.sum(c("n"))}
+    if op == Op.SUM:
+        return {f"{slot}__s": F.sum(c("s"))}
+    if op == Op.AVERAGE:
+        return {f"{slot}__s": F.sum(c("s")), f"{slot}__n": F.sum(c("n"))}
+    if op == Op.VARIANCE:
+        return {
+            f"{slot}__n": F.sum(c("n")),
+            f"{slot}__s": F.sum(c("s")),
+            f"{slot}__q": F.sum(c("q")),
+        }
+    if op == Op.MIN:
+        return {f"{slot}__m": F.min(c("m"))}
+    if op == Op.MAX:
+        return {f"{slot}__m": F.max(c("m"))}
+    if op == Op.FIRST:
+        p = c("p")
+        return {f"{slot}__p": F.min_by(p, p["o"])}
+    if op == Op.LAST:
+        p = c("p")
+        return {f"{slot}__p": F.max_by(p, p["o"])}
+    if op in (Op.FIRST_K, Op.LAST_K):
+        flat = F.array_sort(F.flatten(F.collect_list(c("l"))))
+        if op == Op.LAST_K:
+            flat = F.reverse(flat)
+        return {f"{slot}__l": F.slice(flat, 1, k)}
+    if op in (Op.TOP_K, Op.BOTTOM_K):
+        flat = F.array_sort(F.flatten(F.collect_list(c("l"))))
+        if op == Op.TOP_K:
+            flat = F.reverse(flat)
+        return {f"{slot}__l": F.slice(flat, 1, k)}
+    if op == Op.UNIQUE_COUNT:
+        return {f"{slot}__set": F.array_distinct(F.flatten(F.collect_list(c("set"))))}
+    if op == Op.APPROX_UNIQUE_COUNT:
+        return {f"{slot}__hll": F.hll_union_agg(c("hll"))}
+    raise ValueError(f"{op} has no mergeable partial form")

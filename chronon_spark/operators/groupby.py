@@ -158,14 +158,34 @@ def _temporal_pass_exact(
 # ---------------------------------------------------------------------------
 
 
-def _hop_groups(aggs: list[Aggregation]) -> dict[int, list[tuple[Aggregation, Window | None]]]:
-    """Group (agg, window) pairs by tail-hop size; lifetime aggs use 1d tiles."""
-    groups: dict[int, list[tuple[Aggregation, Window | None]]] = defaultdict(list)
-    for a in aggs:
-        for w, _ in a.unpacked():
-            hop = w.tail_hop_millis() if w is not None else DAY_MS
-            groups[hop].append((a, w))
-    return dict(groups)
+# multi-resolution tile cascade (coarse -> fine), mirroring the reference's
+# FiveMinuteResolution sawtooth stitching (SawtoothAggregator.scala:64-139):
+# a window [tail, q) is covered by disjoint bands
+#   [tail(q,w), floor(q,1d)) @1d | [floor(q,1d), floor(q,1h)) @1h |
+#   [floor(q,1h), floor(q,5m)) @5m | [floor(q,5m), q) raw
+# so per-query fan-out is bounded (<=31 day tiles + 23 hour + 11 five-min +
+# one 5-minute hop of raw events) REGARDLESS of key hotness.
+CASCADE = [86_400_000, 3_600_000, 300_000]
+RES = "__res_ms"
+
+
+def _levels_for(w: Window | None) -> list[int]:
+    """Resolutions a window consumes, coarsest first. Lifetime uses all."""
+    if w is None:
+        return CASCADE[:]
+    h = w.tail_hop_millis()
+    return [r for r in CASCADE if r <= h]
+
+
+def _band_lower(w: Window | None, r: int, q_ts: Column) -> Column | None:
+    """Inclusive lower bound of window w's band at resolution r (None = no
+    bound). Coarsest level starts at the sawtooth tail; finer levels start
+    where the next-coarser band ends."""
+    levels = _levels_for(w)
+    i = levels.index(r)
+    if i == 0:
+        return None if w is None else W.sawtooth_tail(q_ts, w)
+    return W.round_down(q_ts, levels[i - 1])
 
 
 def _temporal_pass_hops(
@@ -175,87 +195,127 @@ def _temporal_pass_hops(
     aggs: list[Aggregation],
     tiebreak: str | None,
 ) -> DataFrame:
-    """Tile-merge estimator. Per hop size h:
-      tiles   = events.groupBy(keys, floor(ts/h)) -> partial IRs   (1 shuffle,
-                reused across all windows of that hop and all queries)
-      tail    = q join tiles on keys AND tile in [min_tail, floor(qts/h))
-      head    = q join raw events on keys AND ts in [floor(qts/h), qts)
-                aggregated to a per-query pseudo-tile of the same IR shape
-      merge   = groupBy(keys, QTS) over union(tail, head) with per-window
-                masks tile >= sawtooth_tail(qts, w), then finalize.
+    """Cascaded tile-merge estimator (the 100TB-scale path).
+
+    1. one shuffle builds finest (5min) tiles from events; coarser tiles are
+       partial-merged from finer ones over shrinking data;
+    2. per resolution, queries range-join their band of tiles (bounded
+       fan-out); raw events join only within the query's own 5min hop;
+    3. one final groupBy(keys, query_ts) merges IRs with per-(window, band)
+       masks and finalizes.
     """
     keys = gb.keys
-    out: DataFrame | None = None
-    for hop, pairs in _hop_groups(aggs).items():
-        # --- build tile partials (slot per (agg, window) is shared per agg) ---
-        slot_of: dict[int, str] = {}
-        partial_exprs: dict[str, Column] = {}
-        tb = _tiebreak_col(tiebreak)
-        for a, _w in pairs:
-            if id(a) not in slot_of:
-                slot = f"a{len(slot_of)}"
-                slot_of[id(a)] = slot
-                partial_exprs.update(
-                    O.partial_cols(a, F.col(a.input_column), F.col(ETS), tb, slot)
-                )
-        tiles = (
-            ev.withColumn(TILE, W.round_down(F.col(ETS), hop))
-            .groupBy(*keys, TILE)
-            .agg(*[c.alias(n) for n, c in partial_exprs.items()])
-        )
-        ir_cols = list(partial_exprs.keys())
+    pairs = [(a, w) for a in aggs for w, _ in a.unpacked()]
+    slot_of: dict[int, str] = {}
+    partial_exprs: dict[str, Column] = {}
+    tb = _tiebreak_col(tiebreak)
+    for a, _w in pairs:
+        if id(a) not in slot_of:
+            slot_of[id(a)] = f"a{len(slot_of)}"
+            partial_exprs.update(
+                O.partial_cols(a, F.col(a.input_column), F.col(ETS), tb, slot_of[id(a)])
+            )
+    ir_cols = list(partial_exprs.keys())
+    aggs_unique = list({id(a): a for a, _ in pairs}.values())
 
-        # --- tail: join tiles strictly before the query's current hop ---
-        ta = tiles.select(
-            *[F.col(k).alias(f"__e_{k}") for k in keys], TILE, *ir_cols
+    used = sorted({r for _, w in pairs for r in _levels_for(w)}, reverse=True)
+    finest = used[-1]
+
+    # q and the finest tile table feed several join branches; persist them so
+    # each is computed once (the reference materializes hop tables for the
+    # same reason, HopsAggregator + per-part intermediate tables)
+    from pyspark.storagelevel import StorageLevel
+
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    tiles_by_res: dict[int, DataFrame] = {}
+    tiles_by_res[finest] = (
+        ev.withColumn(TILE, W.round_down(F.col(ETS), finest))
+        .groupBy(*keys, TILE)
+        .agg(*[c.alias(n) for n, c in partial_exprs.items()])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for idx in range(len(used) - 2, -1, -1):  # build coarser from finer
+        r, finer = used[idx], used[idx + 1]
+        merged: dict[str, Column] = {}
+        for a in aggs_unique:
+            merged.update(O.partial_merge_cols(a, slot_of[id(a)]))
+        tiles_by_res[r] = (
+            tiles_by_res[finer]
+            .withColumn(TILE, W.round_down(F.col(TILE), r))
+            .groupBy(*keys, TILE)
+            .agg(*[c.alias(n) for n, c in merged.items()])
         )
+
+    def _key_cond(prefix: str = "__e_") -> Column:
         cond = F.lit(True)
         for k in keys:
-            cond = cond & (F.col(k) == F.col(f"__e_{k}"))
-        cur_hop = W.round_down(F.col(QTS), hop)
-        cond = cond & (F.col(TILE) < cur_hop)
-        tails = [
-            W.sawtooth_tail(F.col(QTS), w) for a, w in pairs if w is not None
-        ]
-        if any(w is None for _, w in pairs):
-            pass  # lifetime agg present: no lower bound
-        elif tails:
-            cond = cond & (F.col(TILE) >= (tails[0] if len(tails) == 1 else F.least(*tails)))
-        tail_df = q.join(ta, cond, "left").select(
-            *keys, QTS, F.col(TILE), *ir_cols
+            cond = cond & (F.col(k) == F.col(f"{prefix}{k}"))
+        return cond
+
+    branches: list[DataFrame] = []
+    for r in used:
+        ta = tiles_by_res[r].select(
+            *[F.col(k).alias(f"__e_{k}") for k in keys], TILE, *ir_cols
+        )
+        cond = _key_cond() & (F.col(TILE) < W.round_down(F.col(QTS), r))
+        lowers = []
+        unbounded = False
+        for _, w in pairs:
+            if r in _levels_for(w):
+                lb = _band_lower(w, r, F.col(QTS))
+                if lb is None:
+                    unbounded = True
+                else:
+                    lowers.append(lb)
+        if not unbounded and lowers:
+            cond = cond & (
+                F.col(TILE) >= (lowers[0] if len(lowers) == 1 else F.least(*lowers))
+            )
+        # finest-resolution join is LEFT so every query survives to the merge
+        # (emitting count=0 rows for event-less windows); coarser joins inner
+        how = "left" if r == finest else "inner"
+        branches.append(
+            q.join(ta, cond, how).select(
+                *keys, QTS, F.col(TILE), F.lit(r).alias(RES), *ir_cols
+            )
         )
 
-        # --- head: raw events in the query's own (incomplete) hop ---
-        eva = ev.select(
-            *[F.col(k).alias(f"__e_{k}") for k in keys],
-            *[c for c in ev.columns if c not in keys],
-        )
-        hcond = F.lit(True)
-        for k in keys:
-            hcond = hcond & (F.col(k) == F.col(f"__e_{k}"))
-        hcond = hcond & (F.col(ETS) >= cur_hop) & (F.col(ETS) < F.col(QTS))
-        head_df = (
-            q.join(eva, hcond, "inner")
-            .groupBy(*keys, QTS)
-            .agg(*[c.alias(n) for n, c in partial_exprs.items()])
-            .withColumn(TILE, W.round_down(F.col(QTS), hop))
-            .select(*keys, QTS, F.col(TILE), *ir_cols)
-        )
+    # raw head: the query's own (incomplete) finest hop, strict < qts
+    eva = ev.select(
+        *[F.col(k).alias(f"__e_{k}") for k in keys],
+        *[c for c in ev.columns if c not in keys],
+    )
+    hcond = (
+        _key_cond()
+        & (F.col(ETS) >= W.round_down(F.col(QTS), finest))
+        & (F.col(ETS) < F.col(QTS))
+    )
+    head_df = (
+        q.join(eva, hcond, "inner")
+        .groupBy(*keys, QTS)
+        .agg(*[c.alias(n) for n, c in partial_exprs.items()])
+        .withColumn(TILE, W.round_down(F.col(QTS), finest))
+        .select(*keys, QTS, F.col(TILE), F.lit(0).alias(RES), *ir_cols)
+    )
 
-        # --- merge tiles per query with per-window masks, finalize ---
-        unioned = tail_df.unionByName(head_df)
-        merge_exprs = []
-        for a, w in pairs:
-            slot = slot_of[id(a)]
-            name = a.output_name(w, None)
-            if w is None:
-                merge_exprs.append(O.merge_finalize(a, slot).alias(name))
-            else:
-                mask = F.col(TILE) >= W.sawtooth_tail(F.col(QTS), w)
-                merge_exprs.append(_merge_with_masked_cols(a, slot, mask).alias(name))
-        part = unioned.groupBy(*keys, QTS).agg(*merge_exprs)
-        out = part if out is None else out.join(part, [*keys, QTS], "full")
-    return out
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.unionByName(b)
+    unioned = unioned.unionByName(head_df)
+
+    merge_exprs = []
+    for a, w in pairs:
+        slot = slot_of[id(a)]
+        name = a.output_name(w, None)
+        mask = F.col(RES) == 0  # raw head rows belong to every window
+        for r in _levels_for(w):
+            band = F.col(RES) == r
+            lb = _band_lower(w, r, F.col(QTS))
+            if lb is not None:
+                band = band & (F.col(TILE) >= lb)
+            mask = mask | band
+        merge_exprs.append(_merge_with_masked_cols(a, slot, mask).alias(name))
+    return unioned.groupBy(*keys, QTS).agg(*merge_exprs)
 
 
 def _merge_with_masked_cols(a: Aggregation, slot: str, mask: Column) -> Column:
@@ -430,11 +490,17 @@ def temporal_events(
     direct, bucketed, mapops = _split_passes(gb)
     parts: list[DataFrame] = []
     if direct:
-        if strategy == "hops":
-            hop_ok = [a for a in direct if a.operation in O.HOP_MERGEABLE_OPS]
-            rest = [a for a in direct if a.operation not in O.HOP_MERGEABLE_OPS]
-            if hop_ok:
-                parts.append(_temporal_pass_hops(q, ev, gb, hop_ok, tiebreak))
+        if strategy in ("hops", "sliding", "auto"):
+            from chronon_spark.plans.sliding import SLIDING_OPS, temporal_pass_sliding
+
+            if strategy == "hops":
+                fast_ops, fast_fn = O.HOP_MERGEABLE_OPS, _temporal_pass_hops
+            else:
+                fast_ops, fast_fn = SLIDING_OPS, temporal_pass_sliding
+            fast = [a for a in direct if a.operation in fast_ops]
+            rest = [a for a in direct if a.operation not in fast_ops]
+            if fast:
+                parts.append(fast_fn(q, ev, gb, fast, tiebreak))
             if rest:
                 parts.append(_temporal_pass_exact(q, ev, gb, rest, tiebreak))
         else:

@@ -1,0 +1,98 @@
+"""Physical-plan assertions: the optimizations we rely on at 100TB must be
+visible in explain() output, not assumed.
+
+- predicate pushdown + column pruning reach the parquet scan
+- small dimensions broadcast (no shuffle for the dim side)
+- the as-of estimators contain no cartesian product
+- window-narrowed scan: a windowed-only GroupBy's range join carries the
+  sawtooth lower bound in the join condition
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chronon_spark import Aggregation, GroupBy, Op, TimeUnit, Window
+from chronon_spark.operators.groupby import temporal_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_and_projection_pushdown(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") < "1995-06-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: scan schema only carries what we read
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_dim_join_broadcasts(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_no_cartesian(spark, events):
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(7, TimeUnit.DAYS),))],
+    )
+    left = events.select("user_id", "ts").limit(100)
+    for strategy in ("exact", "hops"):
+        out = temporal_events(left, events, gb, tiebreak="event_id", strategy=strategy)
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan, strategy
+        assert "BroadcastNestedLoopJoin" not in plan, strategy
+
+
+def test_windowed_scan_carries_tail_bound(spark, events):
+    """All-windowed GroupBy => the range join includes a sawtooth lower bound
+    (the window-aware scan narrowing; unwindowed aggs legitimately drop it)."""
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.SUM, "value", windows=(Window(1, TimeUnit.DAYS),))],
+    )
+    left = events.select("user_id", "ts").limit(50)
+    out = temporal_events(left, events, gb, tiebreak="event_id", strategy="exact")
+    plan = _plan(out)
+    assert "pmod" in plan  # tail-rounding arithmetic present in join cond
+
+
+def test_hop_tiles_reused_across_windows(spark, events):
+    """1d and 7d windows share one 1h tile build: the hops plan should scan
+    the events parquet a bounded number of times (tiles + head), not once
+    per window."""
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(Window(1, TimeUnit.DAYS), Window(7, TimeUnit.DAYS))),
+            Aggregation(Op.SUM, "value", windows=(Window(7, TimeUnit.DAYS),)),
+        ],
+    )
+    left = events.select("user_id", "ts").limit(50)
+    out = temporal_events(left, events, gb, tiebreak="event_id", strategy="hops")
+    plan = _plan(out)
+    # query table + finest tiles are persisted: join branches read the cache,
+    # not the parquet, so scan count stays bounded as windows multiply
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    # NOTE: formatted plans re-print each cached relation's definition, so the
+    # textual scan count overstates actual scans; the bound just catches
+    # accidental per-window re-scans (was 14 pre-persist for this shape)
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 8, f"{n_scans} parquet scans:\n{plan[:2000]}"

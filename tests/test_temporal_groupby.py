@@ -95,7 +95,8 @@ def _norm(v):
     return v
 
 
-def test_hops_equals_exact(spark, events, gb):
+@pytest.mark.parametrize("strategy", ["hops", "sliding"])
+def test_tiled_strategies_equal_exact(spark, events, gb, strategy):
     hop_aggs = [
         a
         for a in gb.aggregations
@@ -106,10 +107,10 @@ def test_hops_equals_exact(spark, events, gb):
     gb2 = GroupBy(name="g", keys=["user_id"], aggregations=hop_aggs)
     q = _queries(events, n=100)
     exact = temporal_events(q, events, gb2, tiebreak="event_id", strategy="exact")
-    hops = temporal_events(q, events, gb2, tiebreak="event_id", strategy="hops")
+    tiled = temporal_events(q, events, gb2, tiebreak="event_id", strategy=strategy)
     cols = sorted(set(exact.columns))
     e = [tuple(map(_freeze, r)) for r in exact.select(*cols).collect()]
-    h = [tuple(map(_freeze, r)) for r in hops.select(*cols).collect()]
+    h = [tuple(map(_freeze, r)) for r in tiled.select(*cols).collect()]
     assert sorted(e, key=str) == sorted(h, key=str)
 
 
