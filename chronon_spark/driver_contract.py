@@ -614,7 +614,7 @@ def q_transcripts_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(Op.COUNT, "turn_idx"),
         ],
     )
-    out = G.temporal_events(left, t, gb, left_time_column="ts", tiebreak="turn_idx")
+    out = G.temporal_events(left, t, gb, left_time_column="ts", tiebreak="turn_idx", strategy="sliding")
     return out.select(
         "conv_id",
         "turn_idx",
