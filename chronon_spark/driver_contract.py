@@ -1250,3 +1250,21 @@ def q_asof_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["asof_sliding"] = q_asof_sliding
 ORACLES["asof_sliding"] = SQL_ASOF_HOPS
+
+
+def q_approx_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HLL distinct, approx percentile). Sketch values
+    are engine-specific so there is no DuckDB oracle (rows-only driver
+    check); pytest bounds them against exact answers with rsd tolerance."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("user_approx_unique"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 10000).alias(
+            "value_approx_pct"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES["approx_ops"] = q_approx_ops
+# intentionally no oracle: sketch outputs differ across engines

@@ -170,3 +170,56 @@ def test_streaming_tiles_match_batch_hops(spark, tmp_path):
     assert len(got) == len(batch)
     for r in batch:
         assert got[(r["user_id"], r["tile_start_ms"])] == (r["n"], r["s"])
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """HLL distinct within rsd bounds of exact; approx percentile within the
+    neighborhood of the exact percentile (reference tolerance-test pattern,
+    ApproxDistinctTest / ApproxPercentilesTest)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    both = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        F.count_distinct("user_id").alias("exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) <= max(3, 0.1 * r["exact"])
+        assert abs(r["p50_approx"] - r["p50_exact"]) <= max(0.5, 0.05 * abs(r["p50_exact"]))
+
+
+def test_bucketed_map_assembly(spark):
+    """Bucketed aggregation through the temporal engine returns a
+    Map[bucket -> value] column matching per-bucket grouped sums."""
+    from chronon_spark import Aggregation, GroupBy, Op
+    from chronon_spark.operators.groupby import temporal_events
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.SUM, "value", buckets=("event_type",))],
+    )
+    q = ev.select("user_id", "ts").limit(40)
+    out = temporal_events(q, ev, gb, tiebreak="event_id")
+    assert "value_sum_by_event_type" in out.columns
+    row = (
+        out.where(F.map_keys("value_sum_by_event_type").isNotNull())
+        .select("user_id", F.unix_millis("ts").alias("qms"), "value_sum_by_event_type")
+        .orderBy(F.size(F.map_keys("value_sum_by_event_type")).desc())
+        .first()
+    )
+    if row:
+        oracle = (
+            ev.where(
+                (F.col("user_id") == row["user_id"]) & (F.unix_millis("ts") < row["qms"])
+            )
+            .groupBy("event_type")
+            .agg(F.sum("value").alias("s"))
+            .collect()
+        )
+        want = {r["event_type"]: r["s"] for r in oracle}
+        got = row["value_sum_by_event_type"]
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9
