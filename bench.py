@@ -31,7 +31,8 @@ def main() -> None:
     headline = [
         "transcripts_backfill",  # flagship: as-of + session + lag over transcripts
         "asof_window_agg",       # exact range-join estimator
-        "asof_hops",             # hop-tile estimator (scale path)
+        "asof_hops",             # cascade tile estimator
+        "asof_sliding",          # sliding-tile estimator (the 100TB scale path)
         "asof_join_multi",       # multi-part join orchestration
         "snapshot_daily",        # daily snapshot GroupBy
         "sessionize",
@@ -65,13 +66,13 @@ def main() -> None:
         t0 = time.time()
         n = force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
-        if name in ("transcripts_backfill", "asof_window_agg", "asof_hops", "asof_join_multi"):
+        if name in ("transcripts_backfill", "asof_window_agg", "asof_hops", "asof_sliding", "asof_join_multi"):
             feature_rows += n
     total = round(time.time() - t_all, 3)
 
     asof_sec = sum(
         timings[q]
-        for q in ("transcripts_backfill", "asof_window_agg", "asof_hops", "asof_join_multi")
+        for q in ("transcripts_backfill", "asof_window_agg", "asof_hops", "asof_sliding", "asof_join_multi")
     )
     rows_per_sec = round(feature_rows / asof_sec, 1) if asof_sec > 0 else 0.0
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -614,7 +614,11 @@ def q_transcripts_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(Op.COUNT, "turn_idx"),
         ],
     )
-    out = G.temporal_events(left, t, gb, left_time_column="ts", tiebreak="turn_idx", strategy="sliding")
+    # exact estimator: at bench scale (sf0.1, ~100k turns) the sliding plan's
+    # fixed DAG cost dominates; the sliding path is benchmarked at 300M turns
+    # in bench_scale_job.py / BENCH/BASELINE.md and hash-checked by
+    # queries()["asof_sliding"]
+    out = G.temporal_events(left, t, gb, left_time_column="ts", tiebreak="turn_idx")
     return out.select(
         "conv_id",
         "turn_idx",
