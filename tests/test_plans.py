@@ -85,6 +85,7 @@ def test_hop_tiles_reused_across_windows(spark, events):
             Aggregation(Op.SUM, "value", windows=(Window(7, TimeUnit.DAYS),)),
         ],
     )
+    spark.catalog.clearCache()  # hermetic: earlier tests leave persisted frames
     left = events.select("user_id", "ts").limit(50)
     out = temporal_events(left, events, gb, tiebreak="event_id", strategy="hops")
     plan = _plan(out)
