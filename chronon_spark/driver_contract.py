@@ -36,7 +36,24 @@ from chronon_spark.plans.windows import sawtooth_tail_sql, to_millis
 # ---------------------------------------------------------------------------
 
 
+def _ensure_session(spark: SparkSession) -> None:
+    """The driver supplies its own SparkSession; pin the runtime confs our
+    time semantics depend on (UTC instants identical to the DuckDB oracle's
+    naive timestamps; parquet timestamp[us] read as TIMESTAMP_LTZ)."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.sources.partitionColumnTypeInference.enabled", "false"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable in this session: to_millis still casts
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
