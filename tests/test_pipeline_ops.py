@@ -223,3 +223,90 @@ def test_bucketed_map_assembly(spark):
         assert set(got) == set(want)
         for k in want:
             assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_approx_histogram_k_truncates(spark):
+    """APPROX_HISTOGRAM_K keeps the k most frequent entries (exact at test
+    scale, reference SimpleAggregators.scala:458-600 hybrid behavior)."""
+    from chronon_spark import Aggregation, GroupBy, Op
+    from chronon_spark.operators.groupby import temporal_events
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.APPROX_HISTOGRAM_K, "event_type", k=2)],
+    )
+    q = ev.select("user_id", "ts").limit(30)
+    out = temporal_events(q, ev, gb, tiebreak="event_id")
+    col = "event_type_approx_histogram2"  # k-ops render without the `_k`
+    assert col in out.columns
+    rows = [r for r in out.collect() if r[col] is not None]
+    assert rows
+    for r in rows:
+        assert len(r[col]) <= 2
+        # truncated map holds the top-count entries vs the exact histogram
+        exact = (
+            ev.where(
+                (F.col("user_id") == r["user_id"]) & (F.col("ts") < r["ts"])
+            )
+            .groupBy("event_type")
+            .count()
+            .collect()
+        )
+        if exact:
+            kept_min = min(r[col].values())
+            dropped = [x["count"] for x in exact if x["event_type"] not in r[col]]
+            assert all(kept_min >= d for d in dropped), (r[col], exact)
+
+
+def test_salted_two_phase_agg(spark):
+    """Skew-proof aggregation: (key, salt) partials then merge == plain agg."""
+    from chronon_spark.operators.skew import salted_two_phase_agg
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = salted_two_phase_agg(
+        ev,
+        ["user_id"],
+        partial_exprs={"n": F.count(F.lit(1)), "s": F.sum("value")},
+        merge_exprs={"n": F.sum("n"), "s": F.round(F.sum("s"), 6)},
+        n_salts=8,
+    )
+    plain = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s")
+    )
+    a = sorted([tuple(r) for r in out.collect()])
+    b = sorted([tuple(r) for r in plain.collect()])
+    assert a == b
+
+
+def test_map_input_aggregation(spark):
+    """Map-valued input columns aggregate per map key (reference
+    MapColumnAggregator): explode map_entries, aggregate, reassemble."""
+    from chronon_spark import Aggregation, GroupBy, Op
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "m",
+        F.create_map(
+            F.lit("a"), F.col("value"), F.lit("b"), F.col("value") * 2
+        ),
+    )
+    exploded = ev.select("user_id", F.explode("m").alias("mk", "mv"))
+    agg = (
+        exploded.groupBy("user_id", "mk")
+        .agg(F.round(F.sum("mv"), 6).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("mk", "s")))
+            ).alias("m_sum")
+        )
+    )
+    row = agg.first()
+    plain = (
+        ev.where(F.col("user_id") == row["user_id"])
+        .agg(F.round(F.sum("value"), 6), F.round(F.sum(F.col("value") * 2), 6))
+        .first()
+    )
+    assert abs(row["m_sum"]["a"] - plain[0]) < 1e-6
+    assert abs(row["m_sum"]["b"] - plain[1]) < 1e-6
