@@ -121,8 +121,14 @@ def minhash_lsh_pairs(
     """LSH candidate pairs: signatures split into ``bands`` bands of
     num_perm/bands rows; docs sharing any band-key become candidates; the
     estimated Jaccard = fraction of agreeing permutations."""
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_perm)
+    # the signature table feeds band-keying AND both sides of the estimate
+    # join — persist it so the shingle x perm explosion runs once
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
     # zero-pad the perm so lexicographic order == numeric order (keeps the
     # band key reproducible by a SQL oracle's ORDER BY perm)

@@ -1,0 +1,96 @@
+"""Bootstrap join (provenance + covering-set skip) and forward-looking
+label join (zero *feature* leakage inverted: labels see ONLY the future)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chronon_spark import Aggregation, GroupBy, Op, TimeUnit, Window
+from chronon_spark.operators.bootstrap import (
+    PROVENANCE,
+    backfill_with_bootstrap,
+    bootstrap_join,
+    label_join,
+    uncovered_rows,
+)
+from chronon_spark.operators.groupby import temporal_events
+
+
+def test_bootstrap_provenance_and_coalesce(spark, events):
+    gb = GroupBy(
+        name="u",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(7, TimeUnit.DAYS),))],
+    )
+    left = events.where(F.col("event_type") == "purchase").select("user_id", "ts").limit(60)
+    # full backfill = ground truth
+    full = temporal_events(left, events, gb, tiebreak="event_id")
+
+    # bootstrap covers half the rows, with a sentinel value we can detect
+    half = left.limit(30)
+    boot = temporal_events(half, events, gb, tiebreak="event_id").withColumn(
+        "value_count_7d", F.col("value_count_7d") + 1000000
+    )
+    out = backfill_with_bootstrap(left, events, gb, boot, ["user_id"], tiebreak="event_id")
+    assert out.count() == left.count()
+    covered = out.where(F.array_contains(F.col(PROVENANCE), "u"))
+    uncov = out.where(~F.array_contains(F.col(PROVENANCE), "u"))
+    assert covered.count() == 30 and uncov.count() == left.count() - 30
+    # covered rows keep bootstrap values (sentinel), uncovered match backfill
+    assert covered.where(F.col("value_count_7d") < 1000000).count() == 0
+    truth = {
+        (r["user_id"], r["ts"]): r["value_count_7d"] for r in full.collect()
+    }
+    for r in uncov.collect():
+        assert r["value_count_7d"] == truth[(r["user_id"], r["ts"])]
+
+
+def test_bootstrap_join_provenance_multi_part(spark, events):
+    left = events.select("user_id", "ts").limit(10)
+    p1 = left.limit(4).withColumn("f1", F.lit(1.0))
+    p2 = left.limit(7).withColumn("f2", F.lit(2.0))
+    out = bootstrap_join(left, [("a", p1), ("b", p2)], ["user_id", "ts"])
+    rows = out.collect()
+    n_a = sum(1 for r in rows if "a" in r[PROVENANCE])
+    n_b = sum(1 for r in rows if "b" in r[PROVENANCE])
+    assert n_a == 4 and n_b == 7
+    assert uncovered_rows(out, "a").count() == 6
+
+
+def test_label_join_forward_window(spark, events):
+    """label = count of events in (ts, ts+2d]; oracle via plain SQL."""
+    gb = GroupBy(name="lab", keys=["user_id"], aggregations=[Aggregation(Op.COUNT, "value")])
+    feats = events.where(F.col("event_type") == "purchase").select("user_id", "ts").limit(50)
+    out = label_join(
+        feats, events, gb, horizon=Window(2, TimeUnit.DAYS), tiebreak="event_id"
+    )
+    col = "label_value_count_2d"
+    assert col in out.columns and out.count() == feats.count()
+
+    ev = events.select("user_id", F.unix_millis("ts").alias("ems"), "value")
+    q = feats.select("user_id", F.unix_millis("ts").alias("qms")).dropDuplicates()
+    # mirrored sawtooth: horizon end rounds on the negated axis; oracle uses
+    # ceil(q+2d, 1h) == -round(-(q+2d), 1h)  (2d window -> 1h hop)
+    horizon_end = -(F.floor((-(F.col("qms") + 2 * 86400000)) / 3600000) * 3600000)
+    oracle = (
+        q.join(ev, "user_id", "left")
+        .groupBy("user_id", "qms")
+        .agg(
+            F.count(
+                F.when((F.col("ems") > F.col("qms")) & (F.col("ems") <= horizon_end), 1)
+            ).alias("want")
+        )
+    )
+    got = out.select("user_id", F.unix_millis("ts").alias("qms"), F.col(col))
+    chk = got.join(oracle, ["user_id", "qms"])
+    bad = chk.where(F.col(col) != F.col("want")).collect()
+    assert not bad, bad[:3]
+
+
+def test_label_join_never_sees_past_or_present(spark, events):
+    """Shift all label events 100 days into the PAST: labels must be 0."""
+    gb = GroupBy(name="lab", keys=["user_id"], aggregations=[Aggregation(Op.COUNT, "value")])
+    feats = events.select("user_id", "ts").limit(30)
+    past = events.withColumn("ts", F.col("ts") - F.expr("INTERVAL 100 DAYS"))
+    out = label_join(feats, past, gb, horizon=Window(1, TimeUnit.DAYS), tiebreak="event_id")
+    assert out.where(F.col("label_value_count_1d") != 0).count() == 0
