@@ -110,3 +110,41 @@ def test_semantic_hash_stability():
         aggregations=[Aggregation(Op.SUM, "v", windows=(Window(8, TimeUnit.DAYS),))],
     )
     assert h1 != gb2.semantic_hash()  # definition change detected
+
+
+def test_analyzer_schema_inference_and_hot_keys(spark, events):
+    """Dry-run analysis: exact output schema without a data pass + hot-key
+    detection (reference Analyzer.analyzeJoin / heavyHitters)."""
+    from chronon_spark.operators.analyzer import analyze_group_by
+
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.SUM, "value", windows=(Window(7, TimeUnit.DAYS),)),
+            Aggregation(Op.LAST_K, "event_type", k=3),
+        ],
+    )
+    a = analyze_group_by(events, gb, hot_key_threshold=10_000)
+    names = [n for n, _ in a.output_schema]
+    assert "value_sum_7d" in names and "event_type_last3" in names
+    types = dict(a.output_schema)
+    assert types["value_sum_7d"] == "double"
+    assert types["event_type_last3"].startswith("array")
+    assert a.hot_keys == []  # nothing at 10k threshold on 1k events
+    low = analyze_group_by(events, gb, hot_key_threshold=1)
+    assert low.hot_keys and all(col == "user_id" for col, _, _ in low.hot_keys)
+
+
+def test_compare_assert_equal_detects_diffs(spark):
+    from chronon_spark.operators.compare import assert_equal, side_by_side
+
+    a = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    b = spark.createDataFrame([(1, 10.0), (2, 21.0)], "k int, v double")
+    assert side_by_side(a, a, ["k"]).count() == 0
+    d = side_by_side(a, b, ["k"])
+    assert d.count() == 1 and d.first()["k"] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        assert_equal(a, b, ["k"])
