@@ -631,10 +631,11 @@ def q_transcripts_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(Op.COUNT, "turn_idx"),
         ],
     )
-    # exact estimator: at bench scale (sf0.1, ~100k turns) the sliding plan's
-    # fixed DAG cost dominates; the sliding path is benchmarked at 300M turns
-    # in bench_scale_job.py / BENCH/BASELINE.md and hash-checked by
-    # queries()["asof_sliding"]
+    # strategy defaults to "auto": COUNT over hop-aligned windows rides the
+    # sliding-tile estimator — the same plan benchmarked at 300M turns in
+    # bench_scale_job.py / BENCH/BASELINE.md. The gate and the scale path are
+    # now one plan (no range join between queries and raw events;
+    # tests/test_plans.py asserts this).
     out = G.temporal_events(left, t, gb, left_time_column="ts", tiebreak="turn_idx")
     return out.select(
         "conv_id",
@@ -1276,13 +1277,17 @@ ORACLES["asof_sliding"] = SQL_ASOF_HOPS
 def q_approx_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches (HLL distinct, approx percentile). Sketch values
     are engine-specific so there is no DuckDB oracle (rows-only driver
-    check); pytest bounds them against exact answers with rsd tolerance."""
+    check); pytest bounds them against exact answers with rsd tolerance.
+
+    The percentile_approx array is projected to SCALAR columns so the
+    harness canonicalizer (pandas sort over object cells) never sees an
+    unhashable list value."""
     ev = _t(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 10000)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("user_approx_unique"),
-        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 10000).alias(
-            "value_approx_pct"
-        ),
+        F.round(pct[0], 4).alias("value_approx_p50"),
+        F.round(pct[1], 4).alias("value_approx_p90"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -70,8 +70,8 @@ def backfill_with_bootstrap(
     bootstrap table keep its values; only uncovered rows are computed."""
     booted = bootstrap_join(left, [(gb.name, bootstrap)], [*keys, time_column])
     todo = uncovered_rows(booted, gb.name).select(*keys, time_column)
-    if todo.isEmpty():
-        return booted
+    # no driver-side isEmpty() probe: an empty todo just contributes an empty
+    # branch to the coalesced join (one plan, no extra blocking job)
     computed = G.temporal_events(todo, events, gb, left_time_column=time_column, tiebreak=tiebreak)
     out = coalesced_join(booted, computed, [*keys, time_column])
     return out
@@ -136,5 +136,8 @@ def label_join(
     renames = {c: f"{prefix}_{c}" for c in gb_neg.output_columns()}
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
-    out = out.drop("__q_neg")
+    # features with duplicate (keys, ts) rows fan out into `out`; dedup the
+    # label side so the final join preserves the left row count instead of
+    # multiplying duplicates n x m
+    out = out.drop("__q_neg").dropDuplicates([*label_gb.keys, time_column])
     return features.join(out, [*label_gb.keys, time_column], "left")

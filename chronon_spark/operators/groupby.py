@@ -16,8 +16,16 @@ L143-168, snapshotEntities L99-141) as declarative DataFrame plans:
       scala:33-165) — then range-join *tiles* to queries and merge partial
       IRs. Fan-out is bounded by window/hop (<= 168) regardless of key
       hotness: this is the 100TB-scale path for skewed keys.
-  ``auto`` uses hops for every hop-mergeable aggregation and exact for the
-  rest, joining the two feature frames.
+    * ``sliding`` — the sliding-tile estimator (plans/sliding.py): densified
+      window passes + equi-joins only, no range join anywhere. Skew-proof at
+      any key hotness; the default scale path.
+  ``auto`` (the DEFAULT) routes each aggregation to the sliding estimator
+  when it qualifies (operation in SLIDING_OPS and every window a whole
+  multiple of its sawtooth tail hop) and to the exact estimator otherwise,
+  joining the feature frames on one shared shuffle key. Windows that are not
+  hop-aligned (possible only for minute-unit windows < 1 hop multiple, e.g.
+  Window(7, MINUTES)) silently lose one tail hop under the tile estimators,
+  so the router sends them to the exact path.
 
 - ``snapshot_events``: per (key, ds) end-of-day aggregates over trailing
   windows `[eod - w, eod)` for every day in the requested range.
@@ -466,13 +474,22 @@ def _histogram_pass(
 # ---------------------------------------------------------------------------
 
 
+def _hop_aligned(a: Aggregation) -> bool:
+    """True iff every window is a whole multiple of its sawtooth tail hop —
+    the identity sawtooth_tail(q, w) = floor(q, hop) - w the tile estimators
+    rely on. Lifetime (None) windows are trivially aligned."""
+    if a.windows is None:
+        return True
+    return all(w.millis % w.tail_hop_millis() == 0 for w in a.windows)
+
+
 def temporal_events(
     left: DataFrame,
     events: DataFrame,
     gb: GroupBy,
     left_time_column: str | None = None,
     tiebreak: str | None = None,
-    strategy: str = "exact",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Point-in-time features for every left row. Returns left columns +
     one feature column per (aggregation x window x bucket).
@@ -497,8 +514,9 @@ def temporal_events(
                 fast_ops, fast_fn = O.HOP_MERGEABLE_OPS, _temporal_pass_hops
             else:
                 fast_ops, fast_fn = SLIDING_OPS, temporal_pass_sliding
-            fast = [a for a in direct if a.operation in fast_ops]
-            rest = [a for a in direct if a.operation not in fast_ops]
+            fast = [a for a in direct if a.operation in fast_ops and _hop_aligned(a)]
+            fast_ids = {id(a) for a in fast}
+            rest = [a for a in direct if id(a) not in fast_ids]
             if fast:
                 parts.append(fast_fn(q, ev, gb, fast, tiebreak))
             if rest:
@@ -538,10 +556,16 @@ def snapshot_events(
         start_ms = lo - lo % DAY_MS
         end_ms = hi - hi % DAY_MS
     else:
+        import calendar
         import datetime as _dt
 
-        start_ms = int(_dt.datetime.strptime(start_ds, "%Y-%m-%d").timestamp()) * 1000
-        end_ms = int(_dt.datetime.strptime(end_ds, "%Y-%m-%d").timestamp()) * 1000
+        # calendar.timegm: ds labels are UTC regardless of the host timezone
+        # (naive strptime().timestamp() would shift the grid on non-UTC hosts)
+        def _utc_ms(ds: str) -> int:
+            return calendar.timegm(_dt.datetime.strptime(ds, "%Y-%m-%d").timetuple()) * 1000
+
+        start_ms = _utc_ms(start_ds)
+        end_ms = _utc_ms(end_ds)
     days = F.sequence(F.lit(start_ms), F.lit(end_ms), F.lit(DAY_MS))
     grid = (
         ev.select(*gb.keys)

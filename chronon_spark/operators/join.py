@@ -45,7 +45,7 @@ def compute_join_part(
     part: JoinPart,
     left_time_column: str = "ts",
     tiebreak: str | None = None,
-    strategy: str = "exact",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Features for one join part, keyed by the LEFT column names, with the
     part's `{prefix}_{group_by}_` column prefix applied."""
@@ -97,7 +97,7 @@ def compute_join(
     sources: dict[str, DataFrame],
     join: Join,
     tiebreak: str | None = None,
-    strategy: str = "exact",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Enrich ``left`` with every join part. ``sources`` maps GroupBy name ->
     its events DataFrame. Preserves left row count (incl. duplicates)."""

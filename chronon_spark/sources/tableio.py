@@ -148,8 +148,10 @@ def insert_overwrite_partitions(
     df: DataFrame, table: PartitionedTable, n_files: int | None = None
 ) -> None:
     """Dynamic partition overwrite: replaces exactly the ds partitions present
-    in ``df`` (spark.sql.sources.partitionOverwriteMode=dynamic is set by the
-    session factory)."""
+    in ``df``. The conf is pinned here (runtime-settable) rather than relying
+    on the session factory: with a caller-supplied SparkSession a STATIC
+    overwrite would silently delete all previously backfilled partitions."""
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if n_files:
         df = salted_repartition(df, table.ds_col, n_files)
     df.write.mode("overwrite").partitionBy(table.ds_col).parquet(table.path)

@@ -101,3 +101,41 @@ def test_hop_tiles_reused_across_windows(spark, events):
     n_cache = plan.count("InMemoryTableScan") + plan.count("TableCacheQueryStage")
     assert n_cache >= 2, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_auto_default_routes_sliding(spark, events):
+    """The DEFAULT strategy must produce the sliding-tile plan for sliding-
+    capable aggregations: the head-bucket equi-join column __t5b is unique to
+    that plan, and there is no bare key-only range join between queries and
+    raw events (the quadratic-on-hot-keys shape)."""
+    spark.catalog.clearCache()
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(1, TimeUnit.DAYS),))],
+    )
+    left = events.select("user_id", "ts").limit(50)
+    out = temporal_events(left, events, gb, tiebreak="event_id")  # default strategy
+    plan = _plan(out)
+    assert "__t5b" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_auto_unaligned_minute_window_routes_exact(spark, events):
+    """Windows that are not whole multiples of their tail hop (e.g. 7 min vs
+    the 5-min hop) silently lose a tail hop under the tile estimators — the
+    router must send them to the exact estimator, and the default-strategy
+    answer must equal the exact answer."""
+    spark.catalog.clearCache()
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(7, TimeUnit.MINUTES),))],
+    )
+    left = events.select("user_id", "ts").limit(200)
+    auto = temporal_events(left, events, gb, tiebreak="event_id")
+    assert "__t5b" not in _plan(auto)  # sliding head join absent
+    exact = temporal_events(left, events, gb, tiebreak="event_id", strategy="exact")
+    a = {tuple(r) for r in auto.collect()}
+    b = {tuple(r) for r in exact.collect()}
+    assert a == b
