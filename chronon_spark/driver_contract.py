@@ -481,6 +481,49 @@ FROM p1 JOIN p2 ON p2.q2_ts = p1.ts_ms
 """
 
 
+def q_asof_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT-accuracy join part: each left row gets features as of its
+    PREVIOUS MIDNIGHT (the reference's ts_ds+1-shifted daily-snapshot
+    equi-join, JoinBase.scala:70-130) rather than its exact ts."""
+    from chronon_spark.api import JoinPart
+    from chronon_spark.operators.join import compute_join_part
+
+    ev = _t(spark, sf_dir, "events")
+    gb = GroupBy(
+        name="usnap",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(W7D,)),
+            Aggregation(Op.SUM, "value", windows=(W1D,)),
+        ],
+        accuracy=Accuracy.SNAPSHOT,
+    )
+    left = _purchase_left(ev)
+    out = compute_join_part(left, ev, JoinPart(group_by=gb), tiebreak="event_id")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("usnap_value_count_7d"),
+        _r(F.col("usnap_value_sum_1d")).alias("usnap_value_sum_1d"),
+    )
+
+
+SQL_ASOF_JOIN_SNAPSHOT = """
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms,
+         epoch_ms(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS mid
+  FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value FROM events
+)
+SELECT q.user_id, q.ts_ms,
+       count(CASE WHEN e.ems >= q.mid - 7*86400000 THEN e.value END) AS usnap_value_count_7d,
+       round(sum(CASE WHEN e.ems >= q.mid - 86400000 THEN e.value END), 3) AS usnap_value_sum_1d
+FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.mid
+GROUP BY q.user_id, q.ts_ms
+"""
+
+
 def q_snapshot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNAPSHOT GroupBy: per (user, ds) end-of-day 7d/1d aggregates, only for
     days the user has events (grid rows with activity, for oracle parity)."""
@@ -690,6 +733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_hops": q_asof_hops,
     "asof_last_k": q_asof_last_k,
     "asof_join_multi": q_asof_join_multi,
+    "asof_join_snapshot": q_asof_join_snapshot,
     "snapshot_daily": q_snapshot_daily,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
@@ -710,6 +754,7 @@ ORACLES: dict[str, str] = {
     "asof_hops": SQL_ASOF_HOPS,
     "asof_last_k": SQL_ASOF_LAST_K,
     "asof_join_multi": SQL_ASOF_JOIN_MULTI,
+    "asof_join_snapshot": SQL_ASOF_JOIN_SNAPSHOT,
     "snapshot_daily": SQL_SNAPSHOT_DAILY,
     "lag_lead": SQL_LAG_LEAD,
     "sessionize": SQL_SESSIONIZE,
@@ -914,20 +959,32 @@ FROM pairs QUALIFY rank <= 3
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-duplicate pairs (threshold 0.9) — the brute-force
-    oracle baseline; the LSH-bucketed variant is pytest-verified for recall."""
-    from chronon_spark.operators.similarity import brute_force_knn
+    """Embedding near-duplicate pairs via the SCALE plan (LSH-bucketed
+    candidate generation + exact cosine filter, similarity.cosine_neardup_
+    pairs — no all-pairs join), gated against an exact brute-force SQL
+    oracle.
 
-    emb = _t(spark, sf_dir, "embeddings")
-    res = brute_force_knn(emb, emb, k=1 << 20)
-    return (
-        res.where((F.col("sim") >= 0.9) & (F.col("query_id") < F.col("neighbor_id")))
-        .select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"), "sim")
+    Near-duplicates are PLANTED deterministically (every 25th vector is
+    re-inserted under vec_id+100000) because the corpus's natural max
+    pairwise cosine is ~0.51: the only pairs >= 0.9 are the planted
+    identical pairs, which LSH recalls with certainty (identical signature
+    => identical buckets), so the approximate plan is exact-comparable."""
+    from chronon_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.unionByName(
+        emb.where(F.col("vec_id") % 25 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(100000)
+        )
     )
+    return cosine_neardup_pairs(planted, threshold=0.9)
 
 
 SQL_EMBEDDING_NEARDUP = """
-WITH v AS (SELECT vec_id, embedding FROM embeddings),
+WITH v0 AS (SELECT vec_id, embedding FROM embeddings),
+v AS (SELECT vec_id, embedding FROM v0
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM v0 WHERE vec_id % 25 = 0),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(

@@ -72,10 +72,20 @@ def compute_join_part(
             left_time_column,
             F.to_timestamp(F.date_trunc("day", F.col(left_time_column))),
         )
+        # the midnight query itself runs through the TEMPORAL engine — the
+        # accuracy difference is entirely in the query timestamp shift
+        gb_t = G.GroupBy(
+            name=gb.name,
+            keys=gb.keys,
+            aggregations=gb.aggregations,
+            accuracy=Accuracy.TEMPORAL,
+            time_column=gb.time_column,
+            derivations=gb.derivations,
+        )
         feat = G.temporal_events(
             q_mid.select(*gb.keys, left_time_column, "__orig_ts").dropDuplicates(),
             events,
-            gb,
+            gb_t,
             left_time_column=left_time_column,
             tiebreak=tiebreak,
             strategy=strategy,
