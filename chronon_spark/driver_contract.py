@@ -715,6 +715,111 @@ GROUP BY q.conv_id, q.turn_idx, q.text, q.ts_ms, q.session_id, q.prev_role
 """
 
 
+def q_mutations_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-mutation (CDC) temporal engine: point-in-time features over a
+    MUTABLE dimension synthesized deterministically from events — every
+    event inserts its value at its ts; values >= 5 are corrected 2h later
+    (reversal of the original + insert of value*2, same row event-time).
+
+    The engine consumes the EOD snapshot + day-mutation decomposition
+    (operators/mutations.temporal_entities); the oracle is the equivalent
+    full-log signed scan, so equality proves the decomposition."""
+    from chronon_spark.operators.mutations import temporal_entities
+
+    h2 = 7_200_000
+    ev = _t(spark, sf_dir, "events")
+    ems = to_millis(F.col("ts"))
+    base = ev.select("user_id", "value", ems.alias("ets"))
+    births = base.select(
+        "user_id", "value", "ets", F.col("ets").alias("mts"), F.lit(False).alias("is_before")
+    ).unionByName(
+        base.where(F.col("value") >= 5).select(
+            "user_id",
+            (F.col("value") * 2).alias("value"),
+            "ets",
+            (F.col("ets") + h2).alias("mts"),
+            F.lit(False).alias("is_before"),
+        )
+    )
+    deaths = base.where(F.col("value") >= 5).select(
+        "user_id", "value", "ets", (F.col("ets") + h2).alias("mts"), F.lit(True).alias("is_before")
+    )
+    mutations = births.unionByName(deaths).select(
+        "user_id",
+        "value",
+        F.timestamp_millis("ets").alias("ts"),
+        F.timestamp_millis("mts").alias("mutation_ts"),
+        "is_before",
+        F.date_format(F.timestamp_millis("mts"), "yyyy-MM-dd").alias("ds"),
+    )
+    queries = _purchase_left(ev)
+    # snapshot partitions only for the days the queries read (qday - 1):
+    # rows live at END of that day (birth <= EOD, not yet reversed)
+    day_ms = 86_400_000
+    days = (
+        queries.select(
+            (to_millis(F.to_timestamp(F.date_trunc("day", F.col("ts")))) - day_ms).alias("d0")
+        )
+        .distinct()
+    )
+    versions = births.join(
+        deaths.select("user_id", "value", "ets", F.col("mts").alias("dmts")),
+        ["user_id", "value", "ets"],
+        "left",
+    ).select("user_id", "value", "ets", "mts", "dmts")
+    snapshots = (
+        versions.crossJoin(F.broadcast(days))
+        .where(
+            (F.col("mts") < F.col("d0") + day_ms)
+            & (F.col("dmts").isNull() | (F.col("dmts") >= F.col("d0") + day_ms))
+        )
+        .select(
+            "user_id",
+            "value",
+            F.timestamp_millis("ets").alias("ts"),
+            F.date_format(F.timestamp_millis("d0"), "yyyy-MM-dd").alias("ds"),
+        )
+    )
+    gb = GroupBy(
+        name="mut",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(W7D,)),
+            Aggregation(Op.SUM, "value", windows=(W7D,)),
+            Aggregation(Op.COUNT, "value"),
+        ],
+    )
+    out = temporal_entities(queries, snapshots, mutations, gb, left_time_column="ts")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("value_count_7d"),
+        _r(F.col("value_sum_7d")).alias("value_sum_7d"),
+        F.col("value_count"),
+    )
+
+
+SQL_MUTATIONS_TEMPORAL = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), log AS (
+  SELECT user_id, value, epoch_ms(ts) AS ets, epoch_ms(ts) AS mts, 1 AS sign FROM events
+  UNION ALL
+  SELECT user_id, value * 2, epoch_ms(ts), epoch_ms(ts) + 7200000, 1 FROM events WHERE value >= 5
+  UNION ALL
+  SELECT user_id, value, epoch_ms(ts), epoch_ms(ts) + 7200000, -1 FROM events WHERE value >= 5
+)
+SELECT q.user_id, q.ts_ms,
+       CAST(coalesce(sum(CASE WHEN m.ets < q.ts_ms AND m.ets >= {TAIL_7D}
+                              THEN m.sign END), 0) AS BIGINT) AS value_count_7d,
+       round(sum(CASE WHEN m.ets < q.ts_ms AND m.ets >= {TAIL_7D}
+                      THEN m.sign * m.value END), 3) AS value_sum_7d,
+       CAST(coalesce(sum(m.sign), 0) AS BIGINT) AS value_count
+FROM q LEFT JOIN log m ON m.user_id = q.user_id AND m.mts < q.ts_ms
+GROUP BY q.user_id, q.ts_ms
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -738,6 +843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
     "transcripts_backfill": q_transcripts_backfill,
+    "mutations_temporal": q_mutations_temporal,
 }
 
 ORACLES: dict[str, str] = {
@@ -759,6 +865,7 @@ ORACLES: dict[str, str] = {
     "lag_lead": SQL_LAG_LEAD,
     "sessionize": SQL_SESSIONIZE,
     "transcripts_backfill": SQL_TRANSCRIPTS_BACKFILL,
+    "mutations_temporal": SQL_MUTATIONS_TEMPORAL,
 }
 
 

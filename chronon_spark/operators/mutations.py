@@ -1,0 +1,194 @@
+"""Entity-mutation (CDC) temporal engine — point-in-time features over
+MUTABLE dimension tables.
+
+Reference semantics (spark/src/main/scala/ai/chronon/spark/GroupBy.scala
+L170-273 `temporalEntities`; aggregator/src/main/scala/ai/chronon/aggregator/
+windowing/SawtoothMutationAggregator.scala L40-216; tested by
+spark/src/test/scala/ai/chronon/spark/test/MutationsTest.scala):
+
+for a query at ``ts`` on day ``d``, the feature value aggregates the entity
+rows *as they existed at ts*:
+
+1. start from the end-of-day state of day ``d-1`` (the snapshot table's
+   partition ``d-1``, whose span ends at midnight of ``d``);
+2. roll forward the day-``d`` mutation rows with ``mutation_ts < ts``
+   (STRICT — a mutation at exactly the query instant is not yet visible):
+   insert rows (``is_before = false``) update the IR, reversal rows
+   (``is_before = true``) DELETE their contribution;
+3. windowed aggregations additionally mask every contribution by the row's
+   own event time: ``sawtooth_tail(ts, w) <= row.ts < ts``
+   (SawtoothMutationAggregator.updateIr L113-128: ``row.ts >=
+   round(queryTs - w, hop) && row.ts < queryTs``); unwindowed (lifetime)
+   aggregations apply no event-time mask at all (``window == null ||
+   rowInWindow``).
+
+Spark-first design — no RDD cogroup, no mutable IR objects. Deletable
+operations (COUNT / SUM / AVERAGE / VARIANCE — the reference's abelian-group
+IRs, aggregator/.../row/ColumnAggregator.scala `delete`) are *signed sums*,
+so both phases collapse into one declarative plan:
+
+    contributions = (snapshot rows of day d-1, sign +1)
+                  UNION (day-d mutations with mutation_ts < ts,
+                         sign -1 for reversals else +1)
+    feature       = groupBy(keys, ts).agg( SUM(sign [* value] [mask]) )
+
+The snapshot side is a pure equi-join on (keys, day) — no range join, no
+per-key fan-out beyond the entity's live rows. The mutation side carries the
+``mutation_ts < ts`` predicate *inside* a (keys, day) equi-join, so the
+range comparison is confined to one key-day cell (bounded by a day's
+mutation volume — the same day-bounded shape as the reference's per-day
+cogroup; a pathologically hot key-day can be salted upstream like any other
+skewed aggregation).
+
+The reference's tailBufferMillis / collapsed-vs-tail-hop IR split
+(SawtoothMutationAggregator L62-104) is a memory layout for shipping IRs to
+a KV store; the *semantics* it implements is exactly the event-time mask of
+step 3, which this plan applies directly per (query, window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chronon_spark.api import Aggregation, GroupBy, Op
+from chronon_spark.plans import windows as W
+
+QTS = "__q_ts_ms"  # query-time long millis
+ETS = "__e_ts_ms"  # entity-row event-time long millis
+MTS = "__m_ts_ms"  # mutation-time long millis (NULL for snapshot rows)
+SGN = "__sign"  # +1 insert / snapshot, -1 reversal
+QDAY = "__q_day_ms"  # midnight (day start) of the query's day
+DAY_MS = W.MS_PER_DAY
+
+# the reference's deletable aggregators (abelian-group IRs that support
+# `delete`): only these may be used over a mutation source
+# (aggregator/.../row/ColumnAggregator.scala sum/count/average/variance
+# deletable dispatch; Analyzer rejects the rest for mutation sources)
+DELETABLE_OPS = {Op.COUNT, Op.SUM, Op.AVERAGE, Op.VARIANCE}
+
+
+def _signed_agg(a: Aggregation, w, value: Column, ets: Column, qts: Column, sign: Column) -> Column:
+    """One signed aggregate for (op, window): contributions inside the
+    event-time window (windowed ops) with reversal rows subtracting."""
+    if w is None:
+        mask = F.lit(True)  # lifetime: mutation visibility only, no ETS mask
+    else:
+        mask = (ets < qts) & (ets >= W.sawtooth_tail(qts, w))
+    op = a.operation
+    v = F.when(mask, value)
+    s = F.when(mask & value.isNotNull(), sign)
+    if op == Op.COUNT:
+        return F.coalesce(F.sum(s), F.lit(0)).cast("long")
+    if op == Op.SUM:
+        return F.sum(v * sign)
+    if op == Op.AVERAGE:
+        n = F.sum(s)
+        return F.when(n > 0, F.sum(v * sign) / n)
+    if op == Op.VARIANCE:
+        d = v.cast("double")
+        n, sm, sq = F.sum(s), F.sum(d * sign), F.sum(d * d * sign)
+        return F.when(n > 0, sq / n - (sm / n) * (sm / n))
+    raise ValueError(
+        f"{op} is not deletable — mutation (CDC) sources support only {sorted(o.value for o in DELETABLE_OPS)}"
+    )
+
+
+def temporal_entities(
+    queries: DataFrame,
+    snapshots: DataFrame,
+    mutations: DataFrame,
+    gb: GroupBy,
+    left_time_column: str | None = None,
+    ds_column: str = "ds",
+    mutation_time_column: str = "mutation_ts",
+    reversal_column: str = "is_before",
+) -> DataFrame:
+    """Point-in-time features over a mutable entity source.
+
+    ``queries``   — left rows: gb.keys + a timestamp column.
+    ``snapshots`` — daily end-of-day state: gb.keys + input columns +
+                    gb.time_column (the row's event time) + ``ds_column``;
+                    partition ``ds`` holds the rows live at the END of ds.
+    ``mutations`` — CDC log: same columns as snapshots plus
+                    ``mutation_time_column`` and boolean ``reversal_column``
+                    (true = before-image / delete); partitioned by the
+                    mutation's day in ``ds_column``.
+
+    Returns the query rows + one feature column per (aggregation, window).
+    Duplicate query rows are preserved (aggregate on distinct (keys, ts),
+    fan back out — same contract as temporal_events).
+    """
+    for a in gb.aggregations:
+        if a.operation not in DELETABLE_OPS:
+            raise ValueError(
+                f"{a.operation} is not deletable; mutation sources support "
+                f"only {sorted(o.value for o in DELETABLE_OPS)}"
+            )
+    keys = gb.keys
+    ltc = left_time_column or gb.time_column
+    left_n = queries.withColumn(QTS, W.to_millis(F.col(ltc)))
+    q = (
+        left_n.select(*keys, QTS)
+        .distinct()
+        .withColumn(QDAY, F.col(QTS) - F.pmod(F.col(QTS), F.lit(DAY_MS)))
+    )
+
+    inputs = sorted({a.input_column for a in gb.aggregations})
+    day_of_ds = W.to_millis(F.to_timestamp(F.col(ds_column)))
+
+    # snapshot partition d covers state up to midnight of d+1 == the query's
+    # own midnight (the reference's shifted end_of_day_ds join,
+    # GroupBy.scala:207-213)
+    snap = snapshots.select(
+        *keys,
+        *inputs,
+        W.to_millis(F.col(gb.time_column)).alias(ETS),
+        (day_of_ds + F.lit(DAY_MS)).alias(QDAY),
+        F.lit(None).cast("long").alias(MTS),
+        F.lit(1).alias(SGN),
+    )
+    mut = mutations.select(
+        *keys,
+        *inputs,
+        W.to_millis(F.col(gb.time_column)).alias(ETS),
+        day_of_ds.alias(QDAY),
+        W.to_millis(F.col(mutation_time_column)).alias(MTS),
+        F.when(F.col(reversal_column), F.lit(-1)).otherwise(F.lit(1)).alias(SGN),
+    )
+
+    def _joined(contrib: DataFrame, extra: Column | None) -> DataFrame:
+        c = contrib.select(
+            *[F.col(k).alias(f"__e_{k}") for k in keys],
+            F.col(QDAY).alias("__e_qday"),
+            ETS,
+            MTS,
+            SGN,
+            *inputs,
+        )
+        cond = F.col(QDAY) == F.col("__e_qday")
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__e_{k}"))
+        if extra is not None:
+            cond = cond & extra
+        return q.join(c, cond, "inner").select(*keys, QTS, ETS, MTS, SGN, *inputs)
+
+    snap_j = _joined(snap, None)
+    # STRICT visibility: a mutation at exactly the query instant is unseen
+    # (lambdaAggregateIrMany: `sortedInputs(inputIdx).mutationTs < queryTs`)
+    mut_j = _joined(mut, F.col(MTS) < F.col(QTS))
+    contribs = snap_j.unionByName(mut_j)
+
+    exprs = []
+    for a in gb.aggregations:
+        for w, _ in a.unpacked():
+            exprs.append(
+                _signed_agg(
+                    a, w, F.col(a.input_column), F.col(ETS), F.col(QTS), F.col(SGN)
+                ).alias(a.output_name(w, None))
+            )
+    feat = q.join(contribs, [*keys, QTS], "left_outer").groupBy(*keys, QTS).agg(*exprs)
+    out = left_n.join(feat, [*keys, QTS], "left").drop(QTS)
+    if gb.derivations:
+        out = out.select("*", *[F.expr(e).alias(n) for n, e in gb.derivations.items()])
+    return out

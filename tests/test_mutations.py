@@ -1,0 +1,245 @@
+"""Entity-mutation (CDC) temporal engine tests — the reference's
+MutationsTest pattern (spark/src/test/scala/ai/chronon/spark/test/
+MutationsTest.scala): hand-crafted snapshot + insert/reversal rows with
+before/after assertions at exact boundaries, plus a differential check of
+the snapshot/day-mutation decomposition against a full-log signed oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api import Aggregation, GroupBy, Op, TimeUnit, Window
+from chronon_spark.operators.mutations import temporal_entities
+
+H = 3_600_000
+DAY10 = 1704844800000  # 2024-01-10 00:00:00 UTC
+DAY11 = DAY10 + 24 * H
+
+
+def _ts(ms):
+    return F.timestamp_millis(F.lit(ms))
+
+
+@pytest.fixture(scope="module")
+def cdc(spark):
+    # snapshot partition 2024-01-10: entity state at END of Jan 10
+    snap = spark.createDataFrame(
+        [
+            ("a", 10.0, DAY10 + 8 * H, "2024-01-10"),
+            ("a", 20.0, DAY10 + 9 * H, "2024-01-10"),
+            ("b", 5.0, DAY10 - 1 * H, "2024-01-10"),
+        ],
+        "k string, v double, ets long, ds string",
+    ).select("k", "v", F.timestamp_millis("ets").alias("ts"), "ds")
+    # day-11 mutations: one insert, one reversal of a snapshot row, one
+    # insert on the other key
+    mut = spark.createDataFrame(
+        [
+            ("a", 30.0, DAY11 + 10 * H, DAY11 + 10 * H, False, "2024-01-11"),
+            ("a", 20.0, DAY10 + 9 * H, DAY11 + 11 * H, True, "2024-01-11"),
+            ("b", 7.0, DAY11 + 12 * H, DAY11 + 12 * H, False, "2024-01-11"),
+        ],
+        "k string, v double, ets long, mts long, is_before boolean, ds string",
+    ).select(
+        "k",
+        "v",
+        F.timestamp_millis("ets").alias("ts"),
+        F.timestamp_millis("mts").alias("mutation_ts"),
+        "is_before",
+        "ds",
+    )
+    return snap, mut
+
+
+def _run(spark, cdc, queries_ms, aggs):
+    snap, mut = cdc
+    q = spark.createDataFrame(queries_ms, "k string, qts long").select(
+        "k", F.timestamp_millis("qts").alias("ts"), F.col("qts")
+    )
+    gb = GroupBy(name="m", keys=["k"], aggregations=aggs)
+    out = temporal_entities(q, snap, mut, gb, left_time_column="ts")
+    return {(r["k"], r["qts"]): r for r in out.collect()}
+
+
+def test_mutation_visibility_boundaries(spark, cdc):
+    aggs = [Aggregation(Op.COUNT, "v"), Aggregation(Op.SUM, "v")]
+    rows = _run(
+        spark,
+        cdc,
+        [
+            ("a", DAY11 + 9 * H),  # before any day-11 mutation
+            ("a", DAY11 + 10 * H),  # AT the insert instant: not yet visible
+            ("a", DAY11 + 10 * H + 1),  # just after: visible
+            ("a", DAY11 + 11 * H + 1),  # after the reversal: 20 deleted
+            ("b", DAY11 + 13 * H),
+        ],
+        aggs,
+    )
+    assert rows[("a", DAY11 + 9 * H)]["v_count"] == 2
+    assert rows[("a", DAY11 + 9 * H)]["v_sum"] == 30.0
+    # strict <: mutation at exactly query ts is unseen
+    assert rows[("a", DAY11 + 10 * H)]["v_count"] == 2
+    assert rows[("a", DAY11 + 10 * H + 1)]["v_count"] == 3
+    assert rows[("a", DAY11 + 10 * H + 1)]["v_sum"] == 60.0
+    # reversal deletes the snapshot row's contribution
+    assert rows[("a", DAY11 + 11 * H + 1)]["v_count"] == 2
+    assert rows[("a", DAY11 + 11 * H + 1)]["v_sum"] == 40.0
+    assert rows[("b", DAY11 + 13 * H)]["v_count"] == 2
+    assert rows[("b", DAY11 + 13 * H)]["v_sum"] == 12.0
+
+
+def test_windowed_mutation_mask(spark, cdc):
+    """Windowed aggs mask contributions by the ROW's event time with the
+    sawtooth tail (1d window -> 1h hop), independent of mutation time."""
+    w1d = (Window(1, TimeUnit.DAYS),)
+    rows = _run(
+        spark,
+        cdc,
+        [("a", DAY11 + 9 * H), ("a", DAY11 + 11 * H + 30 * 60000)],
+        [Aggregation(Op.COUNT, "v", windows=w1d), Aggregation(Op.SUM, "v", windows=w1d)],
+    )
+    # q = Jan11 09:00, tail = Jan10 09:00: row@08:00 out, row@09:00 in
+    assert rows[("a", DAY11 + 9 * H)]["v_count_1d"] == 1
+    assert rows[("a", DAY11 + 9 * H)]["v_sum_1d"] == 20.0
+    # q = Jan11 11:30, tail = Jan10 11:00: both snapshot rows out of window;
+    # the reversal of row@09:00 is also masked out (no double-delete);
+    # insert@Jan11 10:00 in window
+    k = ("a", DAY11 + 11 * H + 30 * 60000)
+    assert rows[k]["v_count_1d"] == 1
+    assert rows[k]["v_sum_1d"] == 30.0
+
+
+def test_average_variance_and_empty(spark, cdc):
+    rows = _run(
+        spark,
+        cdc,
+        [("a", DAY11 + 12 * H), ("c", DAY11 + 12 * H)],
+        [
+            Aggregation(Op.AVERAGE, "v"),
+            Aggregation(Op.VARIANCE, "v"),
+            Aggregation(Op.COUNT, "v"),
+        ],
+    )
+    # a @12:00: rows {10, 30} -> avg 20, var_pop 100
+    assert rows[("a", DAY11 + 12 * H)]["v_average"] == pytest.approx(20.0)
+    assert rows[("a", DAY11 + 12 * H)]["v_variance"] == pytest.approx(100.0)
+    # unseen key: count 0, avg null
+    assert rows[("c", DAY11 + 12 * H)]["v_count"] == 0
+    assert rows[("c", DAY11 + 12 * H)]["v_average"] is None
+
+
+def test_non_deletable_op_rejected(spark, cdc):
+    snap, mut = cdc
+    q = spark.createDataFrame([("a", DAY11)], "k string, qts long").select(
+        "k", F.timestamp_millis("qts").alias("ts")
+    )
+    gb = GroupBy(name="m", keys=["k"], aggregations=[Aggregation(Op.LAST, "v")])
+    with pytest.raises(ValueError, match="not deletable"):
+        temporal_entities(q, snap, mut, gb, left_time_column="ts")
+
+
+def test_decomposition_matches_full_log_oracle(spark, events):
+    """Differential: snapshot + day-mutation decomposition over a CDC log
+    synthesized from the events table must equal the full-log signed scan
+    (every insert with mts < q minus every reversal with mts < q)."""
+    h2 = 7_200_000
+    ems = F.unix_millis(F.col("ts"))
+    base = events.select("user_id", "value", ems.alias("ets"))
+    # every event inserts its value at its ts; values >= 5 are corrected 2h
+    # later (reversal of the original + insert of value*2, same row ts)
+    births = base.select(
+        "user_id", "value", "ets", F.col("ets").alias("mts"), F.lit(False).alias("is_before")
+    ).unionByName(
+        base.where(F.col("value") >= 5).select(
+            "user_id",
+            (F.col("value") * 2).alias("value"),
+            "ets",
+            (F.col("ets") + h2).alias("mts"),
+            F.lit(False).alias("is_before"),
+        )
+    )
+    deaths = base.where(F.col("value") >= 5).select(
+        "user_id", "value", "ets", (F.col("ets") + h2).alias("mts"), F.lit(True).alias("is_before")
+    )
+    log = births.unionByName(deaths)
+    mutations = log.select(
+        "user_id",
+        "value",
+        F.timestamp_millis("ets").alias("ts"),
+        F.timestamp_millis("mts").alias("mutation_ts"),
+        "is_before",
+        F.date_format(F.timestamp_millis("mts"), "yyyy-MM-dd").alias("ds"),
+    )
+    # snapshot partitions: for each day D present in the log, the rows live
+    # at END of D = births with mts <= end(D) not reversed by then
+    days = (
+        mutations.select(
+            F.unix_millis(F.to_timestamp(F.date_trunc("day", F.col("mutation_ts")))).alias("d0")
+        )
+        .distinct()
+    )
+    versions = (
+        births.alias("b")
+        .join(
+            deaths.select("user_id", "value", "ets", F.col("mts").alias("dmts")).alias("d"),
+            ["user_id", "value", "ets"],
+            "left",
+        )
+        .select("user_id", "value", "ets", "mts", "dmts")
+    )
+    snapshots = (
+        versions.crossJoin(F.broadcast(days))
+        .where(
+            (F.col("mts") < F.col("d0") + 86_400_000)
+            & (F.col("dmts").isNull() | (F.col("dmts") >= F.col("d0") + 86_400_000))
+        )
+        .select(
+            "user_id",
+            "value",
+            F.timestamp_millis("ets").alias("ts"),
+            F.date_format(F.timestamp_millis("d0"), "yyyy-MM-dd").alias("ds"),
+        )
+    )
+    queries = (
+        events.where(F.col("event_type") == "purchase").select("user_id", "ts").distinct()
+    )
+    gb = GroupBy(
+        name="m",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(Window(7, TimeUnit.DAYS),)),
+            Aggregation(Op.SUM, "value", windows=(Window(7, TimeUnit.DAYS),)),
+            Aggregation(Op.COUNT, "value"),
+        ],
+    )
+    got = temporal_entities(queries, snapshots, mutations, gb, left_time_column="ts")
+
+    # oracle: single signed scan of the whole log (no snapshot split)
+    from chronon_spark.plans.windows import sawtooth_tail
+
+    qts = F.unix_millis(F.col("q.ts"))
+    signed_log = log.withColumn("sign", F.when(F.col("is_before"), -1).otherwise(1))
+    o = queries.alias("q").join(
+        signed_log.alias("m"),
+        (F.col("m.user_id") == F.col("q.user_id")) & (F.col("m.mts") < qts),
+        "left",
+    )
+    w7 = Window(7, TimeUnit.DAYS)
+    in7 = (F.col("ets") < qts) & (F.col("ets") >= sawtooth_tail(qts, w7))
+    oracle = o.groupBy(F.col("q.user_id").alias("user_id"), F.col("q.ts").alias("ts")).agg(
+        F.coalesce(F.sum(F.when(in7, F.col("sign"))), F.lit(0)).cast("long").alias("value_count_7d"),
+        F.sum(F.when(in7, F.col("value") * F.col("sign"))).alias("value_sum_7d"),
+        F.coalesce(F.sum("sign"), F.lit(0)).cast("long").alias("value_count"),
+    )
+    cols = ["user_id", "ts", "value_count_7d", "value_sum_7d", "value_count"]
+    a = {
+        (r[0], r[1], r[2], None if r[3] is None else round(r[3], 6), r[4])
+        for r in got.select(*cols).collect()
+    }
+    b = {
+        (r[0], r[1], r[2], None if r[3] is None else round(r[3], 6), r[4])
+        for r in oracle.select(*cols).collect()
+    }
+    assert a == b
