@@ -542,13 +542,21 @@ def snapshot_events(
     end_ds: str | None = None,
     tiebreak: str | None = None,
 ) -> DataFrame:
-    """End-of-day features per (key, ds) for every day in [start_ds, end_ds].
+    """End-of-day features per (key, ds) for the days each key is COVERED.
 
     Window semantics: an N-day window at partition ds covers
     ``[epoch(ds)+1d - N, epoch(ds)+1d)`` — N whole days ending at the end of
-    ds (reference oracle GroupByTest.scala:57-66,109-121). Output has one row
-    per key x day over the full grid (features carry forward through
-    event-less days via the trailing windows).
+    ds (reference oracle GroupByTest.scala:57-66,109-121).
+
+    Output rows: NOT the full key x day grid. A key emits a row for day d
+    only while some window can still observe one of its events — each active
+    day extended forward by ceil(max_window/1d)-1 days; with any unwindowed
+    (lifetime) aggregation, every day from the key's first event to the
+    range end. This mirrors the reference's "filter out if all the IRs are
+    null" (GroupBy.scala:155-160: fully-null rows are never emitted) and is
+    what makes the plan scale: the grid is proportional to the non-null
+    OUTPUT, not keys x days (at 10^6 keys x 365 days the full grid
+    materializes billions of rows that are immediately discarded).
     """
     ev = _normalize_events(events, gb, tiebreak)
     if start_ds is None or end_ds is None:
@@ -566,14 +574,34 @@ def snapshot_events(
 
         start_ms = _utc_ms(start_ds)
         end_ms = _utc_ms(end_ds)
-    days = F.sequence(F.lit(start_ms), F.lit(end_ms), F.lit(DAY_MS))
-    grid = (
-        ev.select(*gb.keys)
-        .distinct()
-        .select("*", F.explode(days).alias("__day_ms"))
-        # snapshot-as-of-ds == temporal query at next midnight (end of ds)
-        .withColumn(QTS, F.col("__day_ms") + F.lit(DAY_MS))
-    )
+    max_w = gb.max_window_millis()
+    ev_day = F.col(ETS) - F.pmod(F.col(ETS), F.lit(DAY_MS))
+    if max_w is None:
+        # lifetime aggregations carry forward indefinitely: cover every day
+        # from the key's first event through the end of the range
+        firsts = ev.groupBy(*gb.keys).agg(F.min(ev_day).alias("__d0"))
+        span = F.sequence(
+            F.greatest(F.col("__d0"), F.lit(start_ms)), F.lit(end_ms), F.lit(DAY_MS)
+        )
+        grid = firsts.where(F.col("__d0") <= end_ms).select(
+            *gb.keys, F.explode(span).alias("__day_ms")
+        )
+    else:
+        # an event at t is observable at EODs in (t, t + max_w]: its own day
+        # plus at most ceil(max_w/1d) - 1 following days
+        ext_days = max(0, -(-max_w // DAY_MS) - 1)
+        span = F.sequence(
+            F.col("__d0"), F.col("__d0") + F.lit(ext_days * DAY_MS), F.lit(DAY_MS)
+        )
+        grid = (
+            ev.select(*gb.keys, ev_day.alias("__d0"))
+            .distinct()
+            .select(*gb.keys, F.explode(span).alias("__day_ms"))
+            .where((F.col("__day_ms") >= start_ms) & (F.col("__day_ms") <= end_ms))
+            .distinct()
+        )
+    # snapshot-as-of-ds == temporal query at next midnight (end of ds)
+    grid = grid.withColumn(QTS, F.col("__day_ms") + F.lit(DAY_MS))
     gb_snap = GroupBy(
         name=gb.name,
         keys=gb.keys,
