@@ -483,6 +483,23 @@ def _hop_aligned(a: Aggregation) -> bool:
     return all(w.millis % w.tail_hop_millis() == 0 for w in a.windows)
 
 
+def _presence_window_aligned(gb: GroupBy):
+    """The bucket-presence auxiliary window (largest window across the whole
+    GroupBy, or None for lifetime) — False when it exists but is not
+    hop-aligned (then the tiled map passes cannot replicate the exact
+    presence bound and must fall back)."""
+    w_max = None
+    for a in gb.aggregations:
+        if a.windows is None:
+            return None
+        for w in a.windows:
+            if w_max is None or w.millis > w_max.millis:
+                w_max = w
+    if w_max is not None and w_max.millis % w_max.tail_hop_millis() != 0:
+        return False
+    return w_max
+
+
 def temporal_events(
     left: DataFrame,
     events: DataFrame,
@@ -523,10 +540,33 @@ def temporal_events(
                 parts.append(_temporal_pass_exact(q, ev, gb, rest, tiebreak))
         else:
             parts.append(_temporal_pass_exact(q, ev, gb, direct, tiebreak))
+    def _tiled_maps() -> bool:
+        if strategy not in ("sliding", "auto"):
+            return False
+        from chronon_spark.plans.sliding import SLIDING_OPS
+
+        w_aux = _presence_window_aligned(gb)
+        return w_aux is not False and all(
+            a.operation in SLIDING_OPS and _hop_aligned(a)
+            for aggs in bucketed.values()
+            for a in aggs
+        )
+
+    use_tiled_maps = (bucketed or mapops) and _tiled_maps()
     for bcol, aggs in bucketed.items():
-        parts.append(_bucket_pass(q, ev, gb, bcol, aggs, tiebreak))
+        if use_tiled_maps:
+            from chronon_spark.plans.sliding import bucketed_pass_sliding
+
+            parts.append(bucketed_pass_sliding(q, ev, gb, bcol, aggs, tiebreak))
+        else:
+            parts.append(_bucket_pass(q, ev, gb, bcol, aggs, tiebreak))
     for a in mapops:
-        parts.append(_histogram_pass(q, ev, gb, a, tiebreak))
+        if use_tiled_maps and _hop_aligned(a):
+            from chronon_spark.plans.sliding import histogram_pass_sliding
+
+            parts.append(histogram_pass_sliding(q, ev, gb, a, tiebreak))
+        else:
+            parts.append(_histogram_pass(q, ev, gb, a, tiebreak))
 
     feat = parts[0]
     for p in parts[1:]:

@@ -316,3 +316,133 @@ def temporal_pass_sliding(
         final_cols.append(combine_and_finalize(a, prefixes).alias(a.output_name(w, None)))
     feature_names = [a.output_name(w, None) for a, w in pairs]
     return out.select(*gb.keys, QTS, *final_cols).select(*gb.keys, QTS, *feature_names)
+
+
+# ---------------------------------------------------------------------------
+# bucketed + HISTOGRAM tiled passes
+#
+# A bucketed aggregation is the same sliding computation with the bucket
+# column appended to the group keys (reference BucketedColumnAggregator:
+# a map of per-bucket IRs == per-(key, bucket) IR rows), followed by map
+# assembly per (keys, query_ts). HISTOGRAM is the degenerate case where the
+# bucket IS the input column and the op is COUNT. This kills the remaining
+# hot-key quadratic path: a 60k-turn conversation with bucketed features no
+# longer range-joins its queries against its raw events.
+# ---------------------------------------------------------------------------
+
+
+def _strip(a: Aggregation, op: Op | None = None, input_column: str | None = None) -> Aggregation:
+    """Bucket-free clone (optionally overriding op/input) so unpacked() does
+    not explode per-bucket — the bucket lives in the group keys instead."""
+    return Aggregation(
+        operation=op or a.operation,
+        input_column=input_column or a.input_column,
+        windows=a.windows,
+        k=a.k,
+        percentiles=a.percentiles,
+        lg_k=a.lg_k,
+    )
+
+
+def _presence_window(gb: GroupBy):
+    """The exact bucket pass keeps a (key, qts, bucket) group iff any event
+    with a non-null bucket falls in [least_tail(qts), qts) where least_tail
+    is the sawtooth tail of the LARGEST window across the whole GroupBy
+    (tails are monotone nonincreasing in window length since coarser hops
+    floor lower); None when any aggregation is unwindowed (unbounded scan).
+    The sliding pass replicates presence with an auxiliary COUNT over this
+    window."""
+    w_max = None
+    for a in gb.aggregations:
+        if a.windows is None:
+            return None
+        for w in a.windows:
+            if w_max is None or w.millis > w_max.millis:
+                w_max = w
+    return w_max
+
+
+def bucketed_pass_sliding(
+    q: DataFrame,
+    ev: DataFrame,
+    gb: GroupBy,
+    bucket_col: str,
+    aggs: list[Aggregation],
+    tiebreak: str | None,
+) -> DataFrame:
+    """Map[bucket -> agg] features via the sliding estimator. Must be
+    row-identical to groupby._bucket_pass (asserted by tests)."""
+    keys = gb.keys
+    w_aux = _presence_window(gb)
+    aux = Aggregation(Op.COUNT, bucket_col, windows=(w_aux,) if w_aux else None)
+    stripped = [_strip(a) for a in aggs]
+    names = {id(s): [(w, s.output_name(w, None)) for w, _ in s.unpacked()] for s in stripped}
+    aux_name = aux.output_name(w_aux, None)
+    run = list(stripped)
+    if aux_name not in {n for outs in names.values() for _, n in outs}:
+        run.append(aux)
+
+    gb2 = GroupBy(
+        name=gb.name, keys=[*keys, bucket_col], aggregations=run, time_column=gb.time_column
+    )
+    buckets = ev.where(F.col(bucket_col).isNotNull()).select(*keys, bucket_col).distinct()
+    q2 = q.join(buckets, keys, "inner").select(*keys, bucket_col, QTS).distinct()
+    per_bucket = temporal_pass_sliding(q2, ev.where(F.col(bucket_col).isNotNull()), gb2, run, tiebreak)
+    present = per_bucket.where(F.col(aux_name) > 0)
+
+    entries = []
+    for a, s in zip(aggs, stripped):
+        for w, n in names[id(s)]:
+            entries.append(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(bucket_col).alias("k"), F.col(n).alias("v"))
+                        )
+                    )
+                ).alias(a.output_name(w, bucket_col))
+            )
+    return present.groupBy(*keys, QTS).agg(*entries)
+
+
+def histogram_pass_sliding(
+    q: DataFrame, ev: DataFrame, gb: GroupBy, agg: Aggregation, tiebreak: str | None
+) -> DataFrame:
+    """HISTOGRAM / APPROX_HISTOGRAM_K via sliding tiles: per-(keys, value)
+    windowed COUNTs then Map[value -> count] assembly with per-window
+    presence (count > 0) and optional top-k truncation. Row-identical to
+    groupby._histogram_pass."""
+    keys = gb.keys
+    vcol = agg.input_column
+    counts = [_strip(agg, op=Op.COUNT, input_column=vcol)]
+    gb2 = GroupBy(
+        name=gb.name, keys=[*keys, vcol], aggregations=counts, time_column=gb.time_column
+    )
+    values = ev.where(F.col(vcol).isNotNull()).select(*keys, vcol).distinct()
+    q2 = q.join(values, keys, "inner").select(*keys, vcol, QTS).distinct()
+    per_value = temporal_pass_sliding(
+        q2, ev.where(F.col(vcol).isNotNull()), gb2, counts, tiebreak
+    )
+
+    exprs = []
+    for w, _ in agg.unpacked():
+        n = F.col(counts[0].output_name(w, None))
+        ent = F.collect_list(
+            F.when(n > 0, F.struct(F.col(vcol).cast("string").alias("k"), n.alias("v")))
+        )
+        if agg.operation == Op.APPROX_HISTOGRAM_K and agg.k:
+            ranked = F.reverse(
+                F.array_sort(
+                    F.transform(ent, lambda s: F.struct(s["v"].alias("v"), s["k"].alias("k")))
+                )
+            )
+            topk = F.slice(ranked, 1, agg.k)
+            ent = F.array_sort(
+                F.transform(topk, lambda s: F.struct(s["k"].alias("k"), s["v"].alias("v")))
+            )
+        else:
+            ent = F.array_sort(ent)
+        exprs.append(
+            F.when(F.size(ent) > 0, F.map_from_entries(ent)).alias(agg.output_name(w, None))
+        )
+    return per_value.groupBy(*keys, QTS).agg(*exprs)

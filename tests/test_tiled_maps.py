@@ -1,0 +1,101 @@
+"""Tiled (sliding) bucketed + HISTOGRAM passes must be value-identical to
+the exact range-join passes — the differential guarantee that lets the
+router send hot-key bucketed features down the skew-proof plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chronon_spark.api import Aggregation, GroupBy, Op, TimeUnit, Window
+from chronon_spark.operators.groupby import temporal_events
+
+W7D = (Window(7, TimeUnit.DAYS),)
+W1D = (Window(1, TimeUnit.DAYS),)
+
+
+def _left(events):
+    return events.where(F.col("event_type") == "purchase").select("user_id", "ts").distinct()
+
+
+def _rows(df, cols):
+    def c(v):
+        if isinstance(v, dict):
+            return tuple(sorted((k, round(x, 9) if isinstance(x, float) else x) for k, x in v.items()))
+        if isinstance(v, float):
+            return round(v, 9)
+        return v
+
+    return sorted([tuple(c(r[x]) for x in cols) for r in df.collect()], key=repr)
+
+
+def _compare(events, gb, cols):
+    left = _left(events)
+    a = temporal_events(left, events, gb, tiebreak="event_id", strategy="exact")
+    b = temporal_events(left, events, gb, tiebreak="event_id", strategy="sliding")
+    ra, rb = _rows(a, cols), _rows(b, cols)
+    assert ra == rb, f"first diff: {next((x, y) for x, y in zip(ra, rb) if x != y)}"
+
+
+def test_bucketed_sliding_equals_exact_windowed(spark, events):
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=W7D, buckets=("event_type",)),
+            Aggregation(Op.SUM, "value", windows=W1D, buckets=("event_type",)),
+        ],
+    )
+    _compare(
+        events,
+        gb,
+        ["user_id", "ts", "value_count_7d_by_event_type", "value_sum_1d_by_event_type"],
+    )
+
+
+def test_bucketed_sliding_equals_exact_lifetime_mix(spark, events):
+    """A lifetime aggregation in the GroupBy widens the presence bound to
+    unbounded — the sliding pass must reproduce that too."""
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value"),
+            Aggregation(Op.SUM, "value", windows=W7D, buckets=("event_type",)),
+        ],
+    )
+    _compare(events, gb, ["user_id", "ts", "value_count", "value_sum_7d_by_event_type"])
+
+
+def test_histogram_sliding_equals_exact(spark, events):
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.HISTOGRAM, "event_type", windows=W7D)],
+    )
+    _compare(events, gb, ["user_id", "ts", "event_type_histogram_7d"])
+
+
+def test_approx_histogram_k_sliding_equals_exact(spark, events):
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.APPROX_HISTOGRAM_K, "event_type", windows=W7D, k=2)],
+    )
+    _compare(events, gb, ["user_id", "ts", "event_type_approx_histogram2_7d"])
+
+
+def test_bucketed_unaligned_window_falls_back(spark, events):
+    """An unaligned minute window anywhere in the GroupBy must force the
+    exact map passes (router guard) — and still be correct."""
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(Window(7, TimeUnit.MINUTES),), buckets=("event_type",)),
+        ],
+    )
+    left = _left(events).limit(100)
+    auto = temporal_events(left, events, gb, tiebreak="event_id")
+    exact = temporal_events(left, events, gb, tiebreak="event_id", strategy="exact")
+    cols = ["user_id", "ts", "value_count_7m_by_event_type"]
+    assert _rows(auto, cols) == _rows(exact, cols)
