@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SMALL_MODE_CUTOFF = 5_000  # reference spark.chronon.backfill.small_mode_cutoff
+BLOOM_THRESHOLD = 1_000_000  # reference spark.chronon.backfill.bloomfilter.threshold
 
 
 def filter_skew_keys(df: DataFrame, skew_keys: dict[str, list]) -> DataFrame:
@@ -27,19 +28,107 @@ def filter_skew_keys(df: DataFrame, skew_keys: dict[str, list]) -> DataFrame:
     return df
 
 
-def semi_join_reduce(
-    right: DataFrame, left: DataFrame, keys: list[str], cutoff: int = SMALL_MODE_CUTOFF
+def _bloom_m(n_keys: int, bits_per_key: int) -> int:
+    m = 64
+    while m < n_keys * bits_per_key:
+        m <<= 1
+    return m
+
+
+def bloom_filter_reduce(
+    right: DataFrame,
+    left: DataFrame,
+    keys: list[str],
+    n_keys: int | None = None,
+    bits_per_key: int = 8,
+    k_hashes: int = 5,
 ) -> DataFrame:
-    """Reduce ``right`` to rows whose keys appear on ``left`` before an
-    expensive join/agg. Small key sets become literal IN-lists (pushed into
-    the parquet scan as PushedFilters); larger ones a broadcast LEFT SEMI."""
+    """Approximate semi-join prefilter: keep right rows whose keys MIGHT be
+    on the left (superset — false positives at ~fpp, NEVER false negatives).
+
+    The reference builds a driver-side Guava bloom over left keys and ships
+    a mightContain UDF (spark/.../Extensions.scala:179-223, threshold
+    TableUtils.scala:296-305). Here the bloom is built *distributed* and
+    checked with pure Column expressions: k xxhash64(key, seed) positions
+    into an m-bit bitmap packed as map<word_idx, long> via bit_or, collapsed
+    to ONE row and broadcast. A 10^8-key bloom at 8 bits/key is ~100 MB —
+    an order of magnitude smaller than broadcasting the distinct key set —
+    and the probe is k map lookups + bitwise ANDs, fully codegen'd.
+    """
+    distinct_keys = left.select(*keys).distinct()
+    if n_keys is None:
+        n_keys = distinct_keys.count()
+    m = _bloom_m(max(n_keys, 1), bits_per_key)
+
+    def _positions(df_keys: list[str]) -> list[Column]:
+        cols = [F.col(c) for c in df_keys]
+        return [F.pmod(F.xxhash64(*cols, F.lit(i)), F.lit(m)) for i in range(k_hashes)]
+
+    ex = distinct_keys.select(F.explode(F.array(*_positions(keys))).alias("p"))
+    words = (
+        ex.select(
+            (F.col("p") / F.lit(64)).cast("long").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w").alias("k"), F.col("bits").alias("v")))
+        ).alias("__bloom")
+    )
+    out = right.crossJoin(F.broadcast(bloom))
+    cond = F.lit(True)
+    for p in _positions(keys):
+        w = (p / F.lit(64)).cast("long")
+        word = F.element_at(F.col("__bloom"), w)  # NULL when no bit set there
+        hit = word.bitwiseAND(_shiftleft_dyn(p % F.lit(64))) != 0
+        cond = cond & F.coalesce(hit, F.lit(False))
+    return out.where(cond).drop("__bloom")
+
+
+def _shiftleft_dyn(amount: Column) -> Column:
+    """shiftleft(1L, amount) with a COLUMN shift amount (the pyspark
+    functions API only takes an int literal; the SQL expression accepts
+    columns)."""
+    from pyspark.sql.functions import call_function
+
+    return call_function("shiftleft", F.lit(1).cast("long"), amount.cast("int"))
+
+
+def semi_join_reduce(
+    right: DataFrame,
+    left: DataFrame,
+    keys: list[str],
+    cutoff: int = SMALL_MODE_CUTOFF,
+    broadcast_threshold: int = BLOOM_THRESHOLD,
+    n_left_keys: int | None = None,
+) -> DataFrame:
+    """Reduce ``right`` to rows whose keys appear on ``left`` (EXACT) before
+    an expensive join/agg. Three regimes, mirroring the reference's
+    small-mode / bloom ladder (Join.scala:304-338):
+
+    - key set <= ``cutoff`` (5000): literal IN-list, pushed into the parquet
+      scan as PushedFilters;
+    - <= ``broadcast_threshold`` (1M): broadcast LEFT SEMI;
+    - above: bloom prefilter (broadcast ~1/10th the key-set size) followed
+      by a shuffle LEFT SEMI over only the surviving rows — exact, and the
+      big shuffle moves a bloom-reduced right side.
+    """
     distinct_keys = left.select(*keys).distinct()
     if len(keys) == 1:
         sample = distinct_keys.limit(cutoff + 1).collect()
         if len(sample) <= cutoff:
             values = [r[0] for r in sample if r[0] is not None]
             return right.where(F.col(keys[0]).isin(values))
-    return right.join(F.broadcast(distinct_keys), keys, "left_semi")
+        n_left_keys = n_left_keys if n_left_keys is not None else distinct_keys.count()
+    elif n_left_keys is None:
+        n_left_keys = distinct_keys.count()
+    if n_left_keys <= broadcast_threshold:
+        return right.join(F.broadcast(distinct_keys), keys, "left_semi")
+    reduced = bloom_filter_reduce(right, left, keys, n_keys=n_left_keys)
+    return reduced.join(distinct_keys, keys, "left_semi")
 
 
 def salted_two_phase_agg(

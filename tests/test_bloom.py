@@ -1,0 +1,53 @@
+"""Bloom semi-join: no false negatives, bounded false positives, and the
+bloom-accelerated branch of semi_join_reduce stays EXACT."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.skew import bloom_filter_reduce, semi_join_reduce
+
+
+def test_bloom_superset_and_fpp(spark):
+    left = spark.range(0, 2000).select(F.col("id").alias("k"))
+    right = spark.range(0, 20000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    reduced = bloom_filter_reduce(right, left, ["k"])
+    got = {r["k"] for r in reduced.collect()}
+    true = set(range(2000))
+    assert true <= got  # never drops a real match
+    fp = len(got) - len(true)
+    # 8 bits/key, 5 hashes -> fpp ~2%; 18000 non-matching candidates
+    assert fp < 18000 * 0.1, fp
+
+
+def test_bloom_multi_key(spark):
+    left = spark.range(0, 500).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    right = spark.range(0, 5000).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b"), F.lit(1).alias("v")
+    )
+    reduced = bloom_filter_reduce(right, left, ["a", "b"])
+    got = {(r["a"], r["b"]) for r in reduced.collect()}
+    assert {(i, i % 7) for i in range(500)} <= got
+
+
+def test_semi_join_reduce_bloom_branch_exact(spark):
+    """Force the bloom branch with tiny thresholds: result must equal the
+    plain LEFT SEMI join exactly (bloom false positives removed by the
+    follow-up semi join)."""
+    left = spark.range(0, 3000, 3).select(F.col("id").alias("k"))
+    right = spark.range(0, 6000).select(F.col("id").alias("k"), (F.col("id") % 10).alias("v"))
+    out = semi_join_reduce(right, left, ["k"], cutoff=10, broadcast_threshold=100)
+    expect = right.join(left.distinct(), ["k"], "left_semi")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_semi_join_reduce_small_mode_still_inlist(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.where(F.col("user_id") < 5).select("user_id")
+    reduced = semi_join_reduce(ev, left, ["user_id"])
+    plan = reduced._sc._jvm.PythonSQLUtils.explainString(
+        reduced._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "user_id" in plan.split("PushedFilters")[1][:300]
