@@ -1,17 +1,22 @@
-"""Dry-run analysis: output-schema inference + heavy-hitter (skew key)
-detection — the reference's Analyzer re-expressed over DataFrames
-(spark/src/main/scala/ai/chronon/spark/Analyzer.scala:64-700; heavy hitters
-L95-143 use an ItemsSketch over sampled keys; we use exact counts over an
-optional sample, which is deterministic and still one shuffle)."""
+"""Dry-run analysis: output-schema inference, heavy-hitter (skew key)
+detection, and a pre-flight VALIDATION GATE — the reference's Analyzer
+re-expressed over DataFrames (spark/src/main/scala/ai/chronon/spark/
+Analyzer.scala:64-700; heavy hitters L95-143 use an ItemsSketch over
+sampled keys — we use exact counts over an optional sample; schema /
+data-availability / timestamp validations L190-520, 593-640).
+
+The gate exists so a misdeclared source fails with a structured diagnosis
+BEFORE a multi-hour backfill, not with a mid-job Spark exception."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from chronon_spark.api import GroupBy
+from chronon_spark.api import GroupBy, Op
 from chronon_spark.operators import groupby as G
 
 
@@ -37,18 +42,189 @@ def heavy_hitters(
 
 
 @dataclass
+class ValidationError:
+    code: str  # stable machine-readable identifier
+    column: str | None
+    message: str
+
+
+# ops whose input must be numeric (reference ColumnAggregator.construct
+# dispatch rejects other input types at plan time)
+_NUMERIC_OPS = {
+    Op.SUM,
+    Op.AVERAGE,
+    Op.VARIANCE,
+    Op.SKEW,
+    Op.KURTOSIS,
+    Op.PERCENTILE,
+    Op.APPROX_PERCENTILE,
+}
+_NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+_TIME_TYPES = (T.TimestampType, T.TimestampNTZType, T.LongType, T.IntegerType, T.DateType)
+
+# plausible epoch-millis range: 2001-09-09 (1e12) .. 2128 (5e12); values in
+# [1e9, 1e12) are almost certainly epoch SECONDS (the reference's ts checks,
+# Analyzer.scala:593-640)
+_MS_LO, _MS_HI = 1_000_000_000_000, 5_000_000_000_000
+
+
+def validate_group_by(
+    events: DataFrame,
+    gb: GroupBy,
+    start_ds: str | None = None,
+    check_data: bool = True,
+    mutations: DataFrame | None = None,
+) -> list[ValidationError]:
+    """Pre-flight checks for one GroupBy against its source. Schema checks
+    are free (no job); data checks (timestamp sanity + availability) run ONE
+    aggregate over the source when ``check_data``.
+
+    Returns [] when the backfill is safe to launch."""
+    errs: list[ValidationError] = []
+    fields = {f.name: f.dataType for f in events.schema.fields}
+
+    for k in gb.keys:
+        if k not in fields:
+            errs.append(ValidationError("missing_key_column", k, f"key column '{k}' not in source schema"))
+    if gb.time_column not in fields:
+        errs.append(
+            ValidationError(
+                "missing_time_column", gb.time_column, f"time column '{gb.time_column}' not in source schema"
+            )
+        )
+    elif not isinstance(fields[gb.time_column], _TIME_TYPES):
+        errs.append(
+            ValidationError(
+                "bad_time_type",
+                gb.time_column,
+                f"time column '{gb.time_column}' is {fields[gb.time_column].simpleString()}; "
+                "expected timestamp or epoch-millis long",
+            )
+        )
+    for a in gb.aggregations:
+        if a.input_column not in fields:
+            errs.append(
+                ValidationError(
+                    "missing_input_column", a.input_column,
+                    f"aggregation input '{a.input_column}' not in source schema",
+                )
+            )
+        elif a.operation in _NUMERIC_OPS and not isinstance(fields[a.input_column], _NUMERIC_TYPES):
+            errs.append(
+                ValidationError(
+                    "bad_input_type",
+                    a.input_column,
+                    f"{a.operation.value} requires a numeric input; "
+                    f"'{a.input_column}' is {fields[a.input_column].simpleString()}",
+                )
+            )
+        for b in a.buckets or ():
+            if b not in fields:
+                errs.append(
+                    ValidationError("missing_bucket_column", b, f"bucket column '{b}' not in source schema")
+                )
+            elif not isinstance(fields[b], T.StringType):
+                # reference RowAggregator.scala:41-47: buckets must be String
+                errs.append(
+                    ValidationError(
+                        "bucket_not_string", b,
+                        f"bucket column '{b}' is {fields[b].simpleString()}; buckets must be string",
+                    )
+                )
+    if mutations is not None:
+        mfields = {f.name for f in mutations.schema.fields}
+        for req in ("mutation_ts", "is_before"):
+            if req not in mfields:
+                errs.append(
+                    ValidationError(
+                        "missing_mutation_column", req, f"mutation source lacks required column '{req}'"
+                    )
+                )
+        from chronon_spark.operators.mutations import DELETABLE_OPS
+
+        for a in gb.aggregations:
+            if a.operation not in DELETABLE_OPS:
+                errs.append(
+                    ValidationError(
+                        "non_deletable_op",
+                        a.input_column,
+                        f"{a.operation.value} is not deletable and cannot run over a mutation source",
+                    )
+                )
+
+    if errs or not check_data:
+        return errs  # schema errors make the data pass meaningless
+
+    from chronon_spark.plans.windows import ts_to_millis
+
+    ts = ts_to_millis(events, gb.time_column)
+    stats = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(gb.time_column)).alias("n_ts"),
+        F.min(ts).alias("lo"),
+        F.max(ts).alias("hi"),
+    ).first()
+    if stats["n"] == 0:
+        errs.append(ValidationError("empty_source", None, "source has no rows"))
+        return errs
+    if stats["n_ts"] < stats["n"]:
+        errs.append(
+            ValidationError(
+                "null_timestamps", gb.time_column,
+                f"{stats['n'] - stats['n_ts']} of {stats['n']} rows have a NULL time column",
+            )
+        )
+    if stats["lo"] is not None and not (_MS_LO <= stats["lo"] and stats["hi"] < _MS_HI):
+        errs.append(
+            ValidationError(
+                "ts_not_millis", gb.time_column,
+                f"time range [{stats['lo']}, {stats['hi']}] is outside plausible epoch-millis "
+                "bounds (epoch seconds instead of milliseconds?)",
+            )
+        )
+    if start_ds is not None and stats["lo"] is not None:
+        import calendar
+        import datetime as _dt
+
+        start_ms = calendar.timegm(_dt.datetime.strptime(start_ds, "%Y-%m-%d").timetuple()) * 1000
+        max_w = gb.max_window_millis()
+        scan_lo = start_ms - (max_w or 0)
+        if max_w is not None and stats["lo"] > scan_lo:
+            errs.append(
+                ValidationError(
+                    "insufficient_history", gb.time_column,
+                    f"backfill from {start_ds} needs events from epoch-ms {scan_lo} "
+                    f"(start - max window) but the source begins at {stats['lo']}",
+                )
+            )
+    return errs
+
+
+@dataclass
 class GroupByAnalysis:
     output_schema: list[tuple[str, str]]
     key_columns: list[str]
     hot_keys: list[tuple[str, str, int]]
+    errors: list[ValidationError] = field(default_factory=list)
 
 
 def analyze_group_by(
     events: DataFrame, gb: GroupBy, hot_key_threshold: int = 10_000
 ) -> GroupByAnalysis:
     """Infer the exact output schema (by planning against an empty slice —
-    no data pass) + detect hot keys. The reference runs this before every
-    backfill as a validation gate (Analyzer.analyzeJoin)."""
+    no data pass), run the validation gate, and detect hot keys. The
+    reference runs this before every backfill (Analyzer.analyzeJoin)."""
+    errors = validate_group_by(events, gb, check_data=False)
+    if errors:
+        return GroupByAnalysis([], gb.keys, [], errors)
     left = events.select(*gb.keys, F.col(gb.time_column).alias("ts")).limit(0)
     plan = G.temporal_events(left, events.limit(0), gb, left_time_column="ts")
     schema = [(f.name, f.dataType.simpleString()) for f in plan.schema.fields]
@@ -56,4 +232,4 @@ def analyze_group_by(
         (r["column"], r["key"], r["n"])
         for r in heavy_hitters(events, gb.keys, min_count=hot_key_threshold).collect()
     ]
-    return GroupByAnalysis(schema, gb.keys, hot)
+    return GroupByAnalysis(schema, gb.keys, hot, [])

@@ -69,7 +69,7 @@ def _normalize_events(events: DataFrame, gb: GroupBy, tiebreak: str | None) -> D
     if tiebreak:
         needed.add(tiebreak)
     cols = [F.col(c) for c in sorted(needed)]
-    return events.select(*cols, W.to_millis(F.col(gb.time_column)).alias(ETS))
+    return events.select(*cols, W.ts_to_millis(events, gb.time_column).alias(ETS))
 
 
 def _split_passes(
@@ -518,7 +518,7 @@ def temporal_events(
     assert gb.accuracy == Accuracy.TEMPORAL
     ltc = left_time_column or gb.time_column
     ev = _normalize_events(events, gb, tiebreak)
-    left_n = left.withColumn(QTS, W.to_millis(F.col(ltc)))
+    left_n = left.withColumn(QTS, W.ts_to_millis(left, ltc))
     q = left_n.select(*gb.keys, QTS).distinct()
 
     direct, bucketed, mapops = _split_passes(gb)
@@ -681,7 +681,7 @@ def snapshot_entities(
     per key with windowed update ``ts < epoch(ds)+1d`` (reference
     GroupBy.scala:99-141). Input already carries a ds partition column."""
     day_ms = W.to_millis(F.to_timestamp(F.col(ds_column)))
-    ev = snapshots.withColumn(ETS, W.to_millis(F.col(gb.time_column))).withColumn(
+    ev = snapshots.withColumn(ETS, W.ts_to_millis(snapshots, gb.time_column)).withColumn(
         QTS, day_ms + F.lit(DAY_MS)
     )
     exprs = []

@@ -127,7 +127,7 @@ def temporal_entities(
             )
     keys = gb.keys
     ltc = left_time_column or gb.time_column
-    left_n = queries.withColumn(QTS, W.to_millis(F.col(ltc)))
+    left_n = queries.withColumn(QTS, W.ts_to_millis(queries, ltc))
     q = (
         left_n.select(*keys, QTS)
         .distinct()
@@ -143,7 +143,7 @@ def temporal_entities(
     snap = snapshots.select(
         *keys,
         *inputs,
-        W.to_millis(F.col(gb.time_column)).alias(ETS),
+        W.ts_to_millis(snapshots, gb.time_column).alias(ETS),
         (day_of_ds + F.lit(DAY_MS)).alias(QDAY),
         F.lit(None).cast("long").alias(MTS),
         F.lit(1).alias(SGN),
@@ -151,9 +151,9 @@ def temporal_entities(
     mut = mutations.select(
         *keys,
         *inputs,
-        W.to_millis(F.col(gb.time_column)).alias(ETS),
+        W.ts_to_millis(mutations, gb.time_column).alias(ETS),
         day_of_ds.alias(QDAY),
-        W.to_millis(F.col(mutation_time_column)).alias(MTS),
+        W.ts_to_millis(mutations, mutation_time_column).alias(MTS),
         F.when(F.col(reversal_column), F.lit(-1)).otherwise(F.lit(1)).alias(SGN),
     )
 

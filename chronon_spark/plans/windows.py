@@ -24,8 +24,26 @@ MS_PER_DAY = 86_400_000
 
 
 def to_millis(ts: Column) -> Column:
-    """Cast a timestamp (or long-millis) column to long epoch millis."""
+    """Cast a TIMESTAMP column to long epoch millis. For columns that may
+    already be numeric epoch-millis use ``ts_to_millis`` (a bigint cast to
+    timestamp is interpreted by Spark as SECONDS, which would silently
+    multiply a millis column by 1000)."""
     return F.unix_millis(ts.cast("timestamp"))
+
+
+def ts_to_millis(df, colname: str) -> Column:
+    """Schema-aware time conversion: numeric columns are taken as epoch
+    millis verbatim (the reference's `ts` contract — long millis,
+    api/.../Constants.scala:22, enforced Long at GroupBy.scala:490-497);
+    timestamp/date columns are converted."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[colname].dataType
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)):
+        return F.col(colname).cast("long")
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return F.col(colname).cast("long")
+    return F.unix_millis(F.col(colname).cast("timestamp"))
 
 
 def round_down(ts_ms: Column, hop_ms: int) -> Column:

@@ -1,0 +1,109 @@
+"""Analyzer validation gate: every seeded misconfiguration must surface as
+a structured error BEFORE any backfill job runs (reference
+Analyzer.scala:190-520, 593-640)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chronon_spark.api import Aggregation, GroupBy, Op, TimeUnit, Window
+from chronon_spark.operators.analyzer import analyze_group_by, validate_group_by
+
+
+def _codes(errs):
+    return {e.code for e in errs}
+
+
+def _gb(**kw):
+    base = dict(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.SUM, "value", windows=(Window(7, TimeUnit.DAYS),))],
+    )
+    base.update(kw)
+    return GroupBy(**base)
+
+
+def test_clean_config_passes(spark, events):
+    assert validate_group_by(events, _gb()) == []
+
+
+def test_missing_columns(spark, events):
+    gb = _gb(keys=["nope_key"], aggregations=[Aggregation(Op.SUM, "nope_val")])
+    codes = _codes(validate_group_by(events, gb))
+    assert {"missing_key_column", "missing_input_column"} <= codes
+
+
+def test_missing_and_bad_time_column(spark, events):
+    assert "missing_time_column" in _codes(
+        validate_group_by(events, _gb(time_column="nope_ts"))
+    )
+    bad = events.withColumn("ts", F.col("event_type"))  # string ts
+    assert "bad_time_type" in _codes(validate_group_by(bad, _gb()))
+
+
+def test_bad_input_and_bucket_types(spark, events):
+    gb = _gb(aggregations=[Aggregation(Op.SUM, "event_type")])  # SUM on string
+    assert "bad_input_type" in _codes(validate_group_by(events, gb))
+    gb2 = _gb(
+        aggregations=[Aggregation(Op.COUNT, "value", buckets=("user_id",))]
+    )  # long bucket
+    assert "bucket_not_string" in _codes(validate_group_by(events, gb2))
+
+
+def test_ts_seconds_not_millis(spark, events):
+    secs = events.withColumn("ts", (F.unix_millis("ts") / 1000).cast("long"))
+    assert "ts_not_millis" in _codes(validate_group_by(secs, _gb()))
+
+
+def test_null_timestamps(spark, events):
+    holey = events.withColumn(
+        "ts", F.when(F.col("user_id") % 10 == 0, F.col("ts"))
+    )
+    assert "null_timestamps" in _codes(validate_group_by(holey, _gb()))
+
+
+def test_insufficient_history(spark, events):
+    # source starts ~2024-01-01; a 7d-window backfill from 2024-01-03 needs
+    # events from 2023-12-27
+    errs = validate_group_by(events, _gb(), start_ds="2024-01-03")
+    assert "insufficient_history" in _codes(errs)
+    # far enough in: fine
+    assert validate_group_by(events, _gb(), start_ds="2024-03-01") == []
+
+
+def test_mutation_source_checks(spark, events):
+    muts = events.select("user_id", "value", "ts")  # lacks mutation_ts/is_before
+    gb = _gb(aggregations=[Aggregation(Op.LAST, "value")])
+    codes = _codes(validate_group_by(events, gb, mutations=muts, check_data=False))
+    assert {"missing_mutation_column", "non_deletable_op"} <= codes
+
+
+def test_long_millis_time_column_contract(spark, events):
+    """The reference's ts contract is LONG epoch millis; a numeric time
+    column must be taken verbatim, not run through a seconds-interpreting
+    timestamp cast."""
+    from chronon_spark.operators.groupby import temporal_events
+
+    gb = _gb()
+    left_t = events.where(F.col("event_type") == "purchase").select("user_id", "ts").distinct()
+    out_t = temporal_events(left_t, events, gb, tiebreak="event_id")
+    ev_ms = events.withColumn("ts", F.unix_millis("ts"))
+    left_ms = ev_ms.where(F.col("event_type") == "purchase").select("user_id", "ts").distinct()
+    out_ms = temporal_events(left_ms, ev_ms, gb, tiebreak="event_id")
+    a = {
+        (r["user_id"], r["qts"], round(r["value_sum_7d"], 9) if r["value_sum_7d"] is not None else None)
+        for r in out_t.select("user_id", F.unix_millis("ts").alias("qts"), "value_sum_7d").collect()
+    }
+    b = {
+        (r["user_id"], r["qts"], round(r["value_sum_7d"], 9) if r["value_sum_7d"] is not None else None)
+        for r in out_ms.select("user_id", F.col("ts").alias("qts"), "value_sum_7d").collect()
+    }
+    assert a == b
+
+
+def test_analyze_group_by_carries_errors(spark, events):
+    res = analyze_group_by(events, _gb(keys=["nope"]))
+    assert res.errors and res.output_schema == []
+    ok = analyze_group_by(events, _gb(), hot_key_threshold=1)
+    assert ok.errors == [] and len(ok.output_schema) > 0
