@@ -152,6 +152,11 @@ class GroupBy:
     accuracy: Accuracy = Accuracy.TEMPORAL
     time_column: str = "ts"
     derivations: dict[str, str] = field(default_factory=dict)
+    # DDL statements run before planning (UDF registration etc.), the
+    # reference's Query.setups (api/py/ai/chronon/query.py:59-61, executed at
+    # JoinBase.scala:410). Spark SQL scalar UDFs (`CREATE TEMPORARY FUNCTION
+    # f(x T) RETURNS T RETURN expr`) make these portable without jars.
+    setups: list[str] = field(default_factory=list)
 
     def output_columns(self) -> list[str]:
         cols = []
@@ -228,3 +233,4 @@ class Join:
     join_parts: list[JoinPart]
     time_column: str = "ts"
     derivations: dict[str, str] = field(default_factory=dict)
+    setups: list[str] = field(default_factory=list)

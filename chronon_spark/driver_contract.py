@@ -1257,7 +1257,8 @@ def q_asof_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(Op.COUNT, "value"),
         ],
         derivations={
-            "recency_ratio": "round(CAST(value_count_7d AS DOUBLE) / nullif(value_count, 0), 6)"
+            "*": "*",  # wildcard passthrough of base feature columns
+            "recency_ratio": "round(CAST(value_count_7d AS DOUBLE) / nullif(value_count, 0), 6)",
         },
     )
     out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id")

@@ -90,14 +90,45 @@ def _split_passes(
     return direct, dict(bucketed), mapops
 
 
-def _apply_derivations(df: DataFrame, gb: GroupBy) -> DataFrame:
-    if not gb.derivations:
+def apply_derivations(
+    df: DataFrame, derivations: dict[str, str], keep: list[str]
+) -> DataFrame:
+    """Post-aggregation projection with the reference's wildcard/rename
+    semantics (api/.../Extensions.scala:1069-1120 derivationProjection):
+
+    - an entry named ``*`` passes through every base column EXCEPT those
+      overridden by a same-named derivation (rename/replace detection);
+    - without ``*``, the output is only the identity columns (``keep`` —
+      keys/ts of the plan) plus the derived columns;
+    - a derivation named like an existing column replaces it in place.
+    """
+    if not derivations:
         return df
-    return df.select("*", *[F.expr(e).alias(n) for n, e in gb.derivations.items()])
+    named = {n: e for n, e in derivations.items() if n != "*"}
+    if "*" in derivations:
+        base = [c for c in df.columns if c not in named]
+    else:
+        base = [c for c in keep if c not in named]
+    return df.select(
+        *[F.col(c) for c in base], *[F.expr(e).alias(n) for n, e in named.items()]
+    )
+
+
+def _apply_derivations(df: DataFrame, gb: GroupBy, keep: list[str]) -> DataFrame:
+    return apply_derivations(df, gb.derivations, keep)
 
 
 def _tiebreak_col(tiebreak: str | None) -> Column:
     return F.col(tiebreak) if tiebreak else F.lit(0)
+
+
+def run_setups(df: DataFrame, setups: list[str]) -> None:
+    """Execute setup DDL (UDF registration etc.) against the session owning
+    ``df`` before planning — the reference runs Query.setups through
+    tableUtils.sql at every job entry (JoinBase.scala:410, GroupBy.scala:691,
+    StagingQuery.scala:46). Statements run verbatim, in order."""
+    for stmt in setups or ():
+        df.sparkSession.sql(stmt)
 
 
 # ---------------------------------------------------------------------------
@@ -516,6 +547,7 @@ def temporal_events(
     (reference row-count preservation: JoinTest.scala:589-590).
     """
     assert gb.accuracy == Accuracy.TEMPORAL
+    run_setups(events, gb.setups)
     ltc = left_time_column or gb.time_column
     ev = _normalize_events(events, gb, tiebreak)
     left_n = left.withColumn(QTS, W.ts_to_millis(left, ltc))
@@ -572,7 +604,7 @@ def temporal_events(
     for p in parts[1:]:
         feat = feat.join(p, [*gb.keys, QTS], "left")
     out = left_n.join(feat, [*gb.keys, QTS], "left").drop(QTS)
-    return _apply_derivations(out, gb)
+    return _apply_derivations(out, gb, keep=list(left.columns))
 
 
 def snapshot_events(
@@ -598,6 +630,7 @@ def snapshot_events(
     OUTPUT, not keys x days (at 10^6 keys x 365 days the full grid
     materializes billions of rows that are immediately discarded).
     """
+    run_setups(events, gb.setups)
     ev = _normalize_events(events, gb, tiebreak)
     if start_ds is None or end_ds is None:
         lo, hi = ev.select(F.min(ETS), F.max(ETS)).first()
@@ -664,7 +697,7 @@ def snapshot_events(
     out = feat.withColumn(
         "ds", F.date_format((F.col(QTS) / 1000 - DAY_MS / 1000).cast("timestamp"), "yyyy-MM-dd")
     ).drop(QTS)
-    return _apply_derivations(out, gb)
+    return _apply_derivations(out, gb, keep=[*gb.keys, "ds"])
 
 
 def _day_rounded(a: Aggregation) -> Aggregation:
@@ -680,6 +713,7 @@ def snapshot_entities(
     """Entity (dimension snapshot) GroupBy: aggregate each day's snapshot rows
     per key with windowed update ``ts < epoch(ds)+1d`` (reference
     GroupBy.scala:99-141). Input already carries a ds partition column."""
+    run_setups(snapshots, gb.setups)
     day_ms = W.to_millis(F.to_timestamp(F.col(ds_column)))
     ev = snapshots.withColumn(ETS, W.ts_to_millis(snapshots, gb.time_column)).withColumn(
         QTS, day_ms + F.lit(DAY_MS)
@@ -697,4 +731,4 @@ def snapshot_entities(
             ts = F.when(mask, F.col(ETS))
             exprs.append(O.direct_agg(a, val, ts, None).alias(a.output_name(w, None)))
     out = ev.groupBy(*gb.keys, ds_column).agg(*exprs)
-    return _apply_derivations(out, gb)
+    return _apply_derivations(out, gb, keep=[*gb.keys, ds_column])

@@ -111,6 +111,7 @@ def compute_join(
 ) -> DataFrame:
     """Enrich ``left`` with every join part. ``sources`` maps GroupBy name ->
     its events DataFrame. Preserves left row count (incl. duplicates)."""
+    G.run_setups(left, join.setups)
     out = left
     for part in join.join_parts:
         events = sources[part.group_by.name]
@@ -124,5 +125,5 @@ def compute_join(
         )
         out = coalesced_join(out, feat, [*part.left_keys(), join.time_column])
     if join.derivations:
-        out = out.select("*", *[F.expr(e).alias(n) for n, e in join.derivations.items()])
+        out = G.apply_derivations(out, join.derivations, keep=list(left.columns))
     return out

@@ -125,6 +125,9 @@ def temporal_entities(
                 f"{a.operation} is not deletable; mutation sources support "
                 f"only {sorted(o.value for o in DELETABLE_OPS)}"
             )
+    from chronon_spark.operators.groupby import run_setups
+
+    run_setups(queries, gb.setups)
     keys = gb.keys
     ltc = left_time_column or gb.time_column
     left_n = queries.withColumn(QTS, W.ts_to_millis(queries, ltc))
@@ -190,5 +193,7 @@ def temporal_entities(
     feat = q.join(contribs, [*keys, QTS], "left_outer").groupBy(*keys, QTS).agg(*exprs)
     out = left_n.join(feat, [*keys, QTS], "left").drop(QTS)
     if gb.derivations:
-        out = out.select("*", *[F.expr(e).alias(n) for n, e in gb.derivations.items()])
+        from chronon_spark.operators.groupby import apply_derivations
+
+        out = apply_derivations(out, gb.derivations, keep=list(queries.columns))
     return out

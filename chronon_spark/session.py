@@ -2,8 +2,17 @@
 
 Mirrors the reference's session defaults (UTC timezone, dynamic partition
 overwrite, AQE; reference: spark/src/main/scala/ai/chronon/spark/
-SparkSessionBuilder.scala:65-76) but on stock PySpark. Iceberg extensions are
-attached only when the runtime jars are present (not in this image — gated).
+SparkSessionBuilder.scala:65-76) but on stock PySpark.
+
+Table formats: this build targets HIVE-STYLE PARTITIONED PARQUET only
+(`ds=` directory partitions, dynamic partition overwrite — see
+sources/tableio.py). The reference additionally speaks Iceberg and Delta
+(TableUtils.scala:104-282); this environment ships no Iceberg/Delta jars,
+so rather than carry an untestable config branch, the factory accepts
+``extra_conf`` through which a deployment with jars on the classpath can
+attach any catalog (extensions, catalog impl, warehouse) without code
+changes — every writer in tableio keeps day-partition semantics that map
+1:1 onto an Iceberg identity-partitioned table.
 """
 
 from __future__ import annotations
@@ -48,23 +57,6 @@ def get_spark(
         # not auto-inferred DATEs
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     )
-    # Iceberg support is optional: the sandbox image has no Iceberg jars, so we
-    # fall back to plain parquet tables with hive-style `ds=` partitioning
-    # (same day-partition semantics; see sources/tableio.py).
-    if os.environ.get("CHRONON_ICEBERG_JARS"):
-        builder = (
-            builder.config("spark.jars", os.environ["CHRONON_ICEBERG_JARS"])
-            .config(
-                "spark.sql.extensions",
-                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
-            )
-            .config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
-            .config("spark.sql.catalog.local.type", "hadoop")
-            .config(
-                "spark.sql.catalog.local.warehouse",
-                os.environ.get("CHRONON_WAREHOUSE", "/tmp/chronon_warehouse"),
-            )
-        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -13,9 +13,12 @@ Re-creates, Spark-first:
   the unit of work; present partitions with a matching semantic hash are
   skipped, a changed hash archives and recomputes.
 
-When Iceberg jars are on the classpath (CHRONON_ICEBERG_JARS), the same API
-targets `local.<table>` Iceberg identifiers and gains atomic commits; the
-parquet path keeps identical layout semantics for this sandbox.
+Format scope: hive-style partitioned parquet is the ONLY format this build
+writes (no Iceberg/Delta jars ship in this environment; session.get_spark's
+``extra_conf`` is the hook for a deployment that has them). The layout —
+one `ds=` directory per day, overwritten atomically per partition — maps
+1:1 onto an Iceberg identity-partitioned table, so the semantics here are
+the portable subset.
 """
 
 from __future__ import annotations
