@@ -1372,6 +1372,57 @@ def q_compare_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_COMPARE_ESTIMATORS = "SELECT CAST(0 AS BIGINT) AS n_diffs"
 
 
+def q_compare_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistency/drift metrics (CompareMetrics): events.value vs a
+    deterministically perturbed copy — null-rate counters, mismatch count,
+    mean smape, exact diff percentiles. One output row."""
+    from chronon_spark.operators.drift import compare_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "value")
+    right = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 13 == 0, F.lit(None).cast("double"))
+        .when(F.col("user_id") % 7 == 0, F.col("value") * 2)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = compare_metrics(left, right, ["event_id"], exact_percentiles=True)
+    return out.select(
+        "value_both_null",
+        "value_left_null",
+        "value_right_null",
+        "value_total",
+        "value_mismatch",
+        F.round("value_smape", 6).alias("value_smape"),
+        F.round("value_diff_p25", 4).alias("value_diff_p25"),
+        F.round("value_diff_p50", 4).alias("value_diff_p50"),
+        F.round("value_diff_p75", 4).alias("value_diff_p75"),
+    )
+
+
+SQL_COMPARE_DRIFT = """
+WITH l AS (SELECT event_id, value FROM events),
+r AS (SELECT event_id,
+             CASE WHEN user_id % 13 = 0 THEN NULL
+                  WHEN user_id % 7 = 0 THEN value * 2
+                  ELSE value END AS value
+      FROM events),
+j AS (SELECT l.value AS lv, r.value AS rv FROM l FULL OUTER JOIN r ON l.event_id = r.event_id)
+SELECT CAST(sum(CASE WHEN lv IS NULL AND rv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_both_null,
+       CAST(sum(CASE WHEN lv IS NULL AND rv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_left_null,
+       CAST(sum(CASE WHEN lv IS NOT NULL AND rv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_right_null,
+       count(*) AS value_total,
+       CAST(sum(CASE WHEN lv IS NOT NULL AND rv IS NOT NULL AND lv <> rv THEN 1 ELSE 0 END) AS BIGINT) AS value_mismatch,
+       round(avg(CASE WHEN abs(lv) + abs(rv) <> 0 THEN 2 * abs(lv - rv) / (abs(lv) + abs(rv))
+                      ELSE 0.0 END), 6) AS value_smape,
+       round(CAST(quantile_cont(lv - rv, 0.25) AS DOUBLE), 4) AS value_diff_p25,
+       round(CAST(quantile_cont(lv - rv, 0.50) AS DOUBLE), 4) AS value_diff_p50,
+       round(CAST(quantile_cont(lv - rv, 0.75) AS DOUBLE), 4) AS value_diff_p75
+FROM j
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyzer heavy-hitter detection (skew-key discovery)."""
     from chronon_spark.operators.analyzer import heavy_hitters
@@ -1394,6 +1445,7 @@ QUERIES.update(
         "null_safe_join": q_null_safe_join,
         "union_dedup": q_union_dedup,
         "compare_estimators": q_compare_estimators,
+        "compare_drift": q_compare_drift,
         "heavy_hitters": q_heavy_hitters,
     }
 )
@@ -1407,6 +1459,7 @@ ORACLES.update(
         "null_safe_join": SQL_NULL_SAFE_JOIN,
         "union_dedup": SQL_UNION_DEDUP,
         "compare_estimators": SQL_COMPARE_ESTIMATORS,
+        "compare_drift": SQL_COMPARE_DRIFT,
         "heavy_hitters": SQL_HEAVY_HITTERS,
     }
 )
