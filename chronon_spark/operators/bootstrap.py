@@ -141,3 +141,60 @@ def label_join(
     # multiplying duplicates n x m
     out = out.drop("__q_neg").dropDuplicates([*label_gb.keys, time_column])
     return features.join(out, [*label_gb.keys, time_column], "left")
+
+
+def materialize_label_join(
+    spark,
+    name: str,
+    features: DataFrame,
+    label_events: DataFrame,
+    label_gb: GroupBy,
+    horizon: Window,
+    label_ds: str,
+    out_root: str,
+    time_column: str = "ts",
+    tiebreak: str | None = None,
+    prefix: str = "label",
+):
+    """Table-level label orchestration (reference LabelJoin.scala:33-284 +
+    view DDL JoinUtils.scala:174-261): each run computes the labels visible
+    as of ``label_ds`` and OVERWRITES that one version partition of the
+    label table (labels mature — later runs re-label the same feature rows
+    with more future data), then (re)publishes two views:
+
+    - ``{name}_labeled``        — features x ALL label versions (one row per
+                                  feature row per label_ds; audit/lineage)
+    - ``{name}_labeled_latest`` — one row per feature row, carrying the most
+                                  recent label_ds (what training reads)
+
+    Returns (labels_table, labeled_view_name, latest_view_name).
+    """
+    from chronon_spark.sources.tableio import PartitionedTable, insert_overwrite_partitions
+
+    labeled = label_join(
+        features, label_events, label_gb, horizon, time_column, tiebreak, prefix
+    )
+    base_cols = set(features.columns)
+    label_cols = [
+        c for c in labeled.columns if c.startswith(f"{prefix}_") and c not in base_cols
+    ]
+    version = labeled.select(
+        *label_gb.keys, time_column, *label_cols, F.lit(label_ds).alias("label_ds")
+    )
+    table = PartitionedTable(f"{out_root}/{name}_labels", ds_col="label_ds")
+    insert_overwrite_partitions(version, table)
+
+    all_labels = table.read(spark)
+    feats = features.dropDuplicates([*label_gb.keys, time_column])
+    joined = feats.join(all_labels, [*label_gb.keys, time_column], "left")
+    joined.createOrReplaceTempView(f"{name}_labeled")
+    from pyspark.sql.window import Window as SW
+
+    w = SW.partitionBy(*label_gb.keys, time_column).orderBy(F.col("label_ds").desc())
+    latest = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    latest.createOrReplaceTempView(f"{name}_labeled_latest")
+    return table, f"{name}_labeled", f"{name}_labeled_latest"

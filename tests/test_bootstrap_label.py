@@ -87,6 +87,42 @@ def test_label_join_forward_window(spark, events):
     assert not bad, bad[:3]
 
 
+def test_materialize_label_join_views(spark, events, tmp_path):
+    """Two label runs (immature then matured labels) -> versioned label
+    table partitions + `_labeled` (all versions) and `_labeled_latest`
+    (max label_ds per row) views."""
+    from chronon_spark.operators.bootstrap import materialize_label_join
+
+    gb = GroupBy(name="lab", keys=["user_id"], aggregations=[Aggregation(Op.COUNT, "value")])
+    feats = events.where(F.col("event_type") == "purchase").select("user_id", "ts").limit(20)
+    cutoff = events.agg(F.min("ts")).first()[0]
+    immature = events.where(F.col("ts") <= F.lit(cutoff))  # almost no label data yet
+    horizon = Window(2, TimeUnit.DAYS)
+    root = str(tmp_path / "lj")
+
+    table, v_all, v_latest = materialize_label_join(
+        spark, "train", feats, immature, gb, horizon, "2024-02-01", root, tiebreak="event_id"
+    )
+    table, v_all, v_latest = materialize_label_join(
+        spark, "train", feats, events, gb, horizon, "2024-02-10", root, tiebreak="event_id"
+    )
+    assert table.partitions() == ["2024-02-01", "2024-02-10"]
+    n_feats = feats.dropDuplicates(["user_id", "ts"]).count()
+    labeled = spark.table(v_all)
+    assert labeled.count() == 2 * n_feats  # every row x both versions
+    latest = spark.table(v_latest)
+    assert latest.count() == n_feats
+    assert latest.where(F.col("label_ds") != "2024-02-10").count() == 0
+    # matured labels: the latest version's values equal a direct label_join
+    # over the full events
+    direct = label_join(feats, events, gb, horizon, tiebreak="event_id")
+    want = {
+        (r["user_id"], r["ts"]): r["label_value_count_2d"] for r in direct.collect()
+    }
+    for r in latest.collect():
+        assert r["label_value_count_2d"] == want[(r["user_id"], r["ts"])]
+
+
 def test_label_join_never_sees_past_or_present(spark, events):
     """Shift all label events 100 days into the PAST: labels must be 0."""
     gb = GroupBy(name="lab", keys=["user_id"], aggregations=[Aggregation(Op.COUNT, "value")])
