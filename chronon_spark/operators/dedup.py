@@ -62,13 +62,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 8,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share >=1 shingle.
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from shingle-set
     sizes — one shuffle on shingle (candidate join) + one on the pair key.
+
+    ``max_doc_freq``: the 100TB guard. A shingle appearing in d documents
+    contributes d^2 candidate pairs inside ONE join group — boilerplate
+    shingles (headers, license blocks) go quadratic. Capping drops shingles
+    with document frequency > max_doc_freq from BOTH the candidate join and
+    the set sizes, so jaccard stays a consistent metric over the capped
+    shingle sets (near-dup pairs share plenty of low-DF shingles; the
+    candidates lost to the cap are precisely the meaningless ones). None =
+    exact/uncapped — correct at test scale, hazardous at web scale.
     """
-    sh = shingles(df, text_col, id_col, n).cache()
+    sh = shingles(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -69,6 +69,28 @@ def test_simhash_neardup_finds_planted_dups(spark, docs):
     assert hits >= 7  # banded LSH recall on 1-word edits
 
 
+def test_ngram_jaccard_df_cap(spark, docs):
+    """The web-scale guard: a generous document-frequency cap must change
+    nothing; a tight cap must still recover pairs linked by low-DF shingles
+    while pruning boilerplate-only candidates."""
+    base = ngram_jaccard_pairs(docs, n=8, threshold=0.5)
+    capped_loose = ngram_jaccard_pairs(docs, n=8, threshold=0.5, max_doc_freq=10**9)
+    key = lambda df: sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect())  # noqa: E731
+    assert key(base) == key(capped_loose)
+
+    # synthetic: 2 near-dup docs + 50 docs sharing ONLY one boilerplate line
+    boiler = "this content is provided under the standard license terms v1"
+    rows = [(i, boiler + f" unique tail {i} " + " ".join(f"w{i}_{j}" for j in range(10)))
+            for i in range(50)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam nu"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tight = ngram_jaccard_pairs(df, n=8, threshold=0.3, max_doc_freq=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in tight.collect()}
+    assert (100, 101) in pairs  # low-DF shingles survive the cap
+    assert all(a >= 100 for a, _ in pairs)  # boilerplate-only pairs pruned
+
+
 def test_minhash_lsh_agrees_with_exact_jaccard(spark, docs):
     exact = {
         (r["id_a"], r["id_b"]): r["jaccard"]
