@@ -41,7 +41,13 @@ def main() -> None:
         "groupby_lifetime",
     ]
     # optional heavy data-pipeline queries (added as they land)
-    for extra in ("dedup_minhash_lsh", "knn_cosine", "text_stats"):
+    for extra in (
+        "dedup_minhash_lsh",
+        "knn_cosine",
+        "text_stats",
+        "mutations_temporal",  # CDC temporal engine (round 2)
+        "asof_join_snapshot",  # midnight-accuracy join part (round 2)
+    ):
         if extra in QUERIES:
             headline.append(extra)
 

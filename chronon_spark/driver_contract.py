@@ -658,11 +658,17 @@ def q_transcripts_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP: full feature backfill over a transcript-shaped table —
     as-of windowed aggregates + lag + session id per assistant turn, with
     per-turn text passed through byte-identical."""
+    from pyspark.storagelevel import StorageLevel
+
     ev = _t(spark, sf_dir, "events")
     t = _transcripts_from_events(ev)
     t = sessionize(t, ["conv_id"], ts_column="ts", gap="30 minutes", order_by=["ts", "turn_idx"])
     w = SW.partitionBy("conv_id").orderBy("ts", "turn_idx")
     t = t.withColumn("prev_role", F.lag("role").over(w))
+    # the prepared transcript frame feeds several estimator branches (tile
+    # build, head join, output fan-out); persist it so the sessionize/lag
+    # window passes run once, not per branch
+    t = t.persist(StorageLevel.MEMORY_AND_DISK)
     left = t.where(F.col("role") == "assistant").select(
         "conv_id", "turn_idx", "text", "ts", "session_id", "prev_role"
     )

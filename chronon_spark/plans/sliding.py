@@ -167,9 +167,13 @@ def combine_and_finalize(agg: Aggregation, prefixes: list[str]) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _hop_of(w: Window | None) -> int:
-    """Tail hop per window; lifetime aggregations ride the 1d tile table."""
-    return DAY_MS if w is None else w.tail_hop_millis()
+def _hop_of(w: Window | None, life_hop: int = DAY_MS) -> int:
+    """Tail hop per window. Lifetime aggregations ride ``life_hop`` — the
+    COARSEST hop group already present for windowed aggregations (their
+    unbounded running prefix is one extra column over a dense tile table the
+    windowed TAIL band materializes anyway: zero extra joins/shuffles), or
+    1d tiles when the GroupBy is lifetime-only."""
+    return life_hop if w is None else w.tail_hop_millis()
 
 
 def temporal_pass_sliding(
@@ -185,9 +189,11 @@ def temporal_pass_sliding(
 
     keys = gb.keys
     pairs = [(a, w) for a in aggs for w, _ in a.unpacked()]
+    windowed_hops = [w.tail_hop_millis() for _, w in pairs if w is not None]
+    life_hop = max(windowed_hops) if windowed_hops else DAY_MS
     by_hop: dict[int, list[tuple[Aggregation, Window | None]]] = defaultdict(list)
     for a, w in pairs:
-        by_hop[_hop_of(w)].append((a, w))
+        by_hop[_hop_of(w, life_hop)].append((a, w))
 
     slot_of: dict[int, str] = {}
     partial_exprs: dict[str, Column] = {}
