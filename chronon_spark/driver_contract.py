@@ -721,6 +721,109 @@ GROUP BY q.conv_id, q.turn_idx, q.text, q.ts_ms, q.session_id, q.prev_role
 """
 
 
+def q_snapshot_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity (dimension snapshot) GroupBy: each day's snapshot rows
+    aggregated per key with end-of-day window masks — the events table cast
+    as a daily-partitioned entity table (ds = event day)."""
+    ev = _t(spark, sf_dir, "events")
+    snapshots = ev.select(
+        "user_id", "value", "ts", F.date_format("ts", "yyyy-MM-dd").alias("ds")
+    )
+    gb = GroupBy(
+        name="ent",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value"),
+            Aggregation(Op.SUM, "value", windows=(W6H,)),
+        ],
+        accuracy=Accuracy.SNAPSHOT,
+    )
+    out = G.snapshot_entities(snapshots, gb)
+    return out.select(
+        "user_id",
+        "ds",
+        F.col("value_count"),
+        _r(F.col("value_sum_6h")).alias("value_sum_6h"),
+    )
+
+
+SQL_SNAPSHOT_ENTITIES = """
+WITH s AS (
+  SELECT user_id, value, epoch_ms(ts) AS ets,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS ds,
+         epoch_ms(CAST(CAST(ts AS DATE) AS TIMESTAMP)) + 86400000 AS eod
+  FROM events
+)
+SELECT user_id, ds,
+       count(value) AS value_count,
+       round(sum(CASE WHEN ets >= eod - 21600000 THEN value END), 3) AS value_sum_6h
+FROM s GROUP BY user_id, ds
+"""
+
+
+def q_staging_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StagingQuery: arbitrary SQL with {{ start_date }}/{{ end_date }}
+    macros rendered and executed (reference StagingQuery.computeStagingQuery)."""
+    from chronon_spark.staging import run_staging_query
+
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_sq")
+    sql = """
+      SELECT event_type, CAST(CAST(ts AS DATE) AS STRING) AS ds,
+             count(*) AS n, round(sum(value), 3) AS value_sum
+      FROM events_sq
+      WHERE CAST(CAST(ts AS DATE) AS STRING) BETWEEN {{ start_date }} AND {{ end_date }}
+      GROUP BY 1, 2
+    """
+    return run_staging_query(spark, sql, "2024-01-05", "2024-01-20")
+
+
+SQL_STAGING_QUERY = """
+SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS ds,
+       count(*) AS n, round(sum(value), 3) AS value_sum
+FROM events
+WHERE CAST(CAST(ts AS DATE) AS VARCHAR) BETWEEN '2024-01-05' AND '2024-01-20'
+GROUP BY 1, 2
+"""
+
+
+def q_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking label join: for each purchase row at ts, count label
+    events in the mirrored sawtooth horizon (ts, ceil(ts+2d, 1h)] — strict
+    future only (zero feature leakage inverted)."""
+    from chronon_spark.operators.bootstrap import label_join
+
+    ev = _t(spark, sf_dir, "events")
+    feats = _purchase_left(ev)
+    gb = GroupBy(name="lab", keys=["user_id"], aggregations=[Aggregation(Op.COUNT, "value")])
+    out = label_join(feats, ev, gb, horizon=W1D, tiebreak="event_id")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("label_value_count_1d"),
+    )
+
+
+# horizon end = smallest 1h multiple >= q + 1d (the mirrored sawtooth tail:
+# strict past on the negated axis = (q, ceil(q+w, hop)] on the real axis)
+SQL_LABEL_JOIN = """
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value FROM events
+), h AS (
+  SELECT user_id, ts_ms,
+         (ts_ms + 86400000) - ((ts_ms + 86400000) % 3600000)
+         + CASE WHEN (ts_ms + 86400000) % 3600000 = 0 THEN 0 ELSE 3600000 END AS h_end
+  FROM q
+)
+SELECT h.user_id, h.ts_ms,
+       count(CASE WHEN e.ems > h.ts_ms AND e.ems <= h.h_end THEN e.value END) AS label_value_count_1d
+FROM h LEFT JOIN e ON e.user_id = h.user_id
+GROUP BY h.user_id, h.ts_ms
+"""
+
+
 def q_mutations_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-mutation (CDC) temporal engine: point-in-time features over a
     MUTABLE dimension synthesized deterministically from events — every
@@ -850,6 +953,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "transcripts_backfill": q_transcripts_backfill,
     "mutations_temporal": q_mutations_temporal,
+    "snapshot_entities": q_snapshot_entities,
+    "staging_query": q_staging_query,
+    "label_join": q_label_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -872,6 +978,9 @@ ORACLES: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "transcripts_backfill": SQL_TRANSCRIPTS_BACKFILL,
     "mutations_temporal": SQL_MUTATIONS_TEMPORAL,
+    "snapshot_entities": SQL_SNAPSHOT_ENTITIES,
+    "staging_query": SQL_STAGING_QUERY,
+    "label_join": SQL_LABEL_JOIN,
 }
 
 
