@@ -566,6 +566,20 @@ def temporal_events(
             fast = [a for a in direct if a.operation in fast_ops and _hop_aligned(a)]
             fast_ids = {id(a) for a in fast}
             rest = [a for a in direct if id(a) not in fast_ids]
+            if strategy in ("sliding", "auto"):
+                # middle tier: hop-mergeable but not sliding-capable (HLL
+                # sketches — not window-function-mergeable) ride the cascade
+                # tile estimator: bounded fan-out beats the exact range join
+                # on hot keys
+                mid = [
+                    a
+                    for a in rest
+                    if a.operation in O.HOP_MERGEABLE_OPS and _hop_aligned(a)
+                ]
+                mid_ids = {id(a) for a in mid}
+                rest = [a for a in rest if id(a) not in mid_ids]
+                if mid:
+                    parts.append(_temporal_pass_hops(q, ev, gb, mid, tiebreak))
             if fast:
                 parts.append(fast_fn(q, ev, gb, fast, tiebreak))
             if rest:

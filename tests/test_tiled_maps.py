@@ -84,6 +84,23 @@ def test_approx_histogram_k_sliding_equals_exact(spark, events):
     _compare(events, gb, ["user_id", "ts", "event_type_approx_histogram2_7d"])
 
 
+def test_auto_routes_hll_through_cascade_tiles(spark, events):
+    """APPROX_UNIQUE_COUNT is hop-mergeable but not window-function-capable:
+    auto must route it through the cascade tile estimator (identical output
+    to strategy='hops' — HLL register-max merge is order-insensitive), not
+    the exact range join."""
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.APPROX_UNIQUE_COUNT, "event_id", windows=W7D)],
+    )
+    left = _left(events).limit(100)
+    auto = temporal_events(left, events, gb, tiebreak="event_id")
+    hops = temporal_events(left, events, gb, tiebreak="event_id", strategy="hops")
+    cols = ["user_id", "ts", "event_id_approx_unique_count_7d"]
+    assert _rows(auto, cols) == _rows(hops, cols)
+
+
 def test_bucketed_unaligned_window_falls_back(spark, events):
     """An unaligned minute window anywhere in the GroupBy must force the
     exact map passes (router guard) — and still be correct."""
