@@ -549,6 +549,50 @@ def q_snapshot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-grid snapshot semantics incl. CARRY days: a key emits rows
+    for every day a 7d window can still observe one of its events (active
+    day + 6 following), clipped to an explicit ds range — gates the grid
+    construction itself, not just active days."""
+    ev = _t(spark, sf_dir, "events")
+    gb = GroupBy(
+        name="carry",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(W7D,)),
+            Aggregation(Op.SUM, "value", windows=(W7D,)),
+        ],
+        accuracy=Accuracy.SNAPSHOT,
+    )
+    out = G.snapshot_events(ev, gb, start_ds="2024-01-10", end_ds="2024-01-31", tiebreak="event_id")
+    return out.select(
+        "user_id",
+        "ds",
+        F.col("value_count_7d"),
+        _r(F.col("value_sum_7d")).alias("value_sum_7d"),
+    )
+
+
+SQL_SNAPSHOT_CARRY = """
+WITH g0 AS (
+  SELECT DISTINCT user_id, epoch_ms(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS d0 FROM events
+), grid AS (
+  SELECT DISTINCT user_id, d0 + k * 86400000 AS day_ms
+  FROM g0, (SELECT unnest(range(0, 7)) AS k)
+  WHERE d0 + k * 86400000 BETWEEN epoch_ms(TIMESTAMP '2024-01-10')
+                              AND epoch_ms(TIMESTAMP '2024-01-31')
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value FROM events
+)
+SELECT grid.user_id,
+       CAST(CAST(make_timestamp(day_ms * 1000) AS DATE) AS VARCHAR) AS ds,
+       count(CASE WHEN e.ems >= day_ms + 86400000 - 7 * 86400000 THEN e.value END) AS value_count_7d,
+       round(sum(CASE WHEN e.ems >= day_ms + 86400000 - 7 * 86400000 THEN e.value END), 3) AS value_sum_7d
+FROM grid LEFT JOIN e ON e.user_id = grid.user_id AND e.ems < day_ms + 86400000
+GROUP BY grid.user_id, ds
+"""
+
+
 SQL_SNAPSHOT_DAILY = """
 WITH active AS (
   SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS ds,
@@ -949,6 +993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_multi": q_asof_join_multi,
     "asof_join_snapshot": q_asof_join_snapshot,
     "snapshot_daily": q_snapshot_daily,
+    "snapshot_carry": q_snapshot_carry,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
     "transcripts_backfill": q_transcripts_backfill,
@@ -974,6 +1019,7 @@ ORACLES: dict[str, str] = {
     "asof_join_multi": SQL_ASOF_JOIN_MULTI,
     "asof_join_snapshot": SQL_ASOF_JOIN_SNAPSHOT,
     "snapshot_daily": SQL_SNAPSHOT_DAILY,
+    "snapshot_carry": SQL_SNAPSHOT_CARRY,
     "lag_lead": SQL_LAG_LEAD,
     "sessionize": SQL_SESSIONIZE,
     "transcripts_backfill": SQL_TRANSCRIPTS_BACKFILL,

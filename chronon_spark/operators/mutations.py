@@ -103,6 +103,7 @@ def temporal_entities(
     ds_column: str = "ds",
     mutation_time_column: str = "mutation_ts",
     reversal_column: str = "is_before",
+    n_salts: int = 1,
 ) -> DataFrame:
     """Point-in-time features over a mutable entity source.
 
@@ -118,6 +119,13 @@ def temporal_entities(
     Returns the query rows + one feature column per (aggregation, window).
     Duplicate query rows are preserved (aggregate on distinct (keys, ts),
     fan back out — same contract as temporal_events).
+
+    ``n_salts`` > 1 splits each (key, day) join cell across that many tasks
+    (contribution rows hashed into salt groups, queries replicated): a hot
+    entity with millions of same-day mutations otherwise lands its whole
+    q x m pairing in one sort-merge group. Signed sums merge across salts
+    for free in the final groupBy, so results are identical at any salt
+    count.
     """
     for a in gb.aggregations:
         if a.operation not in DELETABLE_OPS:
@@ -160,6 +168,12 @@ def temporal_entities(
         F.when(F.col(reversal_column), F.lit(-1)).otherwise(F.lit(1)).alias(SGN),
     )
 
+    q_j = q
+    if n_salts > 1:
+        q_j = q.withColumn(
+            "__qsalt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+
     def _joined(contrib: DataFrame, extra: Column | None) -> DataFrame:
         c = contrib.select(
             *[F.col(k).alias(f"__e_{k}") for k in keys],
@@ -174,7 +188,13 @@ def temporal_entities(
             cond = cond & (F.col(k) == F.col(f"__e_{k}"))
         if extra is not None:
             cond = cond & extra
-        return q.join(c, cond, "inner").select(*keys, QTS, ETS, MTS, SGN, *inputs)
+        if n_salts > 1:
+            c = c.withColumn(
+                "__esalt",
+                F.pmod(F.xxhash64(F.col(ETS), F.coalesce(F.col(MTS), F.lit(0))), F.lit(n_salts)),
+            )
+            cond = cond & (F.col("__qsalt") == F.col("__esalt"))
+        return q_j.join(c, cond, "inner").select(*keys, QTS, ETS, MTS, SGN, *inputs)
 
     snap_j = _joined(snap, None)
     # STRICT visibility: a mutation at exactly the query instant is unseen

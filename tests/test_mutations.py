@@ -140,6 +140,21 @@ def test_non_deletable_op_rejected(spark, cdc):
         temporal_entities(q, snap, mut, gb, left_time_column="ts")
 
 
+def test_salted_equals_unsalted(spark, cdc):
+    """Salting the (key, day) join cells must not change any value."""
+    aggs = [Aggregation(Op.COUNT, "v"), Aggregation(Op.SUM, "v")]
+    qs = [("a", DAY11 + 9 * H), ("a", DAY11 + 10 * H + 1), ("a", DAY11 + 11 * H + 1), ("b", DAY11 + 13 * H)]
+    snap, mut = cdc
+    q = spark.createDataFrame(qs, "k string, qts long").select(
+        "k", F.timestamp_millis("qts").alias("ts"), F.col("qts")
+    )
+    gb = GroupBy(name="m", keys=["k"], aggregations=aggs)
+    plain = temporal_entities(q, snap, mut, gb, left_time_column="ts")
+    salted = temporal_entities(q, snap, mut, gb, left_time_column="ts", n_salts=4)
+    key = lambda df: sorted(map(tuple, df.collect()), key=repr)  # noqa: E731
+    assert key(plain) == key(salted)
+
+
 def test_decomposition_matches_full_log_oracle(spark, events):
     """Differential: snapshot + day-mutation decomposition over a CDC log
     synthesized from the events table must equal the full-log signed scan
