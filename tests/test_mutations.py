@@ -140,6 +140,20 @@ def test_non_deletable_op_rejected(spark, cdc):
         temporal_entities(q, snap, mut, gb, left_time_column="ts")
 
 
+def test_mutation_plan_shape(spark, cdc):
+    """No cartesian product / nested-loop join anywhere in the CDC plan:
+    both contribution branches are (key, day) equi-joins."""
+    snap, mut = cdc
+    q = spark.createDataFrame([("a", DAY11 + 9 * H)], "k string, qts long").select(
+        "k", F.timestamp_millis("qts").alias("ts")
+    )
+    gb = GroupBy(name="m", keys=["k"], aggregations=[Aggregation(Op.SUM, "v")])
+    out = temporal_entities(q, snap, mut, gb, left_time_column="ts")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_salted_equals_unsalted(spark, cdc):
     """Salting the (key, day) join cells must not change any value."""
     aggs = [Aggregation(Op.COUNT, "v"), Aggregation(Op.SUM, "v")]
