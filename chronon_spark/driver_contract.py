@@ -868,6 +868,52 @@ GROUP BY h.user_id, h.ts_ms
 """
 
 
+def q_bootstrap_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap-aware backfill: rows covered by a pre-computed table keep
+    its values (sentinel +1000000 makes coverage visible to the oracle);
+    uncovered rows are engine-computed. Provenance array records coverage."""
+    from chronon_spark.operators.bootstrap import PROVENANCE, backfill_with_bootstrap
+
+    ev = _t(spark, sf_dir, "events")
+    gb = GroupBy(
+        name="bs",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(W7D,))],
+    )
+    left = _purchase_left(ev)
+    boot_left = left.where(F.col("user_id") < 25)
+    boot = G.temporal_events(boot_left, ev, gb, tiebreak="event_id").withColumn(
+        "value_count_7d", F.col("value_count_7d") + F.lit(1_000_000)
+    )
+    out = backfill_with_bootstrap(
+        left, ev, gb, boot, ["user_id"], time_column="ts", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("value_count_7d"),
+        F.size(F.col(PROVENANCE)).alias("n_covering"),
+    )
+
+
+SQL_BOOTSTRAP_BACKFILL = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value FROM events
+), base AS (
+  SELECT q.user_id, q.ts_ms,
+         count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS c7
+  FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
+  GROUP BY q.user_id, q.ts_ms
+)
+SELECT user_id, ts_ms,
+       c7 + CASE WHEN user_id < 25 THEN 1000000 ELSE 0 END AS value_count_7d,
+       CASE WHEN user_id < 25 THEN 1 ELSE 0 END AS n_covering
+FROM base
+"""
+
+
 def q_mutations_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-mutation (CDC) temporal engine: point-in-time features over a
     MUTABLE dimension synthesized deterministically from events — every
@@ -1001,6 +1047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_entities": q_snapshot_entities,
     "staging_query": q_staging_query,
     "label_join": q_label_join,
+    "bootstrap_backfill": q_bootstrap_backfill,
 }
 
 ORACLES: dict[str, str] = {
@@ -1027,6 +1074,7 @@ ORACLES: dict[str, str] = {
     "snapshot_entities": SQL_SNAPSHOT_ENTITIES,
     "staging_query": SQL_STAGING_QUERY,
     "label_join": SQL_LABEL_JOIN,
+    "bootstrap_backfill": SQL_BOOTSTRAP_BACKFILL,
 }
 
 
