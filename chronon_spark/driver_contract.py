@@ -868,6 +868,55 @@ GROUP BY h.user_id, h.ts_ms
 """
 
 
+def q_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinSource chaining: the output of a parent join (every event row
+    enriched with its as-of user count) feeds a downstream GroupBy (1d SUM
+    of the parent feature per user) — reference replaceJoinSource."""
+    ev = _t(spark, sf_dir, "events")
+    gb_parent = GroupBy(
+        name="u7",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(W7D,))],
+    )
+    # parent join: enrich EVERY event row point-in-time
+    enriched = G.temporal_events(
+        ev.select("user_id", "ts", "event_id"), ev, gb_parent, tiebreak="event_id"
+    )
+    child_src = enriched.select(
+        "user_id", "ts", "event_id", F.col("value_count_7d").alias("uc7")
+    )
+    gb_child = GroupBy(
+        name="chain",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.SUM, "uc7", windows=(W1D,))],
+    )
+    out = G.temporal_events(_purchase_left(ev), child_src, gb_child, tiebreak="event_id")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("uc7_sum_1d"),
+    )
+
+
+SQL_JOIN_CHAIN = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, event_id, value FROM events
+), parent AS (
+  SELECT a.user_id, a.ems, a.event_id,
+         count(CASE WHEN b.ems >= (a.ems - 604800000) - ((a.ems - 604800000) % 3600000)
+                    THEN b.value END) AS uc7
+  FROM e a LEFT JOIN e b ON b.user_id = a.user_id AND b.ems < a.ems
+  GROUP BY a.user_id, a.ems, a.event_id
+), q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+)
+SELECT q.user_id, q.ts_ms,
+       CAST(sum(CASE WHEN p.ems >= {TAIL_1D} THEN p.uc7 END) AS BIGINT) AS uc7_sum_1d
+FROM q LEFT JOIN parent p ON p.user_id = q.user_id AND p.ems < q.ts_ms
+GROUP BY q.user_id, q.ts_ms
+"""
+
+
 def q_bootstrap_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap-aware backfill: rows covered by a pre-computed table keep
     its values (sentinel +1000000 makes coverage visible to the oracle);
@@ -1048,6 +1097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "staging_query": q_staging_query,
     "label_join": q_label_join,
     "bootstrap_backfill": q_bootstrap_backfill,
+    "join_chain": q_join_chain,
 }
 
 ORACLES: dict[str, str] = {
@@ -1075,6 +1125,7 @@ ORACLES: dict[str, str] = {
     "staging_query": SQL_STAGING_QUERY,
     "label_join": SQL_LABEL_JOIN,
     "bootstrap_backfill": SQL_BOOTSTRAP_BACKFILL,
+    "join_chain": SQL_JOIN_CHAIN,
 }
 
 
