@@ -1366,6 +1366,19 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
 """
 
 
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN with nprobe == n_lists (every inverted list
+    probed => EXACT search regardless of centroid quality) — gates the IVF
+    plumbing (KMeans quantizer, list assignment, probe + re-rank) against
+    the same brute-force SQL oracle as knn_cosine. Reduced nprobe recall is
+    pytest-verified."""
+    from chronon_spark.operators.similarity import ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 100)
+    return ivf_knn(emb, queries, k=3, n_lists=8, nprobe=8)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.operators.multimodal import attach_binary_payload, decode_image_meta
 
@@ -1427,6 +1440,7 @@ QUERIES.update(
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "knn_cosine": q_knn_cosine,
+        "ivf_knn": q_ivf_knn,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
@@ -1444,6 +1458,7 @@ ORACLES.update(
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "knn_cosine": SQL_KNN_COSINE,
+        "ivf_knn": SQL_KNN_COSINE,  # nprobe == n_lists is exhaustive
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "frame_sample": SQL_FRAME_SAMPLE,

@@ -109,6 +109,29 @@ def test_minhash_lsh_agrees_with_exact_jaccard(spark, docs):
             assert abs(est[k] - j) <= 0.4  # 16-perm estimate is coarse but sane
 
 
+def test_ivf_knn_recall_and_exact_degradation(spark, emb):
+    """nprobe == n_lists must equal brute force exactly; nprobe < n_lists
+    trades recall for a fraction of the data touched."""
+    from chronon_spark.operators.similarity import ivf_knn
+
+    queries = emb.where(F.col("vec_id") < 40)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(emb, queries, k=5).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn(emb, queries, k=5, n_lists=8, nprobe=8).collect()
+    }
+    assert exact == truth
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn(emb, queries, k=5, n_lists=8, nprobe=3).collect()
+    }
+    recall = len(approx & truth) / len(truth)
+    assert recall >= 0.5, recall
+
+
 def test_lsh_knn_recall_vs_brute_force(spark, emb):
     queries = emb.where(F.col("vec_id") < 20)
     exact = brute_force_knn(emb, queries, k=5)
