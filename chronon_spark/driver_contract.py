@@ -1298,6 +1298,46 @@ GROUP BY c.id_a, c.id_b
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH pair
+    graph (iterative min-label propagation) — turns pairwise matches into
+    dedup groups with a min-id canonical representative. Oracle: the same
+    pair graph closed with a recursive CTE."""
+    from chronon_spark.operators.dedup import dedup_components, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=8, num_perm=16, bands=4)
+    return dedup_components(pairs)
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE
+norm AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+sh AS (SELECT DISTINCT doc_id AS id,
+              unnest(list_transform(range(1, greatest(len(ws)-7, 0)+1),
+                                    i -> array_to_string(ws[i:i+7], ' '))) AS shingle
+       FROM w),
+sig AS (SELECT id, CAST(perm AS INT) AS perm,
+               min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS minhash
+        FROM sh, (SELECT unnest(range(0, 16)) AS perm) p GROUP BY id, perm),
+bands AS (SELECT id, CAST(perm / 4 AS INT) AS band,
+                 md5(array_to_string(list(lpad(CAST(perm AS VARCHAR), 2, '0') || ':' || minhash
+                                          ORDER BY perm), ',')) AS band_key
+          FROM sig GROUP BY id, CAST(perm / 4 AS INT)),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+edges AS (SELECT id_a AS s, id_b AS d FROM cand UNION SELECT id_b, id_a FROM cand),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
+)
+SELECT id, min(r) AS component_id FROM reach GROUP BY id
+"""
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.operators.similarity import brute_force_knn
 
@@ -1439,6 +1479,7 @@ QUERIES.update(
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "knn_cosine": q_knn_cosine,
         "ivf_knn": q_ivf_knn,
         "embedding_neardup": q_embedding_neardup,
@@ -1457,6 +1498,7 @@ ORACLES.update(
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "dedup_components": SQL_DEDUP_COMPONENTS,
         "knn_cosine": SQL_KNN_COSINE,
         "ivf_knn": SQL_KNN_COSINE,  # nprobe == n_lists is exhaustive
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,

@@ -242,3 +242,65 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return out
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the step
+    that turns pairwise matches into DEDUP GROUPS (keep min-id canonical,
+    drop the rest). Returns (id, component_id) for every id in ``pairs``.
+
+    Iterative min-label propagation: every node repeatedly adopts the
+    minimum label in its neighborhood until a fixpoint. Each round is one
+    equi-join + groupBy-min (all shuffles on the node id); rounds needed =
+    graph diameter, and near-dup components are small cliques/chains, so
+    this converges in a handful of rounds even at web scale. Each round is
+    localCheckpoint()ed — iterative self-referencing plans otherwise grow
+    their lineage (and re-resolve ambiguously) every round — and
+    convergence is detected with one count per round: the standard Spark
+    pattern for an iterative algorithm the DataFrame algebra cannot
+    express in one query.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            e.join(labels.select(F.col("id").alias("dst"), "component_id"), "dst")
+            .groupBy("src")
+            .agg(F.min("component_id").alias("n_min"))
+            .select(F.col("src").alias("id"), "n_min")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("n_min"), F.col("component_id"))
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.select("id", F.col("component_id").alias("new_c"))
+            .join(labels, "id")
+            .where(F.col("new_c") != F.col("component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", "component_id")

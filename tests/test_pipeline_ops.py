@@ -109,6 +109,21 @@ def test_minhash_lsh_agrees_with_exact_jaccard(spark, docs):
             assert abs(est[k] - j) <= 0.4  # 16-perm estimate is coarse but sane
 
 
+def test_dedup_components_chain_and_islands(spark):
+    """Min-label propagation must converge across a long chain (multiple
+    iterations) and keep disjoint components separate."""
+    from chronon_spark.operators.dedup import dedup_components
+
+    #  chain 1-2-3-...-9, clique {20,21,22}, pair {30,31}
+    pairs = [(i, i + 1) for i in range(1, 9)]
+    pairs += [(20, 21), (21, 22), (20, 22), (30, 31)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["component_id"] for r in dedup_components(df).collect()}
+    assert all(got[i] == 1 for i in range(1, 10))
+    assert all(got[i] == 20 for i in (20, 21, 22))
+    assert got[30] == 30 and got[31] == 30
+
+
 def test_ivf_knn_recall_and_exact_degradation(spark, emb):
     """nprobe == n_lists must equal brute force exactly; nprobe < n_lists
     trades recall for a fraction of the data touched."""
