@@ -30,6 +30,20 @@ def _join_def():
     )
 
 
+def test_join_semantic_hash_stability_and_invalidation():
+    from chronon_spark.operators.join import join_semantic_hash
+
+    j1, j2 = _join_def(), _join_def()
+    assert join_semantic_hash(j1) == join_semantic_hash(j2)  # definition-stable
+    j2.join_parts[0].group_by.aggregations = [
+        Aggregation(Op.COUNT, "value", windows=(Window(1, TimeUnit.DAYS),))
+    ]
+    assert join_semantic_hash(j1) != join_semantic_hash(j2)  # window change invalidates
+    j3 = _join_def()
+    j3.derivations["extra"] = "user_stats_value_count_7d * 2"
+    assert join_semantic_hash(j1) != join_semantic_hash(j3)  # derivation invalidates
+
+
 def test_materialize_join_matches_compute_join(spark, events, tmp_path):
     j = _join_def()
     left = (
