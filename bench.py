@@ -70,7 +70,12 @@ def main() -> None:
     for name in headline:
         fn = QUERIES[name]
         t0 = time.time()
-        n = force(fn(spark, sf_dir))
+        try:
+            n = force(fn(spark, sf_dir))
+        finally:
+            # queries may persist intermediates (e.g. the prepared transcript
+            # frame); drop them so one query's cache never warms the next
+            spark.catalog.clearCache()
         timings[name] = round(time.time() - t0, 3)
         if name in ("transcripts_backfill", "asof_window_agg", "asof_hops", "asof_sliding", "asof_join_multi"):
             feature_rows += n

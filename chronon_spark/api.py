@@ -185,6 +185,9 @@ class GroupBy:
                 "accuracy": self.accuracy.value,
                 "time_column": self.time_column,
                 "derivations": self.derivations,
+                # setups feed derivations (UDF definitions): changing one must
+                # invalidate materialized partitions like any other change
+                "setups": self.setups,
                 "aggs": [
                     {
                         "op": a.operation.value,

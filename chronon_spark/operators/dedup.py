@@ -249,6 +249,7 @@ def dedup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the step
     that turns pairwise matches into DEDUP GROUPS (keep min-id canonical,
@@ -264,7 +265,14 @@ def dedup_components(
     convergence is detected with one count per round: the standard Spark
     pattern for an iterative algorithm the DataFrame algebra cannot
     express in one query.
+
+    If the graph has not converged after ``max_iterations`` rounds (diameter
+    exceeds the budget — e.g. one very long dup chain), the result would
+    silently contain SPLIT components, so this raises unless
+    ``allow_partial=True`` (which logs a warning and returns the partial
+    labels instead).
     """
+    import warnings
     e = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -277,6 +285,7 @@ def dedup_components(
         .withColumn("component_id", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iterations):
         neigh = (
             e.join(labels.select(F.col("id").alias("dst"), "component_id"), "dst")
@@ -303,4 +312,13 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"dedup_components did not converge in {max_iterations} rounds "
+            f"({changed} labels still changing): component ids would be split. "
+            "Raise max_iterations (rounds needed = graph diameter)."
+        )
+        if not allow_partial:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning)
     return labels.select("id", "component_id")

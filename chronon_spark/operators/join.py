@@ -81,6 +81,7 @@ def compute_join_part(
             accuracy=Accuracy.TEMPORAL,
             time_column=gb.time_column,
             derivations=gb.derivations,
+            setups=gb.setups,
         )
         feat = G.temporal_events(
             q_mid.select(*gb.keys, left_time_column, "__orig_ts").dropDuplicates(),
@@ -138,6 +139,7 @@ def join_semantic_hash(join: Join) -> str:
         [
             join.name,
             join.time_column,
+            *join.setups,
             *sorted(f"{n}={e}" for n, e in join.derivations.items()),
             *[
                 f"{p.full_prefix()}:{sorted(p.key_mapping.items())}:{p.group_by.semantic_hash()}"
