@@ -45,6 +45,10 @@ def _ensure_session(spark: SparkSession) -> None:
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.sources.partitionColumnTypeInference.enabled", "false"),
         ("spark.sql.adaptive.enabled", "true"),
+        # sliding-tile plans join co-partitioned-by-keys frames on
+        # (keys, bucket); reuse the partitioning instead of re-shuffling
+        ("spark.sql.requireAllClusterKeysForCoPartition", "false"),
+        ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false"),
     ):
         try:
             spark.conf.set(k, v)

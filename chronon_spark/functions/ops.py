@@ -195,6 +195,46 @@ def partial_cols(agg: Aggregation, value: Column, ts: Column, tiebreak: Column |
     raise ValueError(f"{op} has no mergeable partial form (use exact estimator)")
 
 
+def singleton_cols(
+    agg: Aggregation, value: Column, ts: Column, tiebreak: Column | None, slot: str
+) -> dict[str, Column]:
+    """Per-ROW (non-aggregate) IR columns: the IR a single event contributes,
+    shaped exactly like ``partial_cols`` output so ``window_merge_cols`` can
+    merge raw rows and tile rows with the same expressions. This is the
+    'prepare' of the reference IR contract (BaseAggregator.scala:21-43) as a
+    scalar projection — it lets the HEAD band run as one incremental window
+    pass over the raw frame instead of a join + groupBy."""
+    op = agg.operation
+    ordk = F.struct(ts.alias("t"), (tiebreak if tiebreak is not None else F.lit(0)).alias("tb"))
+    ok = value.isNotNull() & ts.isNotNull()
+    if op == Op.COUNT:
+        return {f"{slot}__n": value.isNotNull().cast("long")}
+    if op == Op.SUM:
+        return {f"{slot}__s": value}
+    if op == Op.AVERAGE:
+        return {f"{slot}__s": value, f"{slot}__n": value.isNotNull().cast("long")}
+    if op == Op.VARIANCE:
+        d = value.cast("double")
+        return {
+            f"{slot}__n": d.isNotNull().cast("long"),
+            f"{slot}__s": d,
+            f"{slot}__q": d * d,
+        }
+    if op == Op.MIN or op == Op.MAX:
+        return {f"{slot}__m": value}
+    if op in (Op.FIRST, Op.LAST):
+        return {f"{slot}__p": F.when(ok, F.struct(ordk.alias("o"), value.alias("v")))}
+    if op in (Op.FIRST_K, Op.LAST_K):
+        return {
+            f"{slot}__l": F.when(ok, F.array(F.struct(ordk.alias("o"), value.alias("v"))))
+        }
+    if op in (Op.TOP_K, Op.BOTTOM_K):
+        return {f"{slot}__l": F.when(value.isNotNull(), F.array(value))}
+    if op == Op.UNIQUE_COUNT:
+        return {f"{slot}__set": F.when(value.isNotNull(), F.array(value))}
+    raise ValueError(f"{op} has no singleton IR form")
+
+
 def merge_finalize(agg: Aggregation, slot: str) -> Column:
     """Merge partial IR columns named per ``partial_cols`` across tiles and
     finalize to the user-facing value. Used in a groupBy over (keys, query_ts)

@@ -103,6 +103,87 @@ def compute_join_part(
     return feat
 
 
+def _merge_groups(
+    join: Join, sources: dict[str, DataFrame]
+) -> list[list[JoinPart]]:
+    """Partition join parts into groups that can share ONE estimator pass.
+
+    Parts merge when they aggregate the SAME events source over the SAME
+    left->right key mapping with TEMPORAL accuracy and no GroupBy-level
+    derivations: their query frames and tile tables are then identical, so
+    running them as one merged GroupBy builds the tile table (and the raw
+    head join, and the query fan-out) once per source instead of once per
+    part — the reference's shared per-part intermediate-table reuse
+    (JoinBase.scala:196-213) taken one step further. Order of first
+    appearance is preserved."""
+    groups: dict[tuple, list[JoinPart]] = {}
+    order: list[tuple] = []
+    for i, part in enumerate(join.join_parts):
+        gb = part.group_by
+        mergeable = gb.accuracy == Accuracy.TEMPORAL and not gb.derivations
+        key = (
+            (id(sources[gb.name]), tuple(part.left_keys()), tuple(gb.keys), gb.time_column)
+            if mergeable
+            else ("solo", i)
+        )
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append(part)
+    return [groups[k] for k in order]
+
+
+def _compute_merged_parts(
+    left: DataFrame,
+    events: DataFrame,
+    parts: list[JoinPart],
+    left_time_column: str,
+    tiebreak: str | None,
+    strategy: str,
+) -> DataFrame:
+    """One temporal_events pass serving several join parts (same source,
+    same key mapping): aggregations are deduplicated across parts, computed
+    once, and fanned back out to each part's prefixed column names."""
+    first = parts[0]
+    gb0 = first.group_by
+    lkeys = first.left_keys()
+    # dedupe identical aggregations across parts (frozen dataclass equality)
+    merged_aggs: list = []
+    seen: dict = {}
+    for p in parts:
+        for a in p.group_by.aggregations:
+            if a not in seen:
+                seen[a] = a
+                merged_aggs.append(a)
+    merged_gb = G.GroupBy(
+        name=gb0.name,
+        keys=gb0.keys,
+        aggregations=merged_aggs,
+        accuracy=Accuracy.TEMPORAL,
+        time_column=gb0.time_column,
+        setups=[s for p in parts for s in p.group_by.setups],
+    )
+    q = left.select(
+        *[F.col(lk).alias(rk) for lk, rk in zip(lkeys, gb0.keys)],
+        F.col(left_time_column),
+    ).dropDuplicates([*gb0.keys, left_time_column])
+    feat = G.temporal_events(
+        q, events, merged_gb, left_time_column=left_time_column,
+        tiebreak=tiebreak, strategy=strategy,
+    )
+    # fan shared output columns out to every part's prefixed name
+    sel: list = [F.col(c) for c in gb0.keys] + [F.col(left_time_column)]
+    for p in parts:
+        prefix = p.full_prefix()
+        for c in p.group_by.output_columns():
+            sel.append(F.col(c).alias(f"{prefix}_{c}"))
+    feat = feat.select(*sel)
+    for lk, rk in zip(lkeys, gb0.keys):
+        if lk != rk:
+            feat = feat.withColumnRenamed(rk, lk)
+    return feat
+
+
 def compute_join(
     left: DataFrame,
     sources: dict[str, DataFrame],
@@ -111,20 +192,33 @@ def compute_join(
     strategy: str = "auto",
 ) -> DataFrame:
     """Enrich ``left`` with every join part. ``sources`` maps GroupBy name ->
-    its events DataFrame. Preserves left row count (incl. duplicates)."""
+    its events DataFrame. Preserves left row count (incl. duplicates).
+
+    Every part's query frame derives from the ORIGINAL left (the join
+    preserves left rows, so the distinct (keys, ts) set is invariant across
+    parts) — part DAGs are therefore independent subtrees and the scheduler
+    overlaps their stages instead of chaining part N's tile build behind
+    part N-1's output. Parts sharing (source, key mapping) additionally
+    collapse into one estimator pass (see _merge_groups)."""
     G.run_setups(left, join.setups)
     out = left
-    for part in join.join_parts:
-        events = sources[part.group_by.name]
-        feat = compute_join_part(
-            out.select(*part.left_keys(), join.time_column).dropDuplicates(),
-            events,
-            part,
-            left_time_column=join.time_column,
-            tiebreak=tiebreak,
-            strategy=strategy,
-        )
-        out = coalesced_join(out, feat, [*part.left_keys(), join.time_column])
+    for parts in _merge_groups(join, sources):
+        events = sources[parts[0].group_by.name]
+        if len(parts) == 1:
+            part = parts[0]
+            feat = compute_join_part(
+                left.select(*part.left_keys(), join.time_column).dropDuplicates(),
+                events,
+                part,
+                left_time_column=join.time_column,
+                tiebreak=tiebreak,
+                strategy=strategy,
+            )
+        else:
+            feat = _compute_merged_parts(
+                left, events, parts, join.time_column, tiebreak, strategy
+            )
+        out = coalesced_join(out, feat, [*parts[0].left_keys(), join.time_column])
     if join.derivations:
         out = G.apply_derivations(out, join.derivations, keep=list(left.columns))
     return out

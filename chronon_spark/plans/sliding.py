@@ -176,6 +176,9 @@ def _hop_of(w: Window | None, life_hop: int = DAY_MS) -> int:
     return life_hop if w is None else w.tail_hop_millis()
 
 
+PROBE = "__probe"
+
+
 def temporal_pass_sliding(
     q: DataFrame,
     ev: DataFrame,
@@ -184,7 +187,19 @@ def temporal_pass_sliding(
     tiebreak: str | None,
 ) -> DataFrame:
     """Features for distinct query rows (keys + QTS). Returns a DataFrame
-    keyed by (keys, QTS) with one column per (agg x window)."""
+    keyed by (keys, QTS) with one column per (agg x window).
+
+    Shuffle economy (the 100TB shape): the ENTIRE pass runs on ONE
+    hash-partitioning of the group keys. Probe rows (one per query, null
+    inputs) are unioned into the raw frame BEFORE tile aggregation, so
+    densification costs no extra shuffle; every downstream groupBy / window
+    / join requires only ClusteredDistribution(keys ⊆ grouping), which the
+    initial repartition already satisfies (joins additionally need
+    ``spark.sql.requireAllClusterKeysForCoPartition=false``, set in
+    session.py). The HEAD band is an incremental unbounded-preceding window
+    over per-row singleton IRs (ops.singleton_cols) rather than a
+    join + groupBy. Net: 3-4 exchanges total instead of ~15.
+    """
     from pyspark.storagelevel import StorageLevel
 
     keys = gb.keys
@@ -197,29 +212,55 @@ def temporal_pass_sliding(
 
     slot_of: dict[int, str] = {}
     partial_exprs: dict[str, Column] = {}
-    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    # probe rows (null inputs) ride the same frame as events; inputs that are
+    # ALSO group keys (e.g. the bucket column in a bucketed pass) are non-null
+    # on probe rows, so every IR input is masked by the probe flag
+    tb = F.when(F.col(PROBE) == 0, F.col(tiebreak)) if tiebreak else F.lit(0)
+
+    def _val(a: Aggregation) -> Column:
+        return F.when(F.col(PROBE) == 0, F.col(a.input_column))
+
     for a, _w in pairs:
         if id(a) not in slot_of:
             slot_of[id(a)] = f"a{len(slot_of)}"
             partial_exprs.update(
-                O.partial_cols(a, F.col(a.input_column), F.col(ETS), tb, slot_of[id(a)])
+                O.partial_cols(a, _val(a), F.col(ETS), tb, slot_of[id(a)])
             )
-    ir_cols = list(partial_exprs.keys())
     aggs_unique = list({id(a): a for a, _ in pairs}.values())
 
-    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    spark = q.sparkSession
+    try:
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        npart = 200
 
-    # 5-minute base tiles, shared by all hop groups and the MID band
+    q = q.repartition(npart, *keys).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ---- base frame: raw events + one probe row per query, co-partitioned ----
+    ev_types = dict(zip(ev.schema.names, [f.dataType for f in ev.schema.fields]))
+    probe_rows = q.select(
+        *keys,
+        F.col(QTS).alias(ETS),
+        *[
+            F.lit(None).cast(ev_types[c]).alias(c)
+            for c in ev.columns
+            if c not in keys and c != ETS
+        ],
+        F.lit(1).alias(PROBE),
+    )
+    base = ev.withColumn(PROBE, F.lit(0)).unionByName(probe_rows)
+    base = base.repartition(npart, *keys)
+
+    # 5-minute tiles (probe flag folded in), shared by all hop groups + MID
     t5 = (
-        ev.withColumn(TILE, W.round_down(F.col(ETS), FINEST))
+        base.withColumn(TILE, W.round_down(F.col(ETS), FINEST))
         .groupBy(*keys, TILE)
-        .agg(*[c.alias(n) for n, c in partial_exprs.items()])
+        .agg(
+            *[c.alias(n) for n, c in partial_exprs.items()],
+            F.max(PROBE).alias(PROBE),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ir_types = {c: t5.schema[c].dataType for c in ir_cols}
-
-    def _null_irs() -> list[Column]:
-        return [F.lit(None).cast(ir_types[c]).alias(c) for c in ir_cols]
 
     out = q
     band_prefixes: dict[tuple[int, int], list[str]] = defaultdict(list)  # (agg_id, w_ms) -> prefixes
@@ -231,7 +272,7 @@ def temporal_pass_sliding(
         if t5b_col not in out.columns:
             out = out.withColumn(t5b_col, W.round_down(F.col(QTS), FINEST))
 
-        # ---- TAIL: densified sliding window over the hop tile table ----
+        # ---- TAIL: sliding window over the hop tile table ----
         if hop == FINEST:
             tiles_h = t5
         else:
@@ -241,12 +282,11 @@ def temporal_pass_sliding(
             tiles_h = (
                 t5.withColumn(TILE, W.round_down(F.col(TILE), hop))
                 .groupBy(*keys, TILE)
-                .agg(*[c.alias(n) for n, c in merged.items()])
+                .agg(
+                    *[c.alias(n) for n, c in merged.items()],
+                    F.max(PROBE).alias(PROBE),
+                )
             )
-        probes = q.select(*keys, W.round_down(F.col(QTS), hop).alias(TILE)).distinct()
-        dense = tiles_h.withColumn("__probe", F.lit(0)).unionByName(
-            probes.select(*keys, TILE, *_null_irs()).withColumn("__probe", F.lit(1))
-        )
         tail_sel: list[Column] = []
         for a, w in hop_pairs:
             slot = slot_of[id(a)]
@@ -259,19 +299,15 @@ def temporal_pass_sliding(
                 tail_sel.append(col.alias(prefix + name[len(slot):]))
             band_prefixes[(id(a), w.millis if w else -1)].append(prefix)
         tail_probe = (
-            dense.select(*keys, TILE, F.col("__probe"), *tail_sel)
-            .where(F.col("__probe") == 1)
-            .drop("__probe")
+            tiles_h.select(*keys, TILE, F.col(PROBE), *tail_sel)
+            .where(F.col(PROBE) == 1)
+            .drop(PROBE)
             .withColumnRenamed(TILE, hb_col)
         )
         out = out.join(tail_probe, [*keys, hb_col], "left")
 
         # ---- MID: running prefix of 5m tiles inside the hop bucket ----
         if hop != FINEST:
-            probes5 = q.select(*keys, W.round_down(F.col(QTS), FINEST).alias(TILE)).distinct()
-            dense5 = t5.withColumn("__probe", F.lit(0)).unionByName(
-                probes5.select(*keys, TILE, *_null_irs()).withColumn("__probe", F.lit(1))
-            )
             wspec5 = (
                 SW.partitionBy(*keys, W.round_down(F.col(TILE), hop))
                 .orderBy(F.col(TILE))
@@ -288,29 +324,40 @@ def temporal_pass_sliding(
                     f"m{hop}_{slot_of[id(a)]}"
                 )
             mid_probe = (
-                dense5.select(*keys, TILE, F.col("__probe"), *mid_sel)
-                .where(F.col("__probe") == 1)
-                .drop("__probe")
+                t5.select(*keys, TILE, F.col(PROBE), *mid_sel)
+                .where(F.col(PROBE) == 1)
+                .drop(PROBE)
                 .withColumnRenamed(TILE, t5b_col)
             )
             out = out.join(mid_probe, [*keys, t5b_col], "left")
 
-    # ---- HEAD: raw events in the query's own 5-minute bucket ----
-    eva = ev.select(
-        *[F.col(k).alias(f"__e_{k}") for k in keys],
-        W.round_down(F.col(ETS), FINEST).alias("__e_t5b"),
-        *[c for c in ev.columns if c not in keys],
+    # ---- HEAD: raw events in the query's own 5-minute bucket, computed as
+    # an incremental window over singleton IRs on the co-partitioned base ----
+    singles: dict[str, Column] = {}
+    for a in aggs_unique:
+        singles.update(O.singleton_cols(a, _val(a), F.col(ETS), tb, slot_of[id(a)]))
+    head_base = base.select(
+        *keys,
+        F.col(ETS),
+        F.col(PROBE),
+        W.round_down(F.col(ETS), FINEST).alias("__h5b"),
+        *[c.alias(n) for n, c in singles.items()],
     )
-    hcond = F.lit(True)
-    for k in keys:
-        hcond = hcond & (F.col(k) == F.col(f"__e_{k}"))
-    hcond = hcond & (F.col("__t5b") == F.col("__e_t5b")) & (F.col(ETS) < F.col(QTS))
-    head_sel = {f"h_{n}": c for n, c in partial_exprs.items()}
-    head_src = q.select(*keys, QTS).withColumn("__t5b", W.round_down(F.col(QTS), FINEST))
+    whead = (
+        SW.partitionBy(*keys, F.col("__h5b"))
+        .orderBy(F.col(ETS))
+        .rangeBetween(SW.unboundedPreceding, -1)
+    )
+    head_sel: list[Column] = []
+    for a in aggs_unique:
+        slot = slot_of[id(a)]
+        for name, col in window_merge_cols(a, slot, whead).items():
+            head_sel.append(col.alias("h_" + name))
     head = (
-        head_src.join(eva, hcond, "inner")
-        .groupBy(*keys, QTS)
-        .agg(*[c.alias(n) for n, c in head_sel.items()])
+        head_base.select(*keys, ETS, F.col(PROBE), *head_sel)
+        .where(F.col(PROBE) == 1)
+        .drop(PROBE)
+        .withColumnRenamed(ETS, QTS)
     )
     out = out.join(head, [*keys, QTS], "left")
     for a, w in pairs:

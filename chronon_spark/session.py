@@ -46,6 +46,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # joins whose keys are a superset of both sides' hash-partitioning
+        # (e.g. co-partitioned-by-conv_id frames joined on (conv_id, bucket))
+        # reuse the existing partitioning instead of re-shuffling — the
+        # sliding-tile estimator runs its whole DAG on one keys-partitioning
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # persisted tile tables must keep reporting their hash-partitioning,
+        # or every consumer re-shuffles what is already clustered
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")

@@ -139,3 +139,100 @@ def test_auto_unaligned_minute_window_routes_exact(spark, events):
     a = {tuple(r) for r in auto.collect()}
     b = {tuple(r) for r in exact.collect()}
     assert a == b
+
+
+def test_compute_join_one_estimator_pass_per_source(spark, events, monkeypatch):
+    """Join parts sharing (source, key mapping) collapse into ONE estimator
+    pass — one tile build per source (reference analog: shared per-part
+    intermediate tables, JoinBase.scala:196-213) — and the merged plan is
+    value-identical to computing each part separately."""
+    from chronon_spark.api import Join, JoinPart
+    from chronon_spark.operators import groupby as G
+    from chronon_spark.operators import join as J
+
+    gbs = [
+        GroupBy(
+            name=f"g{i}",
+            keys=["user_id"],
+            aggregations=[
+                Aggregation(op, "value", windows=(Window(7, TimeUnit.DAYS),))
+            ],
+        )
+        for i, op in enumerate([Op.COUNT, Op.SUM, Op.MAX])
+    ]
+    left = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .distinct()
+        .limit(200)
+    )
+    j = Join(
+        name="threeparts",
+        left_keys=["user_id"],
+        join_parts=[JoinPart(group_by=gb) for gb in gbs],
+    )
+    srcs = {gb.name: events for gb in gbs}
+
+    calls = []
+    real = G.temporal_events
+
+    def counting(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(G, "temporal_events", counting)
+    merged = J.compute_join(left, srcs, j, tiebreak="event_id")
+    assert len(calls) == 1, f"expected ONE estimator pass, got {len(calls)}"
+
+    # identical values to the unmerged per-part computation
+    monkeypatch.setattr(G, "temporal_events", real)
+    expect = left
+    for part in j.join_parts:
+        feat = J.compute_join_part(left, events, part, tiebreak="event_id")
+        expect = J.coalesced_join(expect, feat, ["user_id", "ts"])
+    cols = sorted(merged.columns)
+    got = sorted(map(repr, merged.select(*cols).collect()))
+    want = sorted(map(repr, expect.select(*cols).collect()))
+    assert got == want
+
+
+def test_compute_join_groups_by_key_mapping(spark, events, monkeypatch):
+    """Parts with DIFFERENT keys over the same source stay separate passes."""
+    from chronon_spark.api import Join, JoinPart
+    from chronon_spark.operators import groupby as G
+    from chronon_spark.operators import join as J
+
+    gb_u = GroupBy(
+        name="gu", keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(7, TimeUnit.DAYS),))],
+    )
+    gb_t = GroupBy(
+        name="gt", keys=["event_type"],
+        aggregations=[Aggregation(Op.SUM, "value", windows=(Window(1, TimeUnit.DAYS),))],
+    )
+    left = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .withColumn("etype", F.lit("click"))
+        .distinct()
+        .limit(50)
+    )
+    j = Join(
+        name="mixed",
+        left_keys=["user_id", "etype"],
+        join_parts=[
+            JoinPart(group_by=gb_u),
+            JoinPart(group_by=gb_t, key_mapping={"etype": "event_type"}),
+        ],
+    )
+    calls = []
+    real = G.temporal_events
+
+    def counting(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(G, "temporal_events", counting)
+    out = J.compute_join(left, {"gu": events, "gt": events}, j, tiebreak="event_id")
+    out.collect()
+    assert len(calls) == 2
