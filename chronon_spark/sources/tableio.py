@@ -183,11 +183,18 @@ def backfill(
     ]
     chunks = unfilled_ranges(requested, existing, step_days)
     records = []
+    from pyspark.sql import Observation
+
     for lo, hi in chunks:
         t0 = time.time()
         out = compute_range(spark, lo, hi)
-        rows = out.count()
+        # row count rides the WRITE job as an observed metric — a pre-write
+        # count() would execute the whole chunk plan twice (at 100TB that
+        # doubles the backfill cost)
+        obs = Observation(f"backfill_{lo}_{hi}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
         insert_overwrite_partitions(out, table, n_files)
+        rows = obs.get["rows"]
         meta = {
             "range": [lo, hi],
             "rows": rows,

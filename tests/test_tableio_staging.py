@@ -117,3 +117,21 @@ def test_staging_macros_and_backfill(spark, tmp_path):
     total = tbl.read(spark).agg(F.sum("n")).first()[0]
     oracle = ev.where(F.col("ts") < F.lit("2024-01-05").cast("timestamp")).count()
     assert total == oracle
+
+
+def test_backfill_single_job_per_chunk(spark, tmp_table, monkeypatch):
+    """The chunk plan must execute ONCE (the write); the lineage row count is
+    an observed metric of that same job, not a separate count() action."""
+    import pyspark.sql
+
+    def no_count(self, *a, **k):
+        raise AssertionError("backfill must not run a separate count() action")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "count", no_count)
+    recs = backfill(
+        spark, tmp_table, lambda s, lo, hi: _mk(s, lo, hi), "2024-02-01", "2024-02-03", "h1"
+    )
+    monkeypatch.undo()
+    assert [r["rows"] for r in recs] == [15]  # 3 days x 5 rows, observed at write
+    assert tmp_table.partitions() == ["2024-02-01", "2024-02-02", "2024-02-03"]
+    assert tmp_table.read(spark).count() == 15
