@@ -119,7 +119,11 @@ def label_join(
     )
     # strict past on negated axis = strict future on real axis; the sawtooth
     # tail on the negated axis rounds the horizon start — acceptable for
-    # labels (same hop semantics, mirrored). Exact estimator only.
+    # labels (same hop semantics, mirrored). round_down uses pmod (true
+    # mathematical floor), so the tile identity floor(q,hop)-w holds for the
+    # negative (pre-1970) instants too and the default auto router applies:
+    # labels over a hot key ride the same skew-proof sliding-tile plan as
+    # features instead of re-entering the quadratic range join.
     q = neg_q.select(
         *label_gb.keys, F.col("__neg_ts").alias("__q_neg"), F.col(time_column)
     )
@@ -131,7 +135,7 @@ def label_join(
         gb_neg,
         left_time_column="__q_neg",
         tiebreak=tiebreak,
-        strategy="exact",
+        strategy="auto",
     )
     renames = {c: f"{prefix}_{c}" for c in gb_neg.output_columns()}
     for old, new in renames.items():

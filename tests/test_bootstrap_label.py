@@ -130,3 +130,23 @@ def test_label_join_never_sees_past_or_present(spark, events):
     past = events.withColumn("ts", F.col("ts") - F.expr("INTERVAL 100 DAYS"))
     out = label_join(feats, past, gb, horizon=Window(1, TimeUnit.DAYS), tiebreak="event_id")
     assert out.where(F.col("label_value_count_1d") != 0).count() == 0
+
+
+def test_label_join_routes_to_tile_plan(spark, events):
+    """Labels over a hot key must ride the sliding-tile plan: the physical
+    plan has NO queries x raw-events range join (the exact pass's `__e_`
+    aliasing and its non-equi ts predicate are absent) and no cartesian."""
+    from chronon_spark.api import Aggregation, GroupBy, Op, TimeUnit, Window
+
+    gb = GroupBy(
+        name="lbl",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value")],
+    )
+    feats = events.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = label_join(feats, events, gb, Window(1, TimeUnit.DAYS), tiebreak="event_id")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__e_user_id" not in plan, "label side fell back to the exact range join"
+    assert "Window" in plan  # sliding TAIL/HEAD window passes present
