@@ -1457,12 +1457,59 @@ FROM (SELECT doc_id, text, unnest(range(0, greatest(CAST(ceil(length(text) / 64.
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (xxhash64-based — not SQL-replicable; rows-only
-    driver check, pytest verifies identity/locality properties)."""
+    """SimHash near-dup. Token-hash bits derive from md5 (identical in both
+    engines), so the full pipeline — weighted bit majority, 4x16-bit band
+    LSH, hamming filter — is replicated bit-for-bit by the SQL oracle."""
     from chronon_spark.operators.dedup import simhash_neardup_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replica of simhash_neardup_pairs: 64 bit-majority sums over
+    md5-derived token bits (lo half = md5 hex chars 9-16, hi = 1-8), signature
+    halves, band bucketing, exact hamming via bit_count(xor)."""
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (({'lo' if b < 32 else 'hi'} // {2 ** (b % 32)}) % 2) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    sig_lo = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32))
+    sig_hi = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** (b - 32)} ELSE 0 END)" for b in range(32, 64)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest(string_split({NORM_SQL}, ' ')) AS w FROM documents
+), h AS (
+  SELECT id,
+         CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS hi,
+         CAST(concat('0x', substr(md5(w), 9, 8)) AS BIGINT) AS lo
+  FROM tok WHERE w <> ''
+), s AS (
+  SELECT id,
+    {bit_sums}
+  FROM h GROUP BY id
+), sig AS (
+  SELECT id, CAST({sig_lo} AS BIGINT) AS sig_lo, CAST({sig_hi} AS BIGINT) AS sig_hi
+  FROM s
+), banded AS (
+  SELECT id, sig_hi, sig_lo,
+         sig_lo % 65536 AS band0, sig_lo // 65536 AS band1,
+         sig_hi % 65536 AS band2, sig_hi // 65536 AS band3
+  FROM sig
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.id < b.id
+ AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
+WHERE bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) <= 8
+"""
+
+
+SQL_SIMHASH_NEARDUP = _simhash_oracle_sql()
 
 
 def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1508,7 +1555,9 @@ ORACLES.update(
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "frame_sample": SQL_FRAME_SAMPLE,
-        # simhash_neardup / lsh_knn: intentionally no oracle (hash-dependent)
+        "simhash_neardup": SQL_SIMHASH_NEARDUP,
+        # lsh_knn: intentionally no oracle (random-hyperplane hash has no
+        # SQL twin; pytest verifies recall against brute force)
     }
 )
 

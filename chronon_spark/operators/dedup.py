@@ -190,19 +190,27 @@ def minhash_lsh_pairs(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash: per-token xxhash64, bitwise weighted majority.
+    """64-bit SimHash: per-token md5-derived hash, bitwise weighted majority.
 
-    Plan shape: explode tokens -> one groupBy with ``bits`` conditional sums
-    (all inside whole-stage codegen) -> bit assembly via bitwise ops.
+    The 64 token-hash bits come from the first 16 hex chars of md5 (two
+    32-bit halves via base-16 conv) — md5 is bit-identical in Spark and
+    DuckDB, so the whole pipeline is replicable by a SQL oracle (the same
+    trick minhash_signatures uses). Plan shape: explode tokens -> one
+    groupBy with ``bits`` conditional sums (all inside whole-stage codegen)
+    -> bit assembly via bitwise ops.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
     tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("w")).where(
         F.col("w") != ""
     )
-    h = F.xxhash64("w")
+    md = F.md5(F.col("w"))
+    hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
     sums = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(lo if b < 32 else hi, b % 32).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(bits)
     ]
