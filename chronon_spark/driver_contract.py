@@ -1270,6 +1270,53 @@ WHERE CAST(shared.shared AS DOUBLE) / (sa.sz + sb.sz - shared.shared) >= 0.5
 """
 
 
+# a license-header-style boilerplate block planted into EVERY document: its
+# shingles have document frequency = corpus size, the exact pathology that
+# sends an uncapped shingle join quadratic at web scale
+BOILER = (
+    "this software is provided as is without warranty of any kind express or implied"
+)
+
+
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE n-gram Jaccard variant: every document carries planted
+    boilerplate (df = corpus size), and ``max_doc_freq`` drops those
+    shingles from both the candidate join and the set sizes — the quadratic
+    boilerplate candidates never materialize, while genuine near-dup pairs
+    (sharing plenty of low-df shingles) survive and hash-match the oracle."""
+    from chronon_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.lit(BOILER + " "), F.col("text"))
+    )
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=8, threshold=0.5, max_doc_freq=20
+    )
+
+
+NORM_BOILER_SQL = (
+    f"regexp_replace(trim(lower('{BOILER} ' || text)), '\\s+', ' ', 'g')"
+)
+
+SQL_DEDUP_NGRAM_CAPPED = f"""
+WITH norm AS (SELECT doc_id, {NORM_BOILER_SQL} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+sh0 AS (SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, greatest(len(ws)-7, 0)+1),
+                                     i -> array_to_string(ws[i:i+7], ' '))) AS shingle
+        FROM w),
+freq AS (SELECT shingle, count(*) AS c FROM sh0 GROUP BY shingle),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN freq USING (shingle) WHERE freq.c <= 20),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+shared AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+SELECT shared.id_a, shared.id_b, shared.shared, sa.sz AS sz_a, sb.sz AS sz_b,
+       round(CAST(shared.shared AS DOUBLE) / (sa.sz + sb.sz - shared.shared), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.id = shared.id_a JOIN sizes sb ON sb.id = shared.id_b
+WHERE CAST(shared.shared AS DOUBLE) / (sa.sz + sb.sz - shared.shared) >= 0.5
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1529,6 +1576,7 @@ QUERIES.update(
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_capped": q_dedup_ngram_capped,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "knn_cosine": q_knn_cosine,
@@ -1548,6 +1596,7 @@ ORACLES.update(
         "fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_ngram_capped": SQL_DEDUP_NGRAM_CAPPED,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "knn_cosine": SQL_KNN_COSINE,
