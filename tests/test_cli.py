@@ -1,0 +1,199 @@
+"""CLI surface: ``python -m chronon_spark <subcommand>`` drives the library
+lifecycles the way the reference's Driver.scala subcommands + run.py wrapper
+do (Driver.scala:1016-1091, run.py:390-599) — incremental backfill with
+resume, join materialization, staging queries, analyze."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.__main__ import main
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+GB_CONF = f"""
+from chronon_spark.api import Aggregation, GroupBy, Op, TimeUnit, Window
+
+group_by = GroupBy(
+    name="cli_gb",
+    keys=["user_id"],
+    aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(1, TimeUnit.DAYS),))],
+)
+tiebreak = "event_id"
+
+def source(spark):
+    return spark.read.parquet("{SF_DIR}/events.parquet")
+"""
+
+JOIN_CONF = f"""
+from chronon_spark.api import Aggregation, GroupBy, Join, JoinPart, Op, TimeUnit, Window
+from pyspark.sql import functions as F
+
+_gb = GroupBy(
+    name="cli_part",
+    keys=["user_id"],
+    aggregations=[Aggregation(Op.SUM, "value", windows=(Window(7, TimeUnit.DAYS),))],
+)
+join = Join(name="cli_join", left_keys=["user_id"], join_parts=[JoinPart(group_by=_gb)])
+tiebreak = "event_id"
+
+def left(spark):
+    ev = spark.read.parquet("{SF_DIR}/events.parquet")
+    return ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+
+def sources(spark):
+    return {{"cli_part": spark.read.parquet("{SF_DIR}/events.parquet")}}
+"""
+
+STAGING_CONF = f"""
+name = "cli_staging"
+staging_sql = '''
+  SELECT user_id, count(*) AS n, date_format(ts, 'yyyy-MM-dd') AS ds
+  FROM cli_events
+  WHERE date_format(ts, 'yyyy-MM-dd') BETWEEN {{{{ start_date }}}} AND {{{{ end_date }}}}
+  GROUP BY user_id, date_format(ts, 'yyyy-MM-dd')
+'''
+
+def setup(spark):
+    spark.read.parquet("{SF_DIR}/events.parquet").createOrReplaceTempView("cli_events")
+"""
+
+BAD_CONF = f"""
+from chronon_spark.api import Aggregation, GroupBy, Op
+
+group_by = GroupBy(
+    name="bad",
+    keys=["user_id"],
+    aggregations=[Aggregation(Op.SUM, "no_such_column")],
+)
+
+def source(spark):
+    return spark.read.parquet("{SF_DIR}/events.parquet")
+"""
+
+
+@pytest.fixture(scope="module")
+def day_range(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lo = ev.select(F.date_format(F.min("ts"), "yyyy-MM-dd")).first()[0]
+    days = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d")).distinct().orderBy("d")
+    )
+    ds = [r["d"] for r in days.limit(3).collect()]
+    assert ds[0] == lo
+    return ds[0], ds[-1]
+
+
+def _run(spark, argv, capsys):
+    rc = main(argv, spark=spark)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+def test_cli_group_by_backfill_and_resume(spark, tmp_path, capsys, day_range):
+    conf = tmp_path / "gb_conf.py"
+    conf.write_text(GB_CONF)
+    lo, hi = day_range
+    argv = [
+        "group-by-backfill", "--conf", str(conf),
+        "--out-root", str(tmp_path / "out"), "--start-ds", lo, "--end-ds", hi,
+    ]
+    rc, res = _run(spark, argv, capsys)
+    assert rc == 0
+    assert res["partitions"] == sorted(res["partitions"]) and len(res["partitions"]) >= 3
+    assert len(res["chunks"]) == 1 and res["chunks"][0]["rows"] > 0
+
+    # resume: identical definition -> nothing recomputed
+    rc2, res2 = _run(spark, argv, capsys)
+    assert rc2 == 0 and res2["chunks"] == []
+
+    # the written table matches a direct library run
+    from chronon_spark.operators.groupby import snapshot_events
+    from chronon_spark.api import Aggregation, GroupBy, Op, TimeUnit, Window
+
+    gb = GroupBy(
+        name="cli_gb", keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(1, TimeUnit.DAYS),))],
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = snapshot_events(ev, gb, lo, hi, tiebreak="event_id")
+    got = spark.read.option("basePath", str(tmp_path / "out" / "cli_gb")).parquet(
+        str(tmp_path / "out" / "cli_gb")
+    )
+    assert sorted(map(repr, got.collect())) == sorted(map(repr, want.collect()))
+
+
+def test_cli_join_backfill(spark, tmp_path, capsys, day_range):
+    conf = tmp_path / "join_conf.py"
+    conf.write_text(JOIN_CONF)
+    lo, hi = day_range
+    rc, res = _run(
+        spark,
+        [
+            "join", "--conf", str(conf),
+            "--out-root", str(tmp_path / "jout"), "--start-ds", lo, "--end-ds", hi,
+        ],
+        capsys,
+    )
+    assert rc == 0
+    assert res["partitions"]
+    assert "cli_part" in res["part_tables"]
+    got = spark.read.option("basePath", res["output_table"]).parquet(res["output_table"])
+    assert "cli_part_value_sum_7d" in got.columns
+    assert got.count() > 0
+
+
+def test_cli_staging_query_backfill(spark, tmp_path, capsys, day_range):
+    conf = tmp_path / "staging_conf.py"
+    conf.write_text(STAGING_CONF)
+    lo, hi = day_range
+    rc, res = _run(
+        spark,
+        [
+            "staging-query-backfill", "--conf", str(conf),
+            "--out-root", str(tmp_path / "sout"), "--start-ds", lo, "--end-ds", hi,
+        ],
+        capsys,
+    )
+    assert rc == 0 and res["partitions"]
+
+
+def test_cli_analyze_good_and_bad(spark, tmp_path, capsys):
+    good = tmp_path / "good.py"
+    good.write_text(GB_CONF)
+    rc, res = _run(spark, ["analyze", "--conf", str(good)], capsys)
+    assert rc == 0 and res["errors"] == []
+    assert any(n == "value_count_1d" for n, _ in map(tuple, res["output_schema"]))
+
+    bad = tmp_path / "bad.py"
+    bad.write_text(BAD_CONF)
+    rc, res = _run(spark, ["analyze", "--conf", str(bad)], capsys)
+    assert rc == 1
+    assert any(e["code"] == "missing_input_column" for e in res["errors"])
+
+
+def test_cli_subprocess_spark_submit_semantics(tmp_path, day_range):
+    """The real entry point: a separate process (its own SparkSession, as
+    spark-submit would run it) executes a tiny backfill end-to-end."""
+    conf = tmp_path / "gb_conf.py"
+    conf.write_text(GB_CONF)
+    lo, _ = day_range
+    env = dict(os.environ, SPARK_MASTER="local[4]", PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "chronon_spark", "group-by-backfill",
+            "--conf", str(conf), "--out-root", str(tmp_path / "out2"),
+            "--start-ds", lo, "--end-ds", lo,
+        ],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["partitions"] and res["chunks"][0]["rows"] > 0
