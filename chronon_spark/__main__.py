@@ -131,11 +131,28 @@ def cmd_analyze(spark, conf, args) -> dict:
     }
 
 
+def cmd_analyze_join(spark, conf, args) -> dict:
+    from chronon_spark.operators.analyzer import analyze_join
+
+    res = analyze_join(conf.left(spark), conf.sources(spark), conf.join)
+    return {
+        "command": "analyze-join",
+        "output_schema": res.output_schema,
+        "part_schemas": res.part_schemas,
+        "hot_keys": res.hot_keys,
+        "errors": [
+            {"code": e.code, "column": e.column, "message": e.message}
+            for e in res.errors
+        ],
+    }
+
+
 COMMANDS = {
     "join": (cmd_join, True),
     "group-by-backfill": (cmd_group_by_backfill, True),
     "staging-query-backfill": (cmd_staging_query_backfill, True),
     "analyze": (cmd_analyze, False),
+    "analyze-join": (cmd_analyze_join, False),
 }
 
 

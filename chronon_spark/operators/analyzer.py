@@ -233,3 +233,133 @@ def analyze_group_by(
         for r in heavy_hitters(events, gb.keys, min_count=hot_key_threshold).collect()
     ]
     return GroupByAnalysis(schema, gb.keys, hot, [])
+
+
+# ---------------------------------------------------------------------------
+# join-level analysis (reference Analyzer.analyzeJoin, Analyzer.scala:279-483):
+# validate the left and EVERY join part, detect output-column collisions
+# across parts, and aggregate hot-key detection over all part key columns.
+# ---------------------------------------------------------------------------
+
+
+def validate_join(
+    left: DataFrame,
+    sources: dict[str, DataFrame],
+    join,
+    start_ds: str | None = None,
+    check_data: bool = False,
+) -> list[ValidationError]:
+    """Pre-flight checks for a whole Join: left schema (keys + time column),
+    per-part key mapping sanity, every part's GroupBy against its own source,
+    and cross-part output-name collisions. Schema-only unless ``check_data``."""
+    errs: list[ValidationError] = []
+    lf = {f.name: f.dataType for f in left.schema.fields}
+
+    if join.time_column not in lf:
+        errs.append(
+            ValidationError(
+                "missing_time_column", join.time_column,
+                f"left lacks time column '{join.time_column}'",
+            )
+        )
+    elif not isinstance(lf[join.time_column], _TIME_TYPES):
+        errs.append(
+            ValidationError(
+                "bad_time_type", join.time_column,
+                f"left time column '{join.time_column}' is "
+                f"{lf[join.time_column].simpleString()}; expected timestamp or epoch-millis long",
+            )
+        )
+
+    seen_outputs: dict[str, str] = {}
+    for part in join.join_parts:
+        gb = part.group_by
+        label = part.full_prefix()
+        if gb.name not in sources:
+            errs.append(
+                ValidationError(
+                    "missing_source", gb.name,
+                    f"join part '{label}' has no source DataFrame for GroupBy '{gb.name}'",
+                )
+            )
+            continue
+        for lk, rk in part.key_mapping.items():
+            if rk not in gb.keys:
+                errs.append(
+                    ValidationError(
+                        "bad_key_mapping", rk,
+                        f"part '{label}' maps left '{lk}' to '{rk}', which is not a key "
+                        f"of GroupBy '{gb.name}' (keys: {gb.keys})",
+                    )
+                )
+        for lk in part.left_keys():
+            if lk not in lf:
+                errs.append(
+                    ValidationError(
+                        "missing_left_key", lk,
+                        f"part '{label}' joins on left column '{lk}' which the left lacks",
+                    )
+                )
+        for e in validate_group_by(sources[gb.name], gb, start_ds=start_ds, check_data=check_data):
+            errs.append(
+                ValidationError(e.code, e.column, f"part '{label}': {e.message}")
+            )
+        for c in gb.output_columns():
+            full = f"{label}_{c}"
+            if full in seen_outputs:
+                errs.append(
+                    ValidationError(
+                        "duplicate_output_column", full,
+                        f"parts '{seen_outputs[full]}' and '{label}' both emit '{full}' "
+                        "(set JoinPart.prefix to disambiguate)",
+                    )
+                )
+            seen_outputs[full] = label
+    return errs
+
+
+@dataclass
+class JoinAnalysis:
+    output_schema: list[tuple[str, str]]
+    part_schemas: dict[str, list[tuple[str, str]]]
+    hot_keys: list[tuple[str, str, str, int]]  # (part | 'left', column, key, n)
+    errors: list[ValidationError] = field(default_factory=list)
+
+
+def analyze_join(
+    left: DataFrame,
+    sources: dict[str, DataFrame],
+    join,
+    hot_key_threshold: int = 10_000,
+) -> JoinAnalysis:
+    """Join-level dry run: validation gate over left + every part, exact
+    output schema (planned against empty slices — no data pass), and hot-key
+    detection aggregated across the left and every part source."""
+    from chronon_spark.operators.join import compute_join
+
+    errors = validate_join(left, sources, join, check_data=False)
+    if errors:
+        return JoinAnalysis([], {}, [], errors)
+
+    plan = compute_join(
+        left.limit(0), {n: s.limit(0) for n, s in sources.items()}, join
+    )
+    schema = [(f.name, f.dataType.simpleString()) for f in plan.schema.fields]
+    part_schemas: dict[str, list[tuple[str, str]]] = {}
+    for part in join.join_parts:
+        prefix = f"{part.full_prefix()}_"
+        part_schemas[part.full_prefix()] = [
+            (n, t) for n, t in schema if n.startswith(prefix)
+        ]
+
+    hot: list[tuple[str, str, str, int]] = []
+    left_keys = sorted({lk for p in join.join_parts for lk in p.left_keys()})
+    for r in heavy_hitters(left, left_keys, min_count=hot_key_threshold).collect():
+        hot.append(("left", r["column"], r["key"], r["n"]))
+    for part in join.join_parts:
+        hh = heavy_hitters(
+            sources[part.group_by.name], part.group_by.keys, min_count=hot_key_threshold
+        )
+        for r in hh.collect():
+            hot.append((part.full_prefix(), r["column"], r["key"], r["n"]))
+    return JoinAnalysis(schema, part_schemas, hot, [])

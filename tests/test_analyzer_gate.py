@@ -107,3 +107,86 @@ def test_analyze_group_by_carries_errors(spark, events):
     assert res.errors and res.output_schema == []
     ok = analyze_group_by(events, _gb(), hot_key_threshold=1)
     assert ok.errors == [] and len(ok.output_schema) > 0
+
+
+# ---------------------------------------------------------------------------
+# join-level analyzer (reference Analyzer.analyzeJoin, Analyzer.scala:279-483)
+# ---------------------------------------------------------------------------
+
+
+def _join(parts):
+    from chronon_spark.api import Join
+
+    return Join(name="j", left_keys=["user_id"], join_parts=parts)
+
+
+def _part(gb=None, **kw):
+    from chronon_spark.api import JoinPart
+
+    return JoinPart(group_by=gb or _gb(), **kw)
+
+
+def _left(events):
+    return events.where(F.col("event_type") == "purchase").select("user_id", "ts")
+
+
+def test_join_clean_config_passes(spark, events):
+    from chronon_spark.operators.analyzer import validate_join
+
+    assert validate_join(_left(events), {"g": events}, _join([_part()])) == []
+
+
+def test_join_missing_source_and_left_key(spark, events):
+    from chronon_spark.operators.analyzer import validate_join
+
+    j = _join([_part(), _part(_gb(name="g2", keys=["etype_missing"]), prefix="p")])
+    codes = _codes(validate_join(_left(events), {"g": events}, j))
+    assert "missing_source" in codes  # g2 has no source
+    j2 = _join([_part(_gb(name="g", keys=["other_key"]))])
+    codes2 = _codes(validate_join(_left(events), {"g": events}, j2))
+    assert "missing_left_key" in codes2  # left lacks other_key
+
+def test_join_bad_key_mapping(spark, events):
+    from chronon_spark.operators.analyzer import validate_join
+
+    j = _join([_part(key_mapping={"user_id": "not_a_key"})])
+    assert "bad_key_mapping" in _codes(validate_join(_left(events), {"g": events}, j))
+
+
+def test_join_part_groupby_errors_carry_part_label(spark, events):
+    from chronon_spark.operators.analyzer import validate_join
+
+    bad = _gb(aggregations=[Aggregation(Op.SUM, "no_col")])
+    errs = validate_join(_left(events), {"g": events}, _join([_part(bad, prefix="px")]))
+    assert any(e.code == "missing_input_column" and "px_g" in e.message for e in errs)
+
+
+def test_join_duplicate_output_columns(spark, events):
+    from chronon_spark.operators.analyzer import validate_join
+
+    j = _join([_part(), _part()])  # same GroupBy twice, no prefix
+    assert "duplicate_output_column" in _codes(
+        validate_join(_left(events), {"g": events}, j)
+    )
+
+
+def test_join_missing_left_time_column(spark, events):
+    from chronon_spark.operators.analyzer import validate_join
+
+    left = events.select("user_id", F.col("ts").alias("event_time"))
+    assert "missing_time_column" in _codes(validate_join(left, {"g": events}, _join([_part()])))
+
+
+def test_analyze_join_schema_and_hot_keys(spark, events):
+    from chronon_spark.operators.analyzer import analyze_join
+
+    j = _join([_part(), _part(_gb(name="g2", aggregations=[
+        Aggregation(Op.COUNT, "value", windows=(Window(1, TimeUnit.DAYS),))]), prefix="p")])
+    res = analyze_join(_left(events), {"g": events, "g2": events}, j, hot_key_threshold=1)
+    assert res.errors == []
+    names = [n for n, _ in res.output_schema]
+    assert "g_value_sum_7d" in names and "p_g2_value_count_1d" in names
+    assert res.part_schemas["g"] == [("g_value_sum_7d", "double")]
+    # threshold=1: every key is "hot"; left + both parts contribute rows
+    origins = {h[0] for h in res.hot_keys}
+    assert {"left", "g", "p_g2"} <= origins

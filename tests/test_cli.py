@@ -197,3 +197,11 @@ def test_cli_subprocess_spark_submit_semantics(tmp_path, day_range):
     assert proc.returncode == 0, proc.stderr[-2000:]
     res = json.loads(proc.stdout.strip().splitlines()[-1])
     assert res["partitions"] and res["chunks"][0]["rows"] > 0
+
+
+def test_cli_analyze_join(spark, tmp_path, capsys):
+    conf = tmp_path / "join_conf.py"
+    conf.write_text(JOIN_CONF)
+    rc, res = _run(spark, ["analyze-join", "--conf", str(conf)], capsys)
+    assert rc == 0 and res["errors"] == []
+    assert any(n == "cli_part_value_sum_7d" for n, _ in map(tuple, res["output_schema"]))
