@@ -484,34 +484,56 @@ def _histogram_pass(
             for a_i, (w, _) in enumerate(agg.unpacked())
         ]
     )
+    return _assemble_value_maps(
+        counts, keys, QTS, vcol, agg, [f"__n_{a_i}" for a_i in range(len(agg.unpacked()))]
+    )
+
+
+def _assemble_value_maps(
+    counts: DataFrame,
+    keys: list[str],
+    qts_col: str,
+    vcol: str,
+    agg: Aggregation,
+    count_cols: list[str],
+) -> DataFrame:
+    """Map[value -> count] assembly from per-(keys, qts, value) windowed
+    counts, one output map per window.
+
+    APPROX_HISTOGRAM_K keeps the k most frequent entries per window — ranked
+    with a WINDOW FUNCTION and filtered BEFORE collection, so per-group state
+    is O(k x windows) regardless of how many distinct values a hot key has
+    (a collect-then-truncate assembly would buffer every distinct value of a
+    key in one row — unbounded at 100TB). Tie order (count desc, value-string
+    desc) matches the reference truncation exactly."""
+    from pyspark.sql.window import Window as SW
+
+    vstr = F.col(vcol).cast("string")
+    approx = agg.operation == Op.APPROX_HISTOGRAM_K and agg.k
+    if approx:
+        for nc in count_cols:
+            w = SW.partitionBy(*keys, qts_col).orderBy(
+                F.col(nc).desc(), vstr.desc()
+            )
+            counts = counts.withColumn(f"__rn_{nc}", F.row_number().over(w))
+        keep = None
+        for nc in count_cols:
+            c = F.col(f"__rn_{nc}") <= agg.k
+            keep = c if keep is None else (keep | c)
+        counts = counts.where(keep)
     exprs = []
-    for a_i, (w, _) in enumerate(agg.unpacked()):
-        entries = F.collect_list(
-            F.when(
-                F.col(f"__n_{a_i}") > 0,
-                F.struct(F.col(vcol).cast("string").alias("k"), F.col(f"__n_{a_i}").alias("v")),
-            )
-        )
-        if agg.operation == Op.APPROX_HISTOGRAM_K and agg.k:
-            # keep k most frequent (ties: lexicographic key) then re-sort by key
-            ranked = F.reverse(
-                F.array_sort(
-                    F.transform(entries, lambda s: F.struct(s["v"].alias("v"), s["k"].alias("k")))
-                )
-            )
-            topk = F.slice(ranked, 1, agg.k)
-            entries = F.array_sort(
-                F.transform(topk, lambda s: F.struct(s["k"].alias("k"), s["v"].alias("v")))
-            )
-        else:
-            entries = F.array_sort(entries)
+    for (w_, _), nc in zip(agg.unpacked(), count_cols):
+        ent = F.when(F.col(nc) > 0, F.struct(vstr.alias("k"), F.col(nc).alias("v")))
+        if approx:
+            ent = F.when(F.col(f"__rn_{nc}") <= agg.k, ent)
+        entries = F.array_sort(F.collect_list(ent))
         # empty window -> NULL, not {} (matches null-feature semantics)
         exprs.append(
             F.when(F.size(entries) > 0, F.map_from_entries(entries)).alias(
-                agg.output_name(w, None)
+                agg.output_name(w_, None)
             )
         )
-    return counts.groupBy(*keys, QTS).agg(*exprs)
+    return counts.groupBy(*keys, qts_col).agg(*exprs)
 
 
 # ---------------------------------------------------------------------------

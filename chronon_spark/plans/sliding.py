@@ -476,26 +476,7 @@ def histogram_pass_sliding(
     per_value = temporal_pass_sliding(
         q2, ev.where(F.col(vcol).isNotNull()), gb2, counts, tiebreak
     )
+    from chronon_spark.operators.groupby import _assemble_value_maps
 
-    exprs = []
-    for w, _ in agg.unpacked():
-        n = F.col(counts[0].output_name(w, None))
-        ent = F.collect_list(
-            F.when(n > 0, F.struct(F.col(vcol).cast("string").alias("k"), n.alias("v")))
-        )
-        if agg.operation == Op.APPROX_HISTOGRAM_K and agg.k:
-            ranked = F.reverse(
-                F.array_sort(
-                    F.transform(ent, lambda s: F.struct(s["v"].alias("v"), s["k"].alias("k")))
-                )
-            )
-            topk = F.slice(ranked, 1, agg.k)
-            ent = F.array_sort(
-                F.transform(topk, lambda s: F.struct(s["k"].alias("k"), s["v"].alias("v")))
-            )
-        else:
-            ent = F.array_sort(ent)
-        exprs.append(
-            F.when(F.size(ent) > 0, F.map_from_entries(ent)).alias(agg.output_name(w, None))
-        )
-    return per_value.groupBy(*keys, QTS).agg(*exprs)
+    count_cols = [counts[0].output_name(w, None) for w, _ in agg.unpacked()]
+    return _assemble_value_maps(per_value, keys, QTS, vcol, agg, count_cols)
