@@ -55,9 +55,13 @@ def streaming_tiles(
     """
     src = stream.withColumn("__ts_ms", to_millis(F.col(gb.time_column)))
     exprs = tile_aggregates(gb, tiebreak)
-    win = F.window(F.col(gb.time_column).cast("timestamp"), hop)
+    # the event-time cast must happen BEFORE withWatermark: windowing on
+    # cast(ts) while watermarking raw ts silently breaks the watermark-column
+    # association and late rows are never filtered
+    src = src.withColumn("__event_time", F.col(gb.time_column).cast("timestamp"))
+    win = F.window(F.col("__event_time"), hop)
     out = (
-        src.withWatermark(gb.time_column, watermark)
+        src.withWatermark("__event_time", watermark)
         .groupBy(win.alias("tile"), *gb.keys)
         .agg(*[c.alias(n) for n, c in exprs.items()])
         .select(

@@ -103,3 +103,86 @@ def test_chained_stream_enrichment(spark, events, tmp_path):
     )
     want = {tuple(r) for r in want_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_late_event_dropped_then_batch_corrects(spark, events, tmp_path):
+    """The lambda correction story (reference: watermark/allowedLateness = 0
+    on the stream, FlinkJob/Trigger docs; the nightly batch upload overwrites
+    tiles, GroupByUpload.scala:44-105):
+
+    1. on-time events stream into KV tiles (update-mode upserts);
+    2. a LATE event (behind the checkpointed watermark) arrives on restart —
+       the stream DROPS it (state unchanged);
+    3. the batch tile build over the full log overwrites the affected tiles;
+       end state == batch-computed tiles over everything.
+    """
+    from chronon_spark.plans.windows import to_millis
+    from chronon_spark.streaming.tiles import tile_aggregates
+
+    src = tmp_path / "src3"
+    src.mkdir()
+    sel = events.select(
+        "user_id", "event_id", "event_type", "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts"),
+        F.col("ts").alias("__t"),
+    )
+    late = sel.orderBy("__t", "event_id").first()  # earliest event arrives LAST
+    # on-time events start a full day later, so the checkpointed watermark is
+    # far past the late event's tile when it finally shows up
+    on_time = (
+        sel.where(F.col("__t") >= F.date_add(F.lit(late["__t"]), 1))
+        .orderBy("__t", "event_id")
+        .limit(199)
+        .collect()
+    )
+    late = {k: v for k, v in late.asDict().items() if k != "__t"}
+    on_time = [{k: v for k, v in r.asDict().items() if k != "__t"} for r in on_time]
+    with open(f"{src}/part-0.json", "w") as f:
+        for r in on_time:
+            f.write(json.dumps(r) + "\n")
+
+    gb = GroupBy(
+        name="s",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value"), Aggregation(Op.SUM, "value")],
+    )
+    store = {}
+
+    def kv_upsert(batch_df, batch_id):
+        for r in batch_df.collect():
+            store[(r["user_id"], r["tile_start_ms"])] = (r["a0__n"], round(r["a1__s"], 6))
+
+    def drain():
+        raw = read_event_stream(spark, str(src), schema=SCHEMA, source_format="json")
+        tiles = streaming_tiles(raw, gb, hop="5 minutes", tiebreak="event_id")
+        run_to_completion(tiles, str(tmp_path / "ckpt3"), sink=kv_upsert)
+
+    drain()
+    after_on_time = dict(store)
+    assert len(after_on_time) > 0
+
+    # restart with the checkpointed watermark; the late event is behind it
+    with open(f"{src}/part-1.json", "w") as f:
+        f.write(json.dumps(late) + "\n")
+    drain()
+    assert store == after_on_time, "late event must be DROPPED by the stream"
+
+    # nightly batch correction: tiles over the FULL log overwrite the store
+    full = spark.read.schema(SCHEMA).json(str(src))
+    exprs = tile_aggregates(gb, "event_id")
+    batch_tiles = (
+        full.withColumn("__ts_ms", to_millis(F.col("ts")))
+        .groupBy(F.window(F.col("ts"), "5 minutes").alias("tile"), "user_id")
+        .agg(*[c.alias(n) for n, c in exprs.items()])
+        .select("user_id", F.unix_millis("tile.start").alias("tile_start_ms"), "a0__n", "a1__s")
+    )
+    for r in batch_tiles.collect():
+        store[(r["user_id"], r["tile_start_ms"])] = (r["a0__n"], round(r["a1__s"], 6))
+
+    want = {
+        (r["user_id"], r["tile_start_ms"]): (r["a0__n"], round(r["a1__s"], 6))
+        for r in batch_tiles.collect()
+    }
+    assert store == want, "post-correction state must equal batch-only"
+    # and the correction actually changed the late event's tile
+    assert store != after_on_time
