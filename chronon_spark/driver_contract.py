@@ -1559,6 +1559,65 @@ WHERE bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) <=
 SQL_SIMHASH_NEARDUP = _simhash_oracle_sql()
 
 
+def q_upload_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online-serving slice, batch-simulated: batch IR upload (collapsed +
+    tail-hop split) as of day 8, then lambda-merge fetch for day-9 requests
+    against the day-9 stream. The oracle aggregates the FULL unified log —
+    equality IS the lambda invariant (GroupByUpload.scala:38-105,
+    SawtoothOnlineAggregator.lambdaAggregateIr:83-155)."""
+    from chronon_spark.operators.upload import fetch_features, upload_batch_irs
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.date_format("ts", "yyyy-MM-dd")
+    days = [r["d"] for r in ev.select(d.alias("d")).distinct().orderBy("d").limit(9).collect()]
+    batch_end_ds, serve_day = days[7], days[8]
+    batch = ev.where(d <= batch_end_ds)
+    stream = ev.where(d == serve_day)
+    requests = (
+        ev.where((d == serve_day) & (F.col("event_type") == "purchase"))
+        .select("user_id", "ts")
+        .distinct()
+    )
+    gb = GroupBy(
+        name="serve",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(W7D,)),
+            Aggregation(Op.SUM, "value", windows=(W1D,)),
+            Aggregation(Op.COUNT, "value"),
+        ],
+    )
+    collapsed, tiles = upload_batch_irs(batch, gb, batch_end_ds, tiebreak="event_id")
+    out = fetch_features(
+        requests, collapsed, tiles, stream, gb, batch_end_ds, tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("value_count_7d"),
+        _r(F.col("value_sum_1d")).alias("value_sum_1d"),
+        F.col("value_count"),
+    )
+
+
+SQL_UPLOAD_FETCH = f"""
+WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d FROM events),
+pick AS (SELECT d FROM days ORDER BY d LIMIT 1 OFFSET 8),
+q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events
+  WHERE event_type = 'purchase' AND strftime(ts, '%Y-%m-%d') = (SELECT d FROM pick)
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value FROM events
+)
+SELECT q.user_id, q.ts_ms,
+       count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS value_count_7d,
+       round(sum(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END), 3) AS value_sum_1d,
+       count(e.value) AS value_count
+FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
+GROUP BY q.user_id, q.ts_ms
+"""
+
+
 def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH (rows-only driver check;
     pytest verifies recall against brute force)."""
@@ -1586,6 +1645,7 @@ QUERIES.update(
         "frame_sample": q_frame_sample,
         "simhash_neardup": q_simhash_neardup,
         "lsh_knn": q_lsh_knn,
+        "upload_fetch": q_upload_fetch,
     }
 )
 
@@ -1605,6 +1665,7 @@ ORACLES.update(
         "multimodal_meta": SQL_MULTIMODAL_META,
         "frame_sample": SQL_FRAME_SAMPLE,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
+        "upload_fetch": SQL_UPLOAD_FETCH,
         # lsh_knn: intentionally no oracle (random-hyperplane hash has no
         # SQL twin; pytest verifies recall against brute force)
     }

@@ -1,0 +1,259 @@
+"""Batch IR upload + lambda-merge fetch — the online-serving slice, offline.
+
+Reference lifecycle: GroupByUpload runs the batch engine with
+``finalize=false`` and writes NORMALIZED intermediate representations to the
+KV store (spark/src/main/scala/ai/chronon/spark/GroupByUpload.scala:38-105);
+SawtoothOnlineAggregator splits each key's batch IR into a COLLAPSED IR
+(the region every in-day request observes) plus TAIL HOP tiles (the region
+whose inclusion depends on the request's sawtooth tail), and the Fetcher
+lambda-merges batch IR + streaming events at request time
+(aggregator/src/main/scala/ai/chronon/aggregator/windowing/
+SawtoothOnlineAggregator.scala:29-170, lambdaAggregateIr L83-155;
+online/src/main/scala/ai/chronon/online/FetcherBase.scala).
+
+Spark-first re-expression. With batch end T (midnight after the last
+materialized day), tail hop h, window w, and requests ts in [T, T+horizon):
+
+    tail(ts, w) = floor(ts, h) - w      ranges over [T - w, T + horizon - h - w]
+
+so the batch region [tail(ts,w), T) splits into
+
+    COLLAPSED  [T + horizon - h - w, T)   — in every request's window
+    TAIL TILES [T - w, T + horizon - h - w) at resolution h — a tile is in
+               the window iff tile_start >= tail(ts, w)
+
+and the streaming side contributes raw events in [T, ts) under the same
+sawtooth mask. ``fetch_features`` merges the three branches per request and
+finalizes — and must be value-identical to running ``temporal_events`` over
+the full unified log, which is exactly what the tests assert.
+
+The un-aggregated KV write path (streaming/GroupBy.scala:150-198 — raw
+keyed event rows, aggregation deferred to the fetcher) is ``kv_event_rows``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chronon_spark.api import Accuracy, GroupBy, Window
+from chronon_spark.functions import ops as O
+from chronon_spark.operators.groupby import (
+    ETS,
+    QTS,
+    TILE,
+    _merge_with_masked_cols,
+    _normalize_events,
+    run_setups,
+)
+from chronon_spark.plans import windows as W
+
+RES = "__res_ms"
+DAY_MS = W.MS_PER_DAY
+BRANCH = "__branch"  # 0 = collapsed, 1 = tail tile, 2 = streaming head
+
+
+def _batch_end_ms(batch_end_ds: str) -> int:
+    import calendar
+    import datetime as _dt
+
+    day = calendar.timegm(_dt.datetime.strptime(batch_end_ds, "%Y-%m-%d").timetuple())
+    return day * 1000 + DAY_MS
+
+
+def _pairs(gb: GroupBy):
+    out = []
+    for a in gb.aggregations:
+        if a.buckets or a.operation not in O.HOP_MERGEABLE_OPS:
+            raise ValueError(
+                f"upload supports scalar hop-mergeable aggregations; got "
+                f"{a.operation.value} (buckets={a.buckets})"
+            )
+        for w, _ in a.unpacked():
+            out.append((a, w))
+    return out
+
+
+def _stable_lo(w: Window | None, batch_end: int, horizon_ms: int) -> int | None:
+    """Start of the collapsed region for window w (None = lifetime: whole
+    history is collapsed)."""
+    if w is None:
+        return None
+    return batch_end + horizon_ms - w.tail_hop_millis() - w.millis
+
+
+def upload_batch_irs(
+    events: DataFrame,
+    gb: GroupBy,
+    batch_end_ds: str,
+    horizon_ms: int = DAY_MS,
+    tiebreak: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Normalized batch IRs as of the end of ``batch_end_ds``.
+
+    Returns (collapsed, tail_tiles):
+    - ``collapsed``: one row per key; per-(agg, window) IR slot columns
+      ``p{i}__*`` aggregated over that pair's collapsed region;
+    - ``tail_tiles``: (keys, __res_ms, __tile_ms, p{i}__*) hop tiles covering
+      each pair's ambiguous tail band at its own resolution.
+
+    Both frames are partial/merge-able (the reference's normalizeBatchIr
+    contract): ``fetch_features`` — or a real KV fetcher — merges them with
+    streaming events without touching the batch log again.
+    """
+    assert gb.accuracy == Accuracy.TEMPORAL
+    run_setups(events, gb.setups)
+    ev = _normalize_events(events, gb, tiebreak)
+    batch_end = _batch_end_ms(batch_end_ds)
+    ev = ev.where(F.col(ETS) < batch_end)
+    pairs = _pairs(gb)
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+
+    collapsed_exprs = {}
+    for i, (a, w) in enumerate(pairs):
+        lo = _stable_lo(w, batch_end, horizon_ms)
+        mask = F.lit(True) if lo is None else (F.col(ETS) >= F.lit(lo))
+        val = F.when(mask, F.col(a.input_column))
+        ts = F.when(mask, F.col(ETS))
+        collapsed_exprs.update(O.partial_cols(a, val, ts, F.when(mask, tb), f"p{i}"))
+    collapsed = ev.groupBy(*gb.keys).agg(
+        *[c.alias(n) for n, c in collapsed_exprs.items()]
+    )
+
+    # tail bands grouped by resolution; every pair's IR columns present in
+    # every band table (nulls where the pair doesn't use that resolution)
+    all_cols: dict[str, object] = {}
+    for i, (a, _w) in enumerate(pairs):
+        all_cols.update(O.partial_cols(a, F.col(a.input_column), F.col(ETS), tb, f"p{i}"))
+    by_hop: dict[int, list[int]] = {}
+    for i, (a, w) in enumerate(pairs):
+        if w is not None:
+            by_hop.setdefault(w.tail_hop_millis(), []).append(i)
+    tile_frames = []
+    for h, idxs in sorted(by_hop.items()):
+        lo = batch_end - max(pairs[i][1].millis for i in idxs)
+        hi = max(_stable_lo(pairs[i][1], batch_end, horizon_ms) for i in idxs)
+        band = ev.where((F.col(ETS) >= lo) & (F.col(ETS) < hi)).withColumn(
+            TILE, W.round_down(F.col(ETS), h)
+        )
+        exprs = {}
+        for i in idxs:
+            a = pairs[i][0]
+            exprs.update(O.partial_cols(a, F.col(a.input_column), F.col(ETS), tb, f"p{i}"))
+        t = band.groupBy(*gb.keys, TILE).agg(*[c.alias(n) for n, c in exprs.items()])
+        for n, _c in all_cols.items():
+            if n not in t.columns:
+                t = t.withColumn(n, F.lit(None))
+        tile_frames.append(t.withColumn(RES, F.lit(h)).select(*gb.keys, RES, TILE, *all_cols))
+    if tile_frames:
+        tiles = tile_frames[0]
+        for t in tile_frames[1:]:
+            tiles = tiles.unionByName(t)
+    else:
+        tiles = collapsed.limit(0).select(
+            *gb.keys, F.lit(0).alias(RES), F.lit(0).alias(TILE), *all_cols
+        ).limit(0)
+    return collapsed, tiles
+
+
+def fetch_features(
+    requests: DataFrame,
+    collapsed: DataFrame,
+    tail_tiles: DataFrame,
+    stream_events: DataFrame,
+    gb: GroupBy,
+    batch_end_ds: str,
+    horizon_ms: int = DAY_MS,
+    left_time_column: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Batch-simulated Fetcher.fetchJoin: per request row (keys, ts in
+    [batch_end, batch_end + horizon)), merge collapsed IR + the tail tiles
+    inside the window's band + streaming events under the sawtooth mask,
+    then finalize. Value-identical to ``temporal_events`` over the unified
+    log (the lambda-architecture invariant the reference gets from
+    lambdaAggregateIr)."""
+    assert gb.accuracy == Accuracy.TEMPORAL
+    batch_end = _batch_end_ms(batch_end_ds)
+    pairs = _pairs(gb)
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+
+    left_n = requests.withColumn(QTS, W.ts_to_millis(requests, left_time_column))
+    q = left_n.select(*gb.keys, QTS).distinct()
+
+    all_cols: dict[str, object] = {}
+    for i, (a, _w) in enumerate(pairs):
+        all_cols.update(O.partial_cols(a, F.col(a.input_column), F.col(ETS), tb, f"p{i}"))
+    ir_names = list(all_cols.keys())
+
+    # branch 0: collapsed IR per key (one row, always included)
+    b0 = q.join(collapsed, gb.keys, "left").select(
+        *gb.keys, QTS, F.lit(0).alias(BRANCH), F.lit(0).alias(RES),
+        F.lit(0).cast("long").alias(TILE), *ir_names,
+    )
+    # branch 1: tail tiles — bounded fan-out (at most horizon/h tiles/window)
+    ta = tail_tiles.select(
+        *[F.col(k).alias(f"__e_{k}") for k in gb.keys], RES, TILE, *ir_names
+    )
+    kcond = F.lit(True)
+    for k in gb.keys:
+        kcond = kcond & (F.col(k) == F.col(f"__e_{k}"))
+    b1 = q.join(ta, kcond, "inner").select(
+        *gb.keys, QTS, F.lit(1).alias(BRANCH), RES, F.col(TILE), *ir_names
+    )
+    # branch 2: streaming head — per-pair sawtooth-masked partials
+    sev = _normalize_events(stream_events, gb, tiebreak).where(
+        (F.col(ETS) >= batch_end) & (F.col(ETS) < batch_end + horizon_ms)
+    )
+    se = sev.select(*[F.col(k).alias(f"__e_{k}") for k in gb.keys],
+                    *[c for c in sev.columns if c not in gb.keys])
+    head_exprs = {}
+    for i, (a, w) in enumerate(pairs):
+        mask = W.in_window(F.col(ETS), F.col(QTS), w)
+        val = F.when(mask, F.col(a.input_column))
+        ts = F.when(mask, F.col(ETS))
+        head_exprs.update(O.partial_cols(a, val, ts, F.when(mask, tb), f"p{i}"))
+    b2 = (
+        q.join(se, kcond & (F.col(ETS) < F.col(QTS)), "inner")
+        .groupBy(*gb.keys, QTS)
+        .agg(*[c.alias(n) for n, c in head_exprs.items()])
+        .select(*gb.keys, QTS, F.lit(2).alias(BRANCH), F.lit(0).alias(RES),
+                F.lit(0).cast("long").alias(TILE), *ir_names)
+    )
+    unioned = b0.unionByName(b1).unionByName(b2)
+
+    merge_exprs = []
+    for i, (a, w) in enumerate(pairs):
+        include = (F.col(BRANCH) == 0) | (F.col(BRANCH) == 2)
+        if w is not None:
+            lo = _stable_lo(w, batch_end, horizon_ms)
+            include = include | (
+                (F.col(BRANCH) == 1)
+                & (F.col(RES) == w.tail_hop_millis())
+                & (F.col(TILE) >= W.sawtooth_tail(F.col(QTS), w))
+                & (F.col(TILE) < F.lit(lo))
+            )
+        merge_exprs.append(
+            _merge_with_masked_cols(a, f"p{i}", include).alias(a.output_name(w, None))
+        )
+    feat = unioned.groupBy(*gb.keys, QTS).agg(*merge_exprs)
+    return left_n.join(feat, [*gb.keys, QTS], "left").drop(QTS)
+
+
+def kv_event_rows(
+    events: DataFrame, gb: GroupBy, tiebreak: str | None = None
+) -> DataFrame:
+    """Un-aggregated KV write rows (the reference's Spark streaming path,
+    streaming/GroupBy.scala:150-198): one row per event — JSON key, event-time
+    millis, JSON payload of the aggregation inputs. The fetcher (or
+    ``fetch_features``' streaming branch after decode) aggregates at read
+    time; no windowing happens at write time."""
+    ev = _normalize_events(events, gb, tiebreak)
+    payload_cols = sorted(
+        {a.input_column for a in gb.aggregations} | ({tiebreak} if tiebreak else set())
+    )
+    return ev.select(
+        F.to_json(F.struct(*[F.col(k) for k in gb.keys])).alias("key_json"),
+        F.col(ETS).alias("ts_ms"),
+        F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias("payload_json"),
+    )

@@ -1,0 +1,148 @@
+"""Batch IR upload + lambda fetch: the serving-path invariant.
+
+fetch_features(collapsed + tail tiles + streaming day) must be
+VALUE-IDENTICAL to temporal_events over the unified log — the reference's
+lambda guarantee (GroupByUpload + SawtoothOnlineAggregator.lambdaAggregateIr
++ FetcherBase), checked differentially."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api import Aggregation, GroupBy, Op, TimeUnit, Window
+from chronon_spark.operators.groupby import temporal_events
+from chronon_spark.operators.upload import (
+    fetch_features,
+    kv_event_rows,
+    upload_batch_irs,
+)
+
+W7D = Window(7, TimeUnit.DAYS)
+W1D = Window(1, TimeUnit.DAYS)
+W6H = Window(6, TimeUnit.HOURS)
+
+
+@pytest.fixture(scope="module")
+def split(spark, events):
+    """(batch_events, stream_events, requests, batch_end_ds): stream day =
+    the 9th distinct day, so 7d windows reach across the boundary."""
+    days = [
+        r["d"]
+        for r in events.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct()
+        .orderBy("d")
+        .collect()
+    ]
+    assert len(days) >= 9
+    serve_day = days[8]
+    batch_end_ds = days[7]
+    d = F.date_format("ts", "yyyy-MM-dd")
+    batch = events.where(d <= batch_end_ds)
+    stream = events.where(d == serve_day)
+    requests = (
+        events.where((d == serve_day) & (F.col("event_type") == "purchase"))
+        .select("user_id", "ts")
+        .distinct()
+    )
+    return batch, stream, requests, batch_end_ds
+
+
+GB = GroupBy(
+    name="serve",
+    keys=["user_id"],
+    aggregations=[
+        Aggregation(Op.COUNT, "value", windows=(W7D, W1D)),
+        Aggregation(Op.SUM, "value", windows=(W6H,)),
+        Aggregation(Op.AVERAGE, "value"),  # lifetime: collapsed-only
+        Aggregation(Op.LAST_K, "event_type", k=3, windows=(W1D,)),
+        Aggregation(Op.UNIQUE_COUNT, "event_type", windows=(W7D,)),
+    ],
+)
+
+
+def _rows(df, cols):
+    def c(v):
+        if isinstance(v, float):
+            return round(v, 9)
+        if isinstance(v, list):
+            return tuple(v)
+        return v
+
+    return sorted([tuple(c(r[x]) for x in cols) for r in df.collect()], key=repr)
+
+
+def test_fetch_equals_full_log_temporal(spark, events, split):
+    batch, stream, requests, batch_end_ds = split
+    collapsed, tiles = upload_batch_irs(batch, GB, batch_end_ds, tiebreak="event_id")
+    got = fetch_features(
+        requests, collapsed, tiles, stream, GB, batch_end_ds, tiebreak="event_id"
+    )
+    want = temporal_events(requests, events, GB, tiebreak="event_id")
+    cols = ["user_id", "ts", *GB.output_columns()]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() == requests.count()
+
+
+def test_boundary_request_at_batch_end(spark, events, split):
+    """A request exactly AT the batch boundary midnight sees only batch data
+    (strict <) — the collapsed/tile split must not double- or drop-count."""
+    batch, stream, _requests, batch_end_ds = split
+    import datetime as dt
+
+    midnight = dt.datetime.strptime(batch_end_ds, "%Y-%m-%d") + dt.timedelta(days=1)
+    keys = batch.select("user_id").distinct().limit(5)
+    requests = keys.withColumn("ts", F.lit(midnight).cast("timestamp"))
+    collapsed, tiles = upload_batch_irs(batch, GB, batch_end_ds, tiebreak="event_id")
+    got = fetch_features(
+        requests, collapsed, tiles, stream, GB, batch_end_ds, tiebreak="event_id"
+    )
+    want = temporal_events(requests, events, GB, tiebreak="event_id")
+    cols = ["user_id", "ts", *GB.output_columns()]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_upload_ir_shapes_are_bounded(spark, split):
+    """Normalized IR contract: one collapsed row per key; tail tiles only in
+    each resolution's ambiguous band (size <= (w + horizon)/h per key)."""
+    batch, _stream, _requests, batch_end_ds = split
+    collapsed, tiles = upload_batch_irs(batch, GB, batch_end_ds, tiebreak="event_id")
+    per_key = collapsed.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert per_key == 1
+    from chronon_spark.operators.upload import _batch_end_ms
+
+    end = _batch_end_ms(batch_end_ds)
+    bands = tiles.groupBy("__res_ms").agg(
+        F.min("__tile_ms").alias("lo"), F.max("__tile_ms").alias("hi")
+    )
+    for r in bands.collect():
+        h = r["__res_ms"]
+        assert r["lo"] >= end - 7 * 86_400_000
+        assert r["hi"] < end  # tiles never cross the batch end
+        # per-key tile count within the band is bounded by band/h
+        n = (
+            tiles.where(F.col("__res_ms") == h)
+            .groupBy("user_id")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert n <= (7 * 86_400_000 + 86_400_000) // h + 2
+
+
+def test_kv_event_rows_round_trip(spark, events):
+    gb = GroupBy(
+        name="kv", keys=["user_id"],
+        aggregations=[Aggregation(Op.SUM, "value", windows=(W1D,))],
+    )
+    rows = kv_event_rows(events.limit(100), gb, tiebreak="event_id")
+    assert rows.columns == ["key_json", "ts_ms", "payload_json"]
+    decoded = rows.select(
+        F.get_json_object("key_json", "$.user_id").cast("long").alias("user_id"),
+        F.col("ts_ms"),
+        F.get_json_object("payload_json", "$.value").cast("double").alias("value"),
+    )
+    src = events.limit(100).select(
+        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"), "value"
+    )
+    assert sorted(map(repr, decoded.collect())) == sorted(map(repr, src.collect()))
