@@ -78,7 +78,15 @@ class PartitionedTable:
         return out
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", self.path).parquet(self.path)
+        # mergeSchema: partitions written before an append-only schema
+        # evolution surface the union schema with nulls for the new columns
+        # (the parquet analog of the reference's ALTER TABLE ADD COLUMNS
+        # evolution, TableUtils.scala:970-1031)
+        return (
+            spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(self.path)
+        )
 
     def read_range(self, spark: SparkSession, start_ds: str, end_ds: str) -> DataFrame:
         """Partition-pruned scan: the ds predicate prunes directories at plan
@@ -103,6 +111,23 @@ class PartitionedTable:
         os.makedirs(self._lineage_dir(), exist_ok=True)
         with open(os.path.join(self._lineage_dir(), f"{ds}.json"), "w") as f:
             json.dump(meta, f, sort_keys=True)
+
+    def archive_partitions(self, ds_list: list[str], tag: str) -> None:
+        """Move partitions (and their lineage) under ``_archive/<tag>/`` —
+        the reference's archive-then-recompute on semantic-hash change
+        (JoinBase.scala:60-68, SemanticHashUtils). Leading underscore keeps
+        archived data invisible to Spark's reader and to partitions()."""
+        import shutil
+
+        dest = os.path.join(self.path, "_archive", tag)
+        os.makedirs(dest, exist_ok=True)
+        for ds in ds_list:
+            part = os.path.join(self.path, f"{self.ds_col}={ds}")
+            if os.path.isdir(part):
+                shutil.move(part, os.path.join(dest, f"{self.ds_col}={ds}"))
+            lin = os.path.join(self._lineage_dir(), f"{ds}.json")
+            if os.path.exists(lin):
+                shutil.move(lin, os.path.join(dest, f"{ds}.lineage.json"))
 
 
 def unfilled_ranges(
@@ -147,13 +172,54 @@ def estimate_files_per_partition(df_rows: int, row_bytes: int = 100, target: int
     return max(1, min(2000, (df_rows * row_bytes) // target + 1))
 
 
+class SchemaEvolutionError(ValueError):
+    """Raised when a write would evolve the table schema non-append-only."""
+
+
+def check_schema_evolution(
+    existing: dict[str, str], incoming: dict[str, str]
+) -> list[str]:
+    """Append-only evolution contract (reference TableUtils.scala:970-1031:
+    the only allowed DDL is ALTER TABLE ADD COLUMNS): NEW columns are fine
+    (old partitions read them as null via mergeSchema); dropping a column or
+    changing its type is rejected with a structured message."""
+    problems = []
+    for name, typ in existing.items():
+        if name not in incoming:
+            problems.append(f"column '{name}' ({typ}) dropped — evolution is append-only")
+        elif incoming[name] != typ:
+            problems.append(
+                f"column '{name}' changes type {typ} -> {incoming[name]} — not allowed"
+            )
+    return problems
+
+
 def insert_overwrite_partitions(
     df: DataFrame, table: PartitionedTable, n_files: int | None = None
 ) -> None:
     """Dynamic partition overwrite: replaces exactly the ds partitions present
     in ``df``. The conf is pinned here (runtime-settable) rather than relying
     on the session factory: with a caller-supplied SparkSession a STATIC
-    overwrite would silently delete all previously backfilled partitions."""
+    overwrite would silently delete all previously backfilled partitions.
+
+    Schema evolution is validated append-only BEFORE any data moves
+    (metadata-only footer read): new columns ok, drops/type-changes raise."""
+    if table.exists() and table.partitions():
+        existing = {
+            f.name: f.dataType.simpleString()
+            for f in df.sparkSession.read.parquet(table.path).schema.fields
+            if f.name != table.ds_col
+        }
+        incoming = {
+            f.name: f.dataType.simpleString()
+            for f in df.schema.fields
+            if f.name != table.ds_col
+        }
+        problems = check_schema_evolution(existing, incoming)
+        if problems:
+            raise SchemaEvolutionError(
+                f"write to {table.path} rejected: " + "; ".join(problems)
+            )
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if n_files:
         df = salted_repartition(df, table.ds_col, n_files)
@@ -176,11 +242,17 @@ def backfill(
     invalidates and recomputes everything (SemanticHashUtils semantics).
     Returns one lineage record per computed chunk."""
     requested = ds_range(start_ds, end_ds)
-    existing = [
+    stale = [
         p
         for p in table.partitions()
-        if (table.lineage(p) or {}).get("semantic_hash") == semantic_hash
+        if (table.lineage(p) or {}).get("semantic_hash") != semantic_hash
     ]
+    if stale:
+        # definition changed: archive-then-recompute (reference
+        # JoinBase.scala:60-68) — stale-schema files must not shadow the new
+        # definition's output or trip the append-only evolution check
+        table.archive_partitions(stale, tag=f"pre_{semantic_hash or 'nohash'}")
+    existing = table.partitions()
     chunks = unfilled_ranges(requested, existing, step_days)
     records = []
     from pyspark.sql import Observation

@@ -135,3 +135,40 @@ def test_backfill_single_job_per_chunk(spark, tmp_table, monkeypatch):
     assert [r["rows"] for r in recs] == [15]  # 3 days x 5 rows, observed at write
     assert tmp_table.partitions() == ["2024-02-01", "2024-02-02", "2024-02-03"]
     assert tmp_table.read(spark).count() == 15
+
+
+def test_schema_evolution_append_only(spark, tmp_table):
+    """Adding a column is fine (old partitions read null via mergeSchema);
+    dropping or retyping one is rejected BEFORE any data moves (reference
+    ALTER TABLE ADD COLUMNS append-only contract, TableUtils.scala:970-1031)."""
+    import pytest
+
+    from chronon_spark.sources.tableio import SchemaEvolutionError, insert_overwrite_partitions
+
+    v1 = spark.createDataFrame([("2024-01-01", 1, "x")], "ds string, v int, tag string")
+    insert_overwrite_partitions(v1, tmp_table)
+
+    # append-only: new column lands; old partition reads it as NULL
+    v2 = spark.createDataFrame(
+        [("2024-01-02", 2, "y", 9.5)], "ds string, v int, tag string, score double"
+    )
+    insert_overwrite_partitions(v2, tmp_table)
+    out = tmp_table.read(spark)
+    assert set(out.columns) == {"ds", "v", "tag", "score"}
+    rows = {r["ds"]: r["score"] for r in out.collect()}
+    assert rows["2024-01-01"] is None and rows["2024-01-02"] == 9.5
+
+    # dropping a column is rejected
+    v3 = spark.createDataFrame([("2024-01-03", 3)], "ds string, v int")
+    with pytest.raises(SchemaEvolutionError, match="dropped"):
+        insert_overwrite_partitions(v3, tmp_table)
+
+    # retyping a column is rejected
+    v4 = spark.createDataFrame(
+        [("2024-01-03", "3", "z", 1.0)], "ds string, v string, tag string, score double"
+    )
+    with pytest.raises(SchemaEvolutionError, match="changes type"):
+        insert_overwrite_partitions(v4, tmp_table)
+
+    # and the rejected writes left the table untouched
+    assert tmp_table.partitions() == ["2024-01-01", "2024-01-02"]
