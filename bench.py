@@ -64,6 +64,19 @@ def main() -> None:
         ).first()
         return n
 
+    # JVM warm-up on SYNTHETIC data (codegen, shuffle, window machinery) so
+    # the first timed query doesn't absorb cold-start; benchmark files stay
+    # untouched (no unfair page-cache warming)
+    from pyspark.sql.window import Window as SW
+
+    warm = spark.range(200_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    warm.groupBy("k").agg(F.sum("v"), F.count(F.lit(1))).join(
+        warm.withColumn("r", F.sum("v").over(SW.partitionBy("k").orderBy("v").rangeBetween(-10, -1))),
+        "k",
+    ).select(F.count(F.lit(1))).first()
+
     timings: dict[str, float] = {}
     feature_rows = 0
     t_all = time.time()
