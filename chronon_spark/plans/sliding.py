@@ -236,7 +236,11 @@ def temporal_pass_sliding(
 
     q = q.repartition(npart, *keys).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # ---- base frame: raw events + one probe row per query, co-partitioned ----
+    # ---- base frame: raw events + one probe row per query ----
+    # NOT pre-repartitioned: the tile groupBy below must shuffle PARTIALLY
+    # AGGREGATED tiles (map-side combine), never raw rows — at 10^8+ events a
+    # raw repartition moves ~the whole input while the combined tile shuffle
+    # moves only distinct (keys, 5min) groups
     ev_types = dict(zip(ev.schema.names, [f.dataType for f in ev.schema.fields]))
     probe_rows = q.select(
         *keys,
@@ -249,9 +253,10 @@ def temporal_pass_sliding(
         F.lit(1).alias(PROBE),
     )
     base = ev.withColumn(PROBE, F.lit(0)).unionByName(probe_rows)
-    base = base.repartition(npart, *keys)
 
-    # 5-minute tiles (probe flag folded in), shared by all hop groups + MID
+    # 5-minute tiles (probe flag folded in), shared by all hop groups + MID;
+    # one cheap tile-level repartition onto the keys-partitioning lets every
+    # downstream rollup/window/join reuse the same clustering (no exchanges)
     t5 = (
         base.withColumn(TILE, W.round_down(F.col(ETS), FINEST))
         .groupBy(*keys, TILE)
@@ -259,6 +264,7 @@ def temporal_pass_sliding(
             *[c.alias(n) for n, c in partial_exprs.items()],
             F.max(PROBE).alias(PROBE),
         )
+        .repartition(npart, *keys)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
