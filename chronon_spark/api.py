@@ -112,6 +112,10 @@ class Aggregation:
     k: int | None = None
     percentiles: tuple[float, ...] | None = None
     lg_k: int = 8  # approx_unique_count sketch size knob (rsd mapping)
+    # APPROX_HISTOGRAM_K only: Misra-Gries cap on per-(keys, tile) IR rows in
+    # the tiled plan (reference ItemsSketch size, SimpleAggregators.scala:
+    # 458-600). None = exact counts (unbounded tile state, truncate-at-end).
+    mg_cap: int | None = None
 
     def output_name(self, window: Window | None, bucket: str | None) -> str:
         """`{input}_{op}[{k}][_{window}][_by_{bucket}]` — reference naming

@@ -179,12 +179,43 @@ def _hop_of(w: Window | None, life_hop: int = DAY_MS) -> int:
 PROBE = "__probe"
 
 
+def _mg_compress_tiles(
+    tiles: DataFrame, gkeys: list[str], vcol: str, cnt_col: str, cap: int
+) -> DataFrame:
+    """Misra-Gries compression of a per-(gkeys, value, TILE) count-tile table
+    to at most ``cap`` value rows per (gkeys, TILE): rank by (count desc,
+    value desc), subtract the (cap+1)-th count from survivors, drop the rest.
+    Probe rows (query markers) are always kept — dropping one would lose the
+    query row at the TAIL equi-join. With fewer than cap+1 values the
+    threshold is 0 and the summary is exact, so small-scale outputs equal the
+    uncompressed plan. Estimates never exceed true counts, and any merge tree
+    over these partials under-counts by at most n/(cap+1) (Agarwal et al.,
+    "Mergeable Summaries", PODS'12; reference hybrid:
+    aggregator/src/main/scala/ai/chronon/aggregator/base/
+    SimpleAggregators.scala:458-600)."""
+    wrank = SW.partitionBy(*gkeys, TILE).orderBy(
+        F.col(cnt_col).desc(), F.col(vcol).cast("string").desc()
+    )
+    wall = SW.partitionBy(*gkeys, TILE)
+    ranked = tiles.withColumn("__mg_rn", F.row_number().over(wrank))
+    thresh = F.max(F.when(F.col("__mg_rn") == cap + 1, F.col(cnt_col))).over(wall)
+    return (
+        ranked.withColumn(
+            cnt_col,
+            F.greatest(F.col(cnt_col) - F.coalesce(thresh, F.lit(0)), F.lit(0)),
+        )
+        .where((F.col("__mg_rn") <= cap) | (F.col(PROBE) == 1))
+        .drop("__mg_rn")
+    )
+
+
 def temporal_pass_sliding(
     q: DataFrame,
     ev: DataFrame,
     gb: GroupBy,
     aggs: list[Aggregation],
     tiebreak: str | None,
+    mg: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Features for distinct query rows (keys + QTS). Returns a DataFrame
     keyed by (keys, QTS) with one column per (agg x window).
@@ -199,6 +230,12 @@ def temporal_pass_sliding(
     session.py). The HEAD band is an incremental unbounded-preceding window
     over per-row singleton IRs (ops.singleton_cols) rather than a
     join + groupBy. Net: 3-4 exchanges total instead of ~15.
+
+    ``mg=(value_col, cap)`` (histogram_pass_sliding only, single-COUNT agg):
+    TAIL-band tile tables are Misra-Gries-compressed to at most ``cap``
+    value rows per (other keys, tile) before the window merge — the bounded
+    sketch IR for APPROX_HISTOGRAM_K. MID and HEAD stay exact (the
+    reference's head-exactness contract).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -292,6 +329,17 @@ def temporal_pass_sliding(
                     *[c.alias(n) for n, c in merged.items()],
                     F.max(PROBE).alias(PROBE),
                 )
+            )
+        if mg is not None:
+            mg_vcol, mg_cap = mg
+            if len(aggs_unique) != 1 or aggs_unique[0].operation != Op.COUNT:
+                raise ValueError("mg compression requires a single COUNT agg")
+            tiles_h = _mg_compress_tiles(
+                tiles_h,
+                [kk for kk in keys if kk != mg_vcol],
+                mg_vcol,
+                f"{slot_of[id(aggs_unique[0])]}__n",
+                mg_cap,
             )
         tail_sel: list[Column] = []
         for a, w in hop_pairs:
@@ -470,7 +518,14 @@ def histogram_pass_sliding(
     """HISTOGRAM / APPROX_HISTOGRAM_K via sliding tiles: per-(keys, value)
     windowed COUNTs then Map[value -> count] assembly with per-window
     presence (count > 0) and optional top-k truncation. Row-identical to
-    groupby._histogram_pass."""
+    groupby._histogram_pass.
+
+    APPROX_HISTOGRAM_K with ``mg_cap`` set additionally Misra-Gries-
+    compresses the TAIL-band tile tables to at most mg_cap value rows per
+    (keys, tile) — the bounded mergeable IR of the reference's
+    ItemsSketch hybrid (SimpleAggregators.scala:458-600). MID/HEAD bands
+    stay exact, counts never overestimate, and the per-window
+    undercount is bounded by n_window/(mg_cap+1) (tests/test_mg_hist.py)."""
     keys = gb.keys
     vcol = agg.input_column
     counts = [_strip(agg, op=Op.COUNT, input_column=vcol)]
@@ -479,8 +534,13 @@ def histogram_pass_sliding(
     )
     values = ev.where(F.col(vcol).isNotNull()).select(*keys, vcol).distinct()
     q2 = q.join(values, keys, "inner").select(*keys, vcol, QTS).distinct()
+    mg = (
+        (vcol, agg.mg_cap)
+        if agg.operation == Op.APPROX_HISTOGRAM_K and agg.mg_cap
+        else None
+    )
     per_value = temporal_pass_sliding(
-        q2, ev.where(F.col(vcol).isNotNull()), gb2, counts, tiebreak
+        q2, ev.where(F.col(vcol).isNotNull()), gb2, counts, tiebreak, mg=mg
     )
     from chronon_spark.operators.groupby import _assemble_value_maps
 
