@@ -1324,6 +1324,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "text", "doc_id", n=8, num_perm=16, bands=4)
 
 
+from chronon_spark.operators.dedup import minhash_masks as _mh_masks
+
+# (perm, mask) literals shared by the Spark plan and the DuckDB oracle
+_MH_PERMS = ", ".join(f"({i}, {m})" for i, m in enumerate(_mh_masks(16)))
+
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH norm AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
 w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
@@ -1331,11 +1336,13 @@ sh AS (SELECT DISTINCT doc_id AS id,
               unnest(list_transform(range(1, greatest(len(ws)-7, 0)+1),
                                     i -> array_to_string(ws[i:i+7], ' '))) AS shingle
        FROM w),
-sig AS (SELECT id, CAST(perm AS INT) AS perm,
-               min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS minhash
-        FROM sh, (SELECT unnest(range(0, 16)) AS perm) p GROUP BY id, perm),
+sig AS (SELECT s.id, p.perm AS perm, min(xor(s.h, p.mask)) AS minhash
+        FROM (SELECT id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+              FROM sh) s
+        CROSS JOIN (VALUES {_MH_PERMS}) p(perm, mask)
+        GROUP BY s.id, p.perm),
 bands AS (SELECT id, CAST(perm / 4 AS INT) AS band,
-                 md5(array_to_string(list(lpad(CAST(perm AS VARCHAR), 2, '0') || ':' || minhash
+                 md5(array_to_string(list(lpad(CAST(perm AS VARCHAR), 2, '0') || ':' || CAST(minhash AS VARCHAR)
                                           ORDER BY perm), ',')) AS band_key
           FROM sig GROUP BY id, CAST(perm / 4 AS INT)),
 cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -1369,11 +1376,13 @@ sh AS (SELECT DISTINCT doc_id AS id,
               unnest(list_transform(range(1, greatest(len(ws)-7, 0)+1),
                                     i -> array_to_string(ws[i:i+7], ' '))) AS shingle
        FROM w),
-sig AS (SELECT id, CAST(perm AS INT) AS perm,
-               min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS minhash
-        FROM sh, (SELECT unnest(range(0, 16)) AS perm) p GROUP BY id, perm),
+sig AS (SELECT s.id, p.perm AS perm, min(xor(s.h, p.mask)) AS minhash
+        FROM (SELECT id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+              FROM sh) s
+        CROSS JOIN (VALUES {_MH_PERMS}) p(perm, mask)
+        GROUP BY s.id, p.perm),
 bands AS (SELECT id, CAST(perm / 4 AS INT) AS band,
-                 md5(array_to_string(list(lpad(CAST(perm AS VARCHAR), 2, '0') || ':' || minhash
+                 md5(array_to_string(list(lpad(CAST(perm AS VARCHAR), 2, '0') || ':' || CAST(minhash AS VARCHAR)
                                           ORDER BY perm), ',')) AS band_key
           FROM sig GROUP BY id, CAST(perm / 4 AS INT)),
 cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b

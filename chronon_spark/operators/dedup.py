@@ -109,6 +109,17 @@ def ngram_jaccard_pairs(
     return out
 
 
+def minhash_masks(num_perm: int) -> list[int]:
+    """Fixed 60-bit XOR masks, one per permutation: int(md5("perm-i")[:15],
+    16). Deterministic and renderable as literals in an oracle SQL."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"perm-{i}".encode()).hexdigest()[:15], 16)
+        for i in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -116,15 +127,26 @@ def minhash_signatures(
     n: int = 8,
     num_perm: int = 16,
 ) -> DataFrame:
-    """(id, perm, minhash) — permutation i = md5(i || shingle) (md5 is
-    available in both Spark and DuckDB, making signatures oracle-checkable).
-    min over hex strings == min over the permuted hash order."""
+    """(id, perm, minhash:bigint) — permutation i is a fixed 60-bit XOR mask
+    over ONE md5-derived shingle hash: h = int(md5(shingle)[:15], 16),
+    mh_i = h XOR mask_i. XOR by a constant is a bijection of the hash space,
+    so each mask induces an independent min-wise permutation, and md5 +
+    0x-cast + xor are bit-identical in DuckDB (oracle-checkable — same trick
+    as simhash). Cost: one md5 per shingle instead of num_perm, and the
+    num_perm minima are columns of a single groupBy(id) pass (no
+    shingle x perm row explosion), unpivoted to rows afterwards."""
     sh = shingles(df, text_col, id_col, n)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    return (
-        sh.select("id", "shingle", perms)
-        .groupBy("id", "perm")
-        .agg(F.min(F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")))).alias("minhash"))
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+    masks = minhash_masks(num_perm)
+    agg = sh.withColumn("__h", h).groupBy("id").agg(
+        *[
+            F.min(F.col("__h").bitwiseXOR(F.lit(m))).alias(f"m{i}")
+            for i, m in enumerate(masks)
+        ]
+    )
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(num_perm))
+    return agg.selectExpr(
+        "id", f"stack({num_perm}, {stack_args}) as (perm, minhash)"
     )
 
 
