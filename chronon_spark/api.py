@@ -152,7 +152,11 @@ class GroupBy:
 
     name: str
     keys: list[str]
-    aggregations: list[Aggregation]
+    # None = no-aggregation selection GroupBy (reference quickstart users:
+    # GroupBy(aggregations=None) over an EntitySource — the snapshot's
+    # non-key fields pass through as features, served from the previous
+    # day's partition in a join part)
+    aggregations: list[Aggregation] | None
     accuracy: Accuracy = Accuracy.TEMPORAL
     time_column: str = "ts"
     derivations: dict[str, str] = field(default_factory=dict)
@@ -164,7 +168,7 @@ class GroupBy:
 
     def output_columns(self) -> list[str]:
         cols = []
-        for agg in self.aggregations:
+        for agg in self.aggregations or []:
             for w, b in agg.unpacked():
                 cols.append(agg.output_name(w, b))
         return cols
@@ -172,6 +176,8 @@ class GroupBy:
     def max_window_millis(self) -> int | None:
         """Largest trailing window; None if any aggregation is unwindowed
         (then the scan can never be narrowed)."""
+        if self.aggregations is None:
+            return None
         out: int = 0
         for agg in self.aggregations:
             if agg.windows is None:
@@ -201,7 +207,7 @@ class GroupBy:
                         "k": a.k,
                         "percentiles": list(a.percentiles) if a.percentiles else None,
                     }
-                    for a in self.aggregations
+                    for a in self.aggregations or []
                 ],
             },
             sort_keys=True,

@@ -57,6 +57,32 @@ def compute_join_part(
         *[F.col(lk).alias(rk) for lk, rk in zip(lkeys, gb.keys)],
         F.col(left_time_column),
     ).dropDuplicates([*gb.keys, left_time_column])
+    if gb.aggregations is None:
+        # no-aggregation selection part (reference quickstart users:
+        # GroupBy(aggregations=None) over an EntitySource): the snapshot's
+        # non-key fields ARE the features, served from the PREVIOUS day's
+        # partition — a left row on day d reads snapshot ds = d-1, the same
+        # midnight-as-of rule as SNAPSHOT accuracy (JoinBase.scala:70-130
+        # ts_ds shift; entity snapshot ds holds end-of-ds state). Plain
+        # broadcast-able equi-join on (keys, serve-day); no time engine.
+        fields = [c for c in events.columns if c not in (*gb.keys, "ds")]
+        snap = events.select(
+            *gb.keys,
+            F.date_add(F.to_date(F.col("ds")), 1).alias("__serve_ds"),
+            *fields,
+        )
+        feat = (
+            q.withColumn("__serve_ds", F.to_date(F.col(left_time_column)))
+            .join(snap, [*gb.keys, "__serve_ds"], "left")
+            .drop("__serve_ds")
+        )
+        prefix = part.full_prefix()
+        for c in fields:
+            feat = feat.withColumnRenamed(c, f"{prefix}_{c}")
+        for lk, rk in zip(lkeys, gb.keys):
+            if lk != rk:
+                feat = feat.withColumnRenamed(rk, lk)
+        return feat
     if gb.accuracy == Accuracy.TEMPORAL:
         feat = G.temporal_events(
             q, events, gb, left_time_column=left_time_column, tiebreak=tiebreak, strategy=strategy
@@ -120,7 +146,11 @@ def _merge_groups(
     order: list[tuple] = []
     for i, part in enumerate(join.join_parts):
         gb = part.group_by
-        mergeable = gb.accuracy == Accuracy.TEMPORAL and not gb.derivations
+        mergeable = (
+            gb.accuracy == Accuracy.TEMPORAL
+            and not gb.derivations
+            and gb.aggregations is not None
+        )
         key = (
             (id(sources[gb.name]), tuple(part.left_keys()), tuple(gb.keys), gb.time_column)
             if mergeable
