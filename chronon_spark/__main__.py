@@ -79,7 +79,10 @@ def cmd_group_by_backfill(spark, conf, args) -> dict:
     table = PartitionedTable(f"{args.out_root}/{gb.name}")
 
     def compute(s, lo, hi):
-        return snapshot_events(src, gb, lo, hi, tiebreak=_opt(conf, "tiebreak"))
+        from chronon_spark.operators.join import narrow_events
+
+        ev = narrow_events(src, gb, lo, hi)
+        return snapshot_events(ev, gb, lo, hi, tiebreak=_opt(conf, "tiebreak"))
 
     recs = backfill(
         spark, table, compute, args.start_ds, args.end_ds,

@@ -254,6 +254,46 @@ def compute_join(
     return out
 
 
+def narrow_events(events: DataFrame, gb, lo_ds: str, hi_ds: str) -> DataFrame:
+    """Window-aware scan narrowing for a [lo_ds, hi_ds] backfill chunk —
+    the reference's getIntersectedRange (GroupBy.scala:565-606): only events
+    with ts in [epoch(lo) - max_window - 1d tail-hop slack, epoch(hi) + 1d)
+    can influence the chunk's feature rows, so the scan is cut to that range
+    (and to the matching 'ds' partitions when the source carries one, so the
+    cut reaches partition pruning, not just parquet row-group stats).
+    Unwindowed aggregations disable narrowing (unbounded lookback);
+    no-aggregation selection parts narrow to the served snapshot days
+    [lo-1, hi-1]."""
+    import datetime as dt
+
+    from chronon_spark.plans.windows import ts_to_millis
+
+    day_ms = 86_400_000
+    lo_d = dt.date.fromisoformat(lo_ds)
+    hi_d = dt.date.fromisoformat(hi_ds)
+    if gb.aggregations is None:
+        if "ds" in events.columns:
+            return events.where(
+                F.col("ds").between(
+                    (lo_d - dt.timedelta(days=1)).isoformat(),
+                    (hi_d - dt.timedelta(days=1)).isoformat(),
+                )
+            )
+        return events
+    max_w = gb.max_window_millis()
+    if max_w is None:
+        return events
+    epoch = dt.date(1970, 1, 1)
+    lo_ms = (lo_d - epoch).days * day_ms - max_w - day_ms
+    hi_ms = ((hi_d - epoch).days + 1) * day_ms
+    tsm = ts_to_millis(events, gb.time_column)
+    out = events.where((tsm >= lo_ms) & (tsm < hi_ms))
+    if "ds" in events.columns:
+        lo_cut = (lo_d - dt.timedelta(days=max_w // day_ms + 2)).isoformat()
+        out = out.where(F.col("ds").between(lo_cut, hi_ds))
+    return out
+
+
 def join_semantic_hash(join: Join) -> str:
     """Stable hash of the whole join definition (parts + derivations) for
     incremental-recompute invalidation (reference SemanticHashUtils)."""
@@ -317,8 +357,9 @@ def materialize_join(
             q = sliver.select(*part.left_keys(), tc, "ds").dropDuplicates(
                 [*part.left_keys(), tc]
             )
+            ev = narrow_events(events, part.group_by, lo, hi)
             return compute_join_part(
-                q.drop("ds"), events, part, tc, tiebreak, strategy
+                q.drop("ds"), ev, part, tc, tiebreak, strategy
             ).join(q.select(*part.left_keys(), tc, "ds"), [*part.left_keys(), tc])
 
         backfill(
