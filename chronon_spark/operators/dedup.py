@@ -43,8 +43,27 @@ def dedup_exact(
     )
 
 
+def _spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-spread the document frame by id before a CPU-heavy text explode.
+
+    A compact parquet source (one file / few row groups) scans as a handful
+    of partitions, which would pin the whole shingle/token explosion on a
+    few cores. Repartitioning by id shuffles raw text ONCE — roughly n x
+    cheaper than shuffling the exploded shingles — and the resulting
+    HashPartitioning(id) is a subset of every downstream grouping key
+    ((id, shingle) distinct, groupBy(id) signatures), so Catalyst inserts no
+    further exchange. Inputs already wider than the session's parallelism
+    (the 100TB case) pass through untouched.
+    """
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parts:
+        df = df.repartition(parts, id_col)
+    return df
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 8) -> DataFrame:
     """(id, shingle) rows: n-word sliding windows over whitespace tokens."""
+    df = _spread_by_id(df, id_col)
     words = F.split(normalize_text(F.col(text_col)), " ")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
@@ -222,9 +241,9 @@ def simhash(
     -> bit assembly via bitwise ops.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
-    tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("w")).where(
-        F.col("w") != ""
-    )
+    tok = _spread_by_id(df, id_col).select(
+        F.col(id_col).alias("id"), F.explode(words).alias("w")
+    ).where(F.col("w") != "")
     md = F.md5(F.col("w"))
     hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
