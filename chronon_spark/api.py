@@ -234,6 +234,55 @@ class JoinPart:
         return [inv.get(k, k) for k in self.group_by.keys]
 
 
+CONTEXTUAL_SOURCE_NAME = "contextual"  # reference Constants.scala:58
+EXTERNAL_PREFIX = "ext"  # reference Constants.scala:57
+
+
+@dataclass(frozen=True)
+class ExternalSource:
+    """A feature source fetched from an external service at serving time
+    (reference api/thrift/api.thrift ExternalSource; Extensions.scala:667-682).
+
+    Offline it has no table: values only enter a backfill through bootstrap
+    (logged rows), and unbootstrapped fields are padded with typed nulls so
+    derivations depending on them still compile (Join.scala:76-123).
+    The reserved name ``contextual`` passes left-side request columns through
+    as features (Constants.ContextualSourceName)."""
+
+    name: str
+    key_schema: tuple[tuple[str, str], ...] = ()  # (field, spark type ddl)
+    value_schema: tuple[tuple[str, str], ...] = ()
+
+    @property
+    def is_contextual(self) -> bool:
+        return self.name == CONTEXTUAL_SOURCE_NAME
+
+
+@dataclass
+class ExternalPart:
+    """ExternalSource attached to a Join (reference api.thrift ExternalPart;
+    naming Extensions.scala:698-736: full name ``ext[_{prefix}]_{source}``,
+    value columns ``{full_name}_{field}``)."""
+
+    source: ExternalSource
+    key_mapping: dict[str, str] = field(default_factory=dict)  # left col -> key field
+    prefix: str | None = None
+
+    def full_name(self) -> str:
+        sanitized = "".join(c if c.isalnum() else "_" for c in self.source.name)
+        parts = [EXTERNAL_PREFIX] + ([self.prefix] if self.prefix else []) + [sanitized]
+        return "_".join(parts)
+
+    def key_schema_full(self) -> list[tuple[str, str]]:
+        """Key fields under their LEFT column names (Extensions.scala:729-730)."""
+        right_to_left = {v: k for k, v in self.key_mapping.items()}
+        return [(right_to_left.get(n, n), t) for n, t in self.source.key_schema]
+
+    def value_schema_full(self) -> list[tuple[str, str]]:
+        """Value fields under ``{full_name}_{field}`` (Extensions.scala:733-734)."""
+        return [(f"{self.full_name()}_{n}", t) for n, t in self.source.value_schema]
+
+
 @dataclass
 class Join:
     """left query rows enriched point-in-time by many GroupBys.
@@ -247,3 +296,6 @@ class Join:
     time_column: str = "ts"
     derivations: dict[str, str] = field(default_factory=dict)
     setups: list[str] = field(default_factory=list)
+    # online-only feature slots, realized offline via bootstrap + null padding
+    # (reference Join.onlineExternalParts, api.thrift:304-336)
+    external_parts: list[ExternalPart] = field(default_factory=list)

@@ -967,6 +967,100 @@ FROM base
 """
 
 
+def q_external_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External parts realized offline (reference Join.onlineExternalParts;
+    Join.scala:76-123 padExternalFields): a risk-service external slot is
+    filled from bootstrap-logged rows (user_id < 25) and padded null
+    elsewhere, a contextual part mirrors the left request column both ways,
+    and a join-level derivation over the external slot compiles against the
+    padded schema. Provenance (`n_covering`) proves which rows the log
+    covered."""
+    from chronon_spark.api import ExternalPart, ExternalSource
+    from chronon_spark.operators.bootstrap import PROVENANCE, bootstrap_join
+    from chronon_spark.operators.join import compute_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = _purchase_left(ev).withColumn(
+        "req_device", F.when(F.col("user_id") % 2 == 0, F.lit("ios"))
+    )
+    logs = left.where(F.col("user_id") < 25).select(
+        "user_id",
+        "ts",
+        (F.col("user_id") * 0.5 + 0.25).alias("ext_risk_api_score"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("logged")).alias(
+            "ext_contextual_req_device"
+        ),
+    )
+    booted = bootstrap_join(left, [("risk_logs", logs)], ["user_id", "ts"])
+    join = Join(
+        name="ext_join",
+        left_keys=["user_id"],
+        join_parts=[
+            JoinPart(
+                GroupBy(
+                    name="u7",
+                    keys=["user_id"],
+                    aggregations=[Aggregation(Op.COUNT, "value", windows=(W7D,))],
+                )
+            )
+        ],
+        external_parts=[
+            ExternalPart(
+                ExternalSource(
+                    name="risk_api",
+                    key_schema=(("user_id", "bigint"),),
+                    value_schema=(("score", "double"), ("bands", "array<string>")),
+                )
+            ),
+            ExternalPart(
+                ExternalSource(
+                    name="contextual",
+                    key_schema=(("req_device", "string"),),
+                    value_schema=(("req_device", "string"),),
+                )
+            ),
+        ],
+        derivations={"*": "*", "risk_bps": "ext_risk_api_score * 10000"},
+    )
+    out = compute_join(booted, {"u7": ev}, join, tiebreak="event_id")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("u7_value_count_7d"),
+        F.col("ext_risk_api_score"),
+        F.col("ext_risk_api_bands"),
+        F.col("req_device"),
+        F.col("ext_contextual_req_device"),
+        F.col("risk_bps"),
+        F.size(F.col(PROVENANCE)).alias("n_covering"),
+    )
+
+
+SQL_EXTERNAL_PARTS = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value FROM events
+), base AS (
+  SELECT q.user_id, q.ts_ms,
+         count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS c7
+  FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
+  GROUP BY q.user_id, q.ts_ms
+)
+SELECT user_id, ts_ms,
+       c7 AS u7_value_count_7d,
+       CASE WHEN user_id < 25 THEN user_id * 0.5 + 0.25 END AS ext_risk_api_score,
+       CAST(NULL AS VARCHAR[]) AS ext_risk_api_bands,
+       COALESCE(CASE WHEN user_id % 2 = 0 THEN 'ios' END,
+                CASE WHEN user_id < 25 AND user_id % 3 = 0 THEN 'logged' END) AS req_device,
+       COALESCE(CASE WHEN user_id % 2 = 0 THEN 'ios' END,
+                CASE WHEN user_id < 25 AND user_id % 3 = 0 THEN 'logged' END) AS ext_contextual_req_device,
+       CASE WHEN user_id < 25 THEN (user_id * 0.5 + 0.25) * 10000 END AS risk_bps,
+       CASE WHEN user_id < 25 THEN 1 ELSE 0 END AS n_covering
+FROM base
+"""
+
+
 def q_mutations_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-mutation (CDC) temporal engine: point-in-time features over a
     MUTABLE dimension synthesized deterministically from events — every
@@ -1101,6 +1195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "staging_query": q_staging_query,
     "label_join": q_label_join,
     "bootstrap_backfill": q_bootstrap_backfill,
+    "external_parts": q_external_parts,
     "join_chain": q_join_chain,
 }
 
@@ -1129,6 +1224,7 @@ ORACLES: dict[str, str] = {
     "staging_query": SQL_STAGING_QUERY,
     "label_join": SQL_LABEL_JOIN,
     "bootstrap_backfill": SQL_BOOTSTRAP_BACKFILL,
+    "external_parts": SQL_EXTERNAL_PARTS,
     "join_chain": SQL_JOIN_CHAIN,
 }
 

@@ -57,6 +57,40 @@ def uncovered_rows(bootstrapped: DataFrame, part_name: str) -> DataFrame:
     )
 
 
+def pad_external_parts(df: DataFrame, parts: list) -> DataFrame:
+    """Realize a Join's external parts offline (reference Join.scala:76-123
+    padExternalFields): external features exist only at serving time, so a
+    backfill carries them as typed-null columns unless a bootstrap part
+    already populated them from logged rows — padding keeps derivations that
+    reference them compiling either way.
+
+    Contextual parts (source name ``contextual``; Constants.scala:57-59) pass
+    left request columns through as features: the bare column and its
+    ``ext_contextual_{col}`` twin are kept consistent with a two-way coalesce
+    even when only one was bootstrapped (Join.scala:104-120)."""
+    from chronon_spark.api import CONTEXTUAL_SOURCE_NAME
+
+    for part in parts:
+        if part.source.is_contextual:
+            continue
+        for name, typ in [*part.key_schema_full(), *part.value_schema_full()]:
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(typ))
+    for part in parts:
+        if not part.source.is_contextual:
+            continue
+        for name, typ in part.key_schema_full():
+            prefixed = f"ext_{CONTEXTUAL_SOURCE_NAME}_{name}"
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(typ))
+            if prefixed not in df.columns:
+                df = df.withColumn(prefixed, F.lit(None).cast(typ))
+            df = df.withColumn(
+                name, F.coalesce(F.col(name), F.col(prefixed))
+            ).withColumn(prefixed, F.coalesce(F.col(name), F.col(prefixed)))
+    return df
+
+
 def backfill_with_bootstrap(
     left: DataFrame,
     events: DataFrame,

@@ -249,6 +249,12 @@ def compute_join(
                 left, events, parts, join.time_column, tiebreak, strategy
             )
         out = coalesced_join(out, feat, [*parts[0].left_keys(), join.time_column])
+    if join.external_parts:
+        # external features have no offline table: pad unbootstrapped slots
+        # with typed nulls, mirror contextual request columns (Join.scala:76-123)
+        from chronon_spark.operators.bootstrap import pad_external_parts
+
+        out = pad_external_parts(out, join.external_parts)
     if join.derivations:
         out = G.apply_derivations(out, join.derivations, keep=list(left.columns))
     return out
@@ -308,6 +314,10 @@ def join_semantic_hash(join: Join) -> str:
             *[
                 f"{p.full_prefix()}:{sorted(p.key_mapping.items())}:{p.group_by.semantic_hash()}"
                 for p in join.join_parts
+            ],
+            *[
+                f"ext:{p.full_name()}:{p.source.key_schema}:{p.source.value_schema}"
+                for p in join.external_parts
             ],
         ]
     )
@@ -380,6 +390,10 @@ def materialize_join(
         for part in join.join_parts:
             pt = part_tables[part.full_prefix()].read_range(s, lo, hi).drop("ds")
             out = coalesced_join(out, pt, [*part.left_keys(), tc])
+        if join.external_parts:
+            from chronon_spark.operators.bootstrap import pad_external_parts
+
+            out = pad_external_parts(out, join.external_parts)
         if join.derivations:
             out = G.apply_derivations(
                 out, join.derivations, keep=[*left.columns, "ds"]

@@ -13,12 +13,14 @@ Re-creates, Spark-first:
   the unit of work; present partitions with a matching semantic hash are
   skipped, a changed hash archives and recomputes.
 
-Format scope: hive-style partitioned parquet is the ONLY format this build
-writes (no Iceberg/Delta jars ship in this environment; session.get_spark's
-``extra_conf`` is the hook for a deployment that has them). The layout —
-one `ds=` directory per day, overwritten atomically per partition — maps
-1:1 onto an Iceberg identity-partitioned table, so the semantics here are
-the portable subset.
+Format scope: hive-style partitioned parquet, addressed either by path
+(this module) or by catalog name (``sources/catalog.py``: real
+``SHOW PARTITIONS`` / ``ALTER TABLE ADD COLUMNS`` / ``INSERT OVERWRITE``
+DDL through the session catalog, with an Iceberg DataFrameWriterV2 branch
+that activates when jars are attached via session.get_spark's
+``extra_conf``). The layout — one `ds=` directory per day, overwritten
+atomically per partition — maps 1:1 onto an Iceberg identity-partitioned
+table, so the semantics here are the portable subset.
 """
 
 from __future__ import annotations
@@ -195,7 +197,7 @@ def check_schema_evolution(
 
 
 def insert_overwrite_partitions(
-    df: DataFrame, table: PartitionedTable, n_files: int | None = None
+    df: DataFrame, table: "PartitionedTable", n_files: int | None = None
 ) -> None:
     """Dynamic partition overwrite: replaces exactly the ds partitions present
     in ``df``. The conf is pinned here (runtime-settable) rather than relying
@@ -203,7 +205,13 @@ def insert_overwrite_partitions(
     overwrite would silently delete all previously backfilled partitions.
 
     Schema evolution is validated append-only BEFORE any data moves
-    (metadata-only footer read): new columns ok, drops/type-changes raise."""
+    (metadata-only footer read): new columns ok, drops/type-changes raise.
+
+    Accepts either a path-backed ``PartitionedTable`` or a catalog-backed
+    ``catalog.CatalogTable`` (which owns its evolution DDL + writer)."""
+    if hasattr(table, "insert_overwrite"):
+        table.insert_overwrite(df, n_files)
+        return
     if table.exists() and table.partitions():
         existing = {
             f.name: f.dataType.simpleString()
