@@ -17,8 +17,22 @@ Conf-module contract (only the names a given subcommand needs):
                              {{ max_date(table=...) }} macros), optional
                              ``setup(spark)`` registering views it reads
     analyze               -> ``group_by``, ``source(spark)``
+    label-join            -> ``features(spark)``, ``label_events(spark)``,
+                             ``label_group_by`` (api.GroupBy), ``horizon``
+                             (api.Window); args --out-root --label-ds
+    log-flattener         -> ``logs(spark)``, ``schemas`` (hash ->
+                             (key_ddl, value_ddl)), optional ``join_name``
+    consistency-metrics-compute -> ``flattened(spark)``, ``offline(spark)``,
+                             ``keys`` (list[str])
+    compare               -> ``left(spark)``, ``right(spark)``, ``keys``,
+                             optional ``mapping``
+    group-by-upload       -> ``group_by``, ``source(spark)``;
+                             args --out-root --batch-end-ds
 
     optional everywhere: ``tiebreak`` (str), ``strategy`` (str)
+
+Backfill-style subcommands accept ``--out-root catalog:<db>`` to write
+catalog-managed tables (sources/catalog.py) instead of parquet paths.
 
 Every backfill subcommand is incremental + resumable: written day
 partitions with a matching semantic hash are skipped on re-run (the library
@@ -47,6 +61,11 @@ def _opt(conf, name, default=None):
     return getattr(conf, name, default)
 
 
+def _table_id(table) -> str:
+    """Stable display id for either table flavor (path or catalog name)."""
+    return getattr(table, "path", None) or table.name
+
+
 def cmd_join(spark, conf, args) -> dict:
     from chronon_spark.operators.join import materialize_join
 
@@ -64,19 +83,19 @@ def cmd_join(spark, conf, args) -> dict:
     )
     return {
         "command": "join",
-        "output_table": final.path,
+        "output_table": _table_id(final),
         "partitions": final.partitions(),
-        "part_tables": {p: t.path for p, t in parts.items()},
+        "part_tables": {p: _table_id(t) for p, t in parts.items()},
     }
 
 
 def cmd_group_by_backfill(spark, conf, args) -> dict:
     from chronon_spark.operators.groupby import snapshot_events
-    from chronon_spark.sources.tableio import PartitionedTable, backfill
+    from chronon_spark.sources.tableio import backfill, resolve_table
 
     gb = conf.group_by
     src = conf.source(spark)
-    table = PartitionedTable(f"{args.out_root}/{gb.name}")
+    table = resolve_table(spark, args.out_root, gb.name)
 
     def compute(s, lo, hi):
         from chronon_spark.operators.join import narrow_events
@@ -90,21 +109,21 @@ def cmd_group_by_backfill(spark, conf, args) -> dict:
     )
     return {
         "command": "group-by-backfill",
-        "output_table": table.path,
+        "output_table": _table_id(table),
         "partitions": table.partitions(),
         "chunks": recs,
     }
 
 
 def cmd_staging_query_backfill(spark, conf, args) -> dict:
-    from chronon_spark.sources.tableio import PartitionedTable
+    from chronon_spark.sources.tableio import resolve_table
     from chronon_spark.staging import backfill_staging_query
 
     if hasattr(conf, "setup"):
         conf.setup(spark)
     sql = conf.staging_sql
     name = _opt(conf, "name", "staging")
-    table = PartitionedTable(f"{args.out_root}/{name}")
+    table = resolve_table(spark, args.out_root, name)
     recs = backfill_staging_query(
         spark, sql, table, args.start_ds, args.end_ds,
         semantic_hash=hashlib.sha256(sql.encode()).hexdigest()[:16],
@@ -112,7 +131,7 @@ def cmd_staging_query_backfill(spark, conf, args) -> dict:
     )
     return {
         "command": "staging-query-backfill",
-        "output_table": table.path,
+        "output_table": _table_id(table),
         "partitions": table.partitions(),
         "chunks": recs,
     }
@@ -150,18 +169,132 @@ def cmd_analyze_join(spark, conf, args) -> dict:
     }
 
 
+def cmd_label_join(spark, conf, args) -> dict:
+    from chronon_spark.operators.bootstrap import materialize_label_join
+
+    table, labeled_view, latest_view = materialize_label_join(
+        spark,
+        _opt(conf, "name", conf.label_group_by.name),
+        conf.features(spark),
+        conf.label_events(spark),
+        conf.label_group_by,
+        conf.horizon,
+        args.label_ds,
+        args.out_root,
+        time_column=_opt(conf, "time_column", "ts"),
+        tiebreak=_opt(conf, "tiebreak"),
+    )
+    return {
+        "command": "label-join",
+        "labels_table": _table_id(table),
+        "label_versions": table.partitions(),
+        "labeled_view": labeled_view,
+        "labeled_latest_view": latest_view,
+    }
+
+
+def cmd_log_flattener(spark, conf, args) -> dict:
+    """Decode fetcher log rows into a flat day-partitioned table
+    (reference LogFlattenerJob.scala wrapped by Driver.scala)."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.logflatten import flatten_logs
+    from chronon_spark.sources.tableio import insert_overwrite_partitions, resolve_table
+
+    logs = conf.logs(spark)
+    flat = flatten_logs(logs, conf.schemas, join_name=_opt(conf, "join_name"))
+    flat = flat.withColumn(
+        "ds", F.date_format(F.timestamp_millis(F.col("ts_ms")), "yyyy-MM-dd")
+    )
+    name = _opt(conf, "name", _opt(conf, "join_name", "logs")) + "_flattened"
+    table = resolve_table(spark, args.out_root, name)
+    insert_overwrite_partitions(flat, table)
+    return {
+        "command": "log-flattener",
+        "output_table": _table_id(table),
+        "partitions": table.partitions(),
+        "raw_rows": logs.count(),
+        "flattened_rows": table.read(spark).count(),
+    }
+
+
+def cmd_consistency_metrics(spark, conf, args) -> dict:
+    """Online/offline consistency over a flattened log vs the offline
+    backfill (reference stats/ConsistencyJob.scala)."""
+    from chronon_spark.operators.logflatten import consistency_job
+
+    metrics = consistency_job(
+        conf.flattened(spark),
+        conf.offline(spark),
+        conf.keys,
+        time_column=_opt(conf, "time_column", "ts"),
+    ).collect()[0].asDict()
+    return {"command": "consistency-metrics-compute", "metrics": metrics}
+
+
+def cmd_compare(spark, conf, args) -> dict:
+    """Side-by-side diff of two frames (reference CompareJob /
+    Comparison.sideBySide): per-column null splits, mismatches, smape."""
+    from chronon_spark.operators.drift import compare_metrics
+
+    metrics = compare_metrics(
+        conf.left(spark),
+        conf.right(spark),
+        conf.keys,
+        mapping=_opt(conf, "mapping"),
+    ).collect()[0].asDict()
+    return {"command": "compare", "metrics": metrics}
+
+
+def cmd_group_by_upload(spark, conf, args) -> dict:
+    """Batch IR upload tables for online serving (reference
+    GroupByUpload.scala:38-105): collapsed IRs + tail-hop tiles as of the
+    batch end, both partial/merge-able by a fetcher."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.upload import upload_batch_irs
+    from chronon_spark.sources.tableio import insert_overwrite_partitions, resolve_table
+
+    gb = conf.group_by
+    collapsed, tail = upload_batch_irs(
+        conf.source(spark), gb, args.batch_end_ds, tiebreak=_opt(conf, "tiebreak")
+    )
+    tables = {}
+    for suffix, frame in (("upload_collapsed", collapsed), ("upload_tail", tail)):
+        t = resolve_table(spark, args.out_root, f"{gb.name}_{suffix}")
+        insert_overwrite_partitions(
+            frame.withColumn("ds", F.lit(args.batch_end_ds)), t
+        )
+        tables[suffix] = _table_id(t)
+    return {
+        "command": "group-by-upload",
+        "batch_end_ds": args.batch_end_ds,
+        "tables": tables,
+    }
+
+
 COMMANDS = {
     "join": (cmd_join, True),
     "group-by-backfill": (cmd_group_by_backfill, True),
     "staging-query-backfill": (cmd_staging_query_backfill, True),
     "analyze": (cmd_analyze, False),
     "analyze-join": (cmd_analyze_join, False),
+    "label-join": (cmd_label_join, False),
+    "log-flattener": (cmd_log_flattener, False),
+    "consistency-metrics-compute": (cmd_consistency_metrics, False),
+    "compare": (cmd_compare, False),
+    "group-by-upload": (cmd_group_by_upload, False),
 }
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
     p = argparse.ArgumentParser(prog="python -m chronon_spark")
     sub = p.add_subparsers(dest="command", required=True)
+    extra = {
+        "label-join": ["--out-root", "--label-ds"],
+        "log-flattener": ["--out-root"],
+        "group-by-upload": ["--out-root", "--batch-end-ds"],
+    }
     for name, (_, needs_range) in COMMANDS.items():
         sp = sub.add_parser(name)
         sp.add_argument("--conf", required=True, help="path to a Python conf module")
@@ -170,6 +303,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             sp.add_argument("--start-ds", required=True)
             sp.add_argument("--end-ds", required=True)
             sp.add_argument("--step-days", type=int, default=30)
+        for flag in extra.get(name, []):
+            sp.add_argument(flag, required=True)
     args = p.parse_args(argv)
 
     conf = _load_conf(args.conf)

@@ -207,7 +207,7 @@ def materialize_label_join(
 
     Returns (labels_table, labeled_view_name, latest_view_name).
     """
-    from chronon_spark.sources.tableio import PartitionedTable, insert_overwrite_partitions
+    from chronon_spark.sources.tableio import insert_overwrite_partitions, resolve_table
 
     labeled = label_join(
         features, label_events, label_gb, horizon, time_column, tiebreak, prefix
@@ -219,7 +219,7 @@ def materialize_label_join(
     version = labeled.select(
         *label_gb.keys, time_column, *label_cols, F.lit(label_ds).alias("label_ds")
     )
-    table = PartitionedTable(f"{out_root}/{name}_labels", ds_col="label_ds")
+    table = resolve_table(spark, out_root, f"{name}_labels", ds_col="label_ds")
     insert_overwrite_partitions(version, table)
 
     all_labels = table.read(spark)

@@ -347,19 +347,21 @@ def materialize_join(
     2. the final table ``{out_root}/{join.name}`` assembles the part tables
        onto the left per unfilled range with coalesced joins + derivations.
 
-    Returns (final PartitionedTable, {prefix: part PartitionedTable}).
+    Returns (final table, {prefix: part table}) — path-backed
+    ``PartitionedTable``s, or catalog-managed ``CatalogTable``s when
+    ``out_root`` is ``catalog:<db>`` (sources/tableio.resolve_table).
     """
     from chronon_spark.operators.groupby import run_setups
-    from chronon_spark.sources.tableio import PartitionedTable, backfill
+    from chronon_spark.sources.tableio import backfill, resolve_table
 
     run_setups(left, join.setups)
     tc = join.time_column
     left_ds = left.withColumn("ds", F.date_format(F.col(tc), "yyyy-MM-dd"))
 
-    part_tables: dict[str, PartitionedTable] = {}
+    part_tables: dict[str, object] = {}
     for part in join.join_parts:
         prefix = part.full_prefix()
-        table = PartitionedTable(f"{out_root}/{join.name}_{prefix}")
+        table = resolve_table(spark, out_root, f"{join.name}_{prefix}")
         events = sources[part.group_by.name]
 
         def compute_range(s, lo, hi, part=part, events=events):
@@ -383,7 +385,7 @@ def materialize_join(
         )
         part_tables[prefix] = table
 
-    final = PartitionedTable(f"{out_root}/{join.name}")
+    final = resolve_table(spark, out_root, join.name)
 
     def assemble_range(s, lo, hi):
         out = left_ds.where(F.col("ds").between(lo, hi))

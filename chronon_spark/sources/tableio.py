@@ -132,6 +132,21 @@ class PartitionedTable:
                 shutil.move(lin, os.path.join(dest, f"{ds}.lineage.json"))
 
 
+def resolve_table(
+    spark: SparkSession, out_root: str, name: str, ds_col: str = "ds"
+):
+    """Map an output root to a table handle: ``catalog:<db>`` roots yield a
+    catalog-managed ``CatalogTable`` (``<db>.<name>``, real DDL); anything
+    else is a path-backed ``PartitionedTable`` (``<root>/<name>``)."""
+    if out_root.startswith("catalog:"):
+        from chronon_spark.sources.catalog import CatalogTable
+
+        db = out_root.split(":", 1)[1]
+        safe = "".join(c if c.isalnum() or c == "_" else "_" for c in name)
+        return CatalogTable(spark, f"{db}.{safe}", ds_col)
+    return PartitionedTable(os.path.join(out_root, name), ds_col)
+
+
 def unfilled_ranges(
     requested: list[str], existing: list[str], step_days: int = 30
 ) -> list[tuple[str, str]]:

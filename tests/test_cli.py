@@ -205,3 +205,212 @@ def test_cli_analyze_join(spark, tmp_path, capsys):
     rc, res = _run(spark, ["analyze-join", "--conf", str(conf)], capsys)
     assert rc == 0 and res["errors"] == []
     assert any(n == "cli_part_value_sum_7d" for n, _ in map(tuple, res["output_schema"]))
+
+
+LABEL_CONF = f"""
+from chronon_spark.api import Aggregation, GroupBy, Op, TimeUnit, Window
+from pyspark.sql import functions as F
+
+label_group_by = GroupBy(
+    name="cli_label",
+    keys=["user_id"],
+    aggregations=[Aggregation(Op.COUNT, "value")],
+)
+horizon = Window(1, TimeUnit.DAYS)
+tiebreak = "event_id"
+
+def features(spark):
+    ev = spark.read.parquet("{SF_DIR}/events.parquet")
+    return ev.where(F.col("event_type") == "purchase").select("user_id", "ts").distinct()
+
+def label_events(spark):
+    return spark.read.parquet("{SF_DIR}/events.parquet")
+"""
+
+FLAT_CONF = """
+schemas = {"v1": ("user_id bigint", "score double"),
+           "v2": ("user_id bigint", "score double, extra string")}
+join_name = "cli_j"
+
+def logs(spark):
+    return spark.createDataFrame(
+        [("cli_j", "v1", 1700000000000, '{"user_id": 1}', '{"score": 0.5}'),
+         ("cli_j", "v2", 1700086400000, '{"user_id": 2}', '{"score": 1.5, "extra": "x"}'),
+         ("other", "v1", 1700000100000, '{"user_id": 9}', '{"score": 9.0}')],
+        "join_name string, schema_hash string, ts_ms long, key_json string, value_json string",
+    )
+"""
+
+CONSIST_CONF = """
+keys = ["user_id"]
+
+def flattened(spark):
+    return spark.createDataFrame(
+        [(1, 1700000000000, 0.5), (2, 1700000060000, 2.0)],
+        "user_id bigint, ts_ms long, score double",
+    )
+
+def offline(spark):
+    from pyspark.sql import functions as F
+    return spark.createDataFrame(
+        [(1, 1700000000000, 0.5), (2, 1700000060000, 3.0)],
+        "user_id bigint, ms long, score double",
+    ).select("user_id", F.timestamp_millis("ms").alias("ts"), "score")
+"""
+
+COMPARE_CONF = """
+keys = ["user_id"]
+
+def left(spark):
+    return spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "user_id bigint, v double")
+
+def right(spark):
+    return spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (3, 3.0)], "user_id bigint, v double")
+"""
+
+
+def test_cli_label_join(spark, tmp_path, capsys, day_range):
+    conf = tmp_path / "label_conf.py"
+    conf.write_text(LABEL_CONF)
+    rc, res = _run(
+        spark,
+        [
+            "label-join", "--conf", str(conf),
+            "--out-root", str(tmp_path / "lout"), "--label-ds", "2024-02-01",
+        ],
+        capsys,
+    )
+    assert rc == 0
+    assert res["label_versions"] == ["2024-02-01"]
+    latest = spark.table(res["labeled_latest_view"])
+    assert "label_value_count_1d" in latest.columns
+    assert latest.count() > 0
+
+
+def test_cli_log_flattener(spark, tmp_path, capsys):
+    conf = tmp_path / "flat_conf.py"
+    conf.write_text(FLAT_CONF)
+    rc, res = _run(
+        spark,
+        ["log-flattener", "--conf", str(conf), "--out-root", str(tmp_path / "fout")],
+        capsys,
+    )
+    assert rc == 0
+    # only the two cli_j rows decode (the 'other' join's row is filtered)
+    assert res["flattened_rows"] == 2 and res["raw_rows"] == 3
+    got = spark.read.option("basePath", res["output_table"]).parquet(res["output_table"])
+    assert {"user_id", "score", "extra", "ds"} <= set(got.columns)
+    assert sorted(r.ds for r in got.collect()) == ["2023-11-14", "2023-11-15"]
+
+
+def test_cli_consistency_metrics(spark, tmp_path, capsys):
+    conf = tmp_path / "cons_conf.py"
+    conf.write_text(CONSIST_CONF)
+    rc, res = _run(spark, ["consistency-metrics-compute", "--conf", str(conf)], capsys)
+    assert rc == 0
+    m = res["metrics"]
+    assert m["score_total"] == 2 and m["score_mismatch"] == 1
+
+
+def test_cli_compare(spark, tmp_path, capsys):
+    conf = tmp_path / "cmp_conf.py"
+    conf.write_text(COMPARE_CONF)
+    rc, res = _run(spark, ["compare", "--conf", str(conf)], capsys)
+    assert rc == 0
+    m = res["metrics"]
+    assert m["v_total"] == 3 and m["v_mismatch"] == 1 and m["v_left_null"] == 1
+
+
+def test_cli_group_by_upload(spark, tmp_path, capsys, day_range):
+    conf = tmp_path / "up_conf.py"
+    conf.write_text(GB_CONF)
+    lo, hi = day_range
+    rc, res = _run(
+        spark,
+        [
+            "group-by-upload", "--conf", str(conf),
+            "--out-root", str(tmp_path / "uout"), "--batch-end-ds", hi,
+        ],
+        capsys,
+    )
+    assert rc == 0
+    coll = spark.read.option("basePath", res["tables"]["upload_collapsed"]).parquet(
+        res["tables"]["upload_collapsed"]
+    )
+    assert coll.count() > 0 and "user_id" in coll.columns
+
+
+def test_cli_backfill_to_catalog_table(spark, tmp_path, capsys, day_range):
+    """--out-root catalog:<db> routes the SAME backfill through the
+    catalog-managed writer (SHOW PARTITIONS resume, TBLPROPERTIES lineage)."""
+    import uuid
+
+    db = f"clidb_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/wh'")
+    try:
+        conf = tmp_path / "gb_conf.py"
+        conf.write_text(GB_CONF)
+        lo, hi = day_range
+        argv = [
+            "group-by-backfill", "--conf", str(conf),
+            "--out-root", f"catalog:{db}", "--start-ds", lo, "--end-ds", hi,
+        ]
+        rc, res = _run(spark, argv, capsys)
+        assert rc == 0
+        assert res["output_table"] == f"{db}.cli_gb"
+        assert len(res["partitions"]) >= 3
+        assert spark.table(f"{db}.cli_gb").count() > 0
+        # resume through the catalog: lineage in TBLPROPERTIES matches
+        rc2, res2 = _run(spark, argv, capsys)
+        assert rc2 == 0 and res2["chunks"] == []
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_cli_spark_submit_py_files(tmp_path, day_range):
+    """The north-rule launch mode for real: package chronon_spark into a
+    zip, ship it with ``spark-submit --py-files``, and run a backfill in a
+    driver that can ONLY import the package from that zip (cwd and
+    PYTHONPATH point nowhere near the repo)."""
+    import shutil
+    import zipfile
+
+    if not shutil.which("spark-submit"):
+        pytest.skip("spark-submit not on PATH")
+
+    pkg_zip = tmp_path / "chronon_spark.zip"
+    pkg_root = os.path.join(REPO, "chronon_spark")
+    with zipfile.ZipFile(pkg_zip, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_root):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+    job = tmp_path / "job.py"
+    job.write_text(
+        "import sys\n"
+        "from chronon_spark.__main__ import main\n"
+        "sys.exit(main(sys.argv[1:]))\n"
+    )
+    conf = tmp_path / "gb_conf.py"
+    conf.write_text(GB_CONF)
+    lo, _ = day_range
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", str(pkg_zip), str(job),
+            "group-by-backfill", "--conf", str(conf),
+            "--out-root", str(tmp_path / "out3"),
+            "--start-ds", lo, "--end-ds", lo,
+        ],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["partitions"] and res["chunks"][0]["rows"] > 0
