@@ -30,6 +30,23 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-spread a compact vector frame before CPU-heavy array work.
+
+    Higher-order array expressions (zip_with / aggregate) are evaluated
+    INTERPRETED — Spark never codegens them — so dot products and norms are
+    the most expensive per-row work in this module by far. A small parquet
+    source scans as one or two partitions, which would pin that interpreted
+    evaluation on as many cores. One cheap row-shuffle by id fans it out;
+    inputs already wider than the session's parallelism (the 100TB case)
+    pass through untouched.
+    """
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parts:
+        df = df.repartition(parts, id_col)
+    return df
+
+
 def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
     return df.withColumn(
         out, _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
@@ -46,16 +63,25 @@ def brute_force_knn(
     query_vec_col: str = "embedding",
     metric: str = "cosine",
 ) -> DataFrame:
-    """Exact top-k neighbors per query. queries must be broadcastable."""
+    """Exact top-k neighbors per query. queries must be broadcastable.
+
+    Norms are computed ONCE per vector (before the pair join) rather than
+    once per pair — same left-fold over the same array, so the rounded
+    similarities are bit-identical, at 1/|pairs| of the interpreted-eval
+    cost. The vector side is hash-spread so the per-pair dot products run
+    on every core."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
     )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+    v = _spread(vectors, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    )
+    if metric == "cosine":
+        q = q.withColumn("__qn", _norm(F.col("__qv")))
+        v = v.withColumn("__vn", _norm(F.col("__v")))
     joined = v.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
     if metric == "cosine":
-        sim = _dot(F.col("__qv"), F.col("__v")) / (
-            _norm(F.col("__qv")) * _norm(F.col("__v"))
-        )
+        sim = _dot(F.col("__qv"), F.col("__v")) / (F.col("__qn") * F.col("__vn"))
     elif metric == "dot":
         sim = _dot(F.col("__qv"), F.col("__v"))
     else:
@@ -115,12 +141,18 @@ def lsh_knn(
     mask = (1 << bits_per_band) - 1
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:
-        s = rh_signature(df, vec_col, n_planes, seed).select(
-            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_v"), "rh_sig"
+        # spread first: the 16 interpreted plane-dots per row must not run
+        # on a single scan partition; norm once per id, not per candidate
+        s = rh_signature(_spread(df, id_col), vec_col, n_planes, seed).select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_v"),
+            _norm(F.col(vec_col)).alias(f"{prefix}_norm"),
+            "rh_sig",
         )
         bandrows = s.select(
             f"{prefix}_id",
             f"{prefix}_v",
+            f"{prefix}_norm",
             F.explode(
                 F.array(
                     *[
@@ -143,10 +175,10 @@ def lsh_knn(
     cand = (
         qb.join(vb, "band_key")
         .where(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "q_v", "n_id", "n_v")
+        .select("q_id", "q_v", "q_norm", "n_id", "n_v", "n_norm")
         .distinct()
     )
-    sim = _dot(F.col("q_v"), F.col("n_v")) / (_norm(F.col("q_v")) * _norm(F.col("n_v")))
+    sim = _dot(F.col("q_v"), F.col("n_v")) / (F.col("q_norm") * F.col("n_norm"))
     scored = cand.withColumn("sim", F.round(sim, 6))
     w = SW.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
@@ -192,7 +224,7 @@ def ivf_assign(
             lambda acc, v: acc + v,
         )
 
-    scored = vectors.crossJoin(F.broadcast(cents)).select(
+    scored = _spread(vectors, id_col).crossJoin(F.broadcast(cents)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.struct(
@@ -240,8 +272,12 @@ def ivf_knn(
         .where(F.col("rnk") <= nprobe)
         .select("q_id", "q_v", "list_id")
     )
-    cand = qprobe.join(assign, "list_id").where(F.col("q_id") != F.col("id"))
-    sim = _dot(F.col("q_v"), F.col("vec")) / (_norm(F.col("q_v")) * _norm(F.col("vec")))
+    cand = (
+        qprobe.withColumn("__qn", _norm(F.col("q_v")))
+        .join(assign.withColumn("__n", _norm(F.col("vec"))), "list_id")
+        .where(F.col("q_id") != F.col("id"))
+    )
+    sim = _dot(F.col("q_v"), F.col("vec")) / (F.col("__qn") * F.col("__n"))
     scored = cand.withColumn("sim", F.round(sim, 6))
     w = SW.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("id").asc())
     return (
