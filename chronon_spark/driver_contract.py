@@ -2097,3 +2097,56 @@ def q_approx_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["approx_ops"] = q_approx_ops
 # intentionally no oracle: sketch outputs differ across engines
+
+
+def q_mg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_HISTOGRAM_K through the Misra-Gries-compressed sliding-tile
+    plan (reference ItemsSketch hybrid, SimpleAggregators.scala:458-600).
+
+    mg_cap=16 >= the 5 distinct event types, so the MG summary is provably
+    lossless (tests/test_mg_hist.py::test_mg_large_cap_equals_exact) and the
+    full sketch pipeline — TAIL-tile compression, band merge, top-k
+    assembly — must hash-match an exact DuckDB oracle, the same
+    exact-parameterization trick as ivf_knn (nprobe = n_lists). The map
+    output is exploded to (etype, n) rows for value hashing."""
+    ev = _t(spark, sf_dir, "events")
+    gb = GroupBy(
+        name="user_events",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(
+                Op.APPROX_HISTOGRAM_K, "event_type", windows=(W7D,), k=3, mg_cap=16
+            )
+        ],
+    )
+    out = G.temporal_events(
+        _purchase_left(ev), ev, gb, tiebreak="event_id", strategy="sliding"
+    )
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.explode(F.col("event_type_approx_histogram3_7d")).alias("etype", "n"),
+    )
+
+
+SQL_MG_HISTOGRAM = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, event_type FROM events
+), c AS (
+  SELECT q.user_id, q.ts_ms, e.event_type,
+         count(CASE WHEN e.ems >= {TAIL_7D} THEN 1 END) AS n
+  FROM q JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
+  GROUP BY 1, 2, 3
+), r AS (
+  SELECT user_id, ts_ms, event_type, n,
+         row_number() OVER (PARTITION BY user_id, ts_ms
+                            ORDER BY n DESC, event_type DESC) AS rn
+  FROM c WHERE n > 0
+)
+SELECT user_id, ts_ms, event_type AS etype, n FROM r WHERE rn <= 3
+"""
+
+QUERIES["mg_histogram"] = q_mg_histogram
+ORACLES["mg_histogram"] = SQL_MG_HISTOGRAM
