@@ -85,6 +85,20 @@ def main() -> None:
     # is also the representative one: a production backfill re-executes the
     # same compiled plan per partition chunk. Data caches are still dropped
     # between runs (clearCache), so no run sees another's materialized data.
+    # Pure-CPU host probe (no Spark): this VM's effective CPU oscillates ~4x
+    # on multi-minute periods (BENCH/BASELINE.md §4). Bracketing the bench
+    # with calibration makes each JSON line self-describing: clean phases
+    # measure ~117-150 Mops/s on 8 procs, throttled phases 40-80 — timings
+    # from different phases are not comparable.
+    def calib() -> float:
+        try:
+            from bench_scaling import cpu_calibration
+
+            return round(cpu_calibration(8, per_proc=4_000_000), 1)
+        except Exception:
+            return -1.0
+
+    calib_pre = calib()
     timings: dict[str, float] = {}
     feature_rows = 0
     t_all = time.time()
@@ -125,6 +139,8 @@ def main() -> None:
                 "feature_rows": feature_rows,
                 "rows_per_sec": rows_per_sec,
                 "master": master,
+                "host_calib_mops_pre": calib_pre,
+                "host_calib_mops_post": calib(),
             }
         )
     )

@@ -2150,3 +2150,39 @@ SELECT user_id, ts_ms, event_type AS etype, n FROM r WHERE rn <= 3
 
 QUERIES["mg_histogram"] = q_mg_histogram
 ORACLES["mg_histogram"] = SQL_MG_HISTOGRAM
+
+
+def q_log_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetcher-log flattening across two schema versions (reference
+    LogFlattenerJob.scala): per-user features are JSON-encoded into
+    fetcher-style log rows under TWO different value schemas (v2 adds a
+    column), then decoded per-version and unioned by name — append-only
+    schema evolution. The JSON encode -> decode -> union round trip must
+    reproduce the relationally-computed flat rows bit-for-bit (long-typed
+    features, so the JSON number round trip is exact)."""
+    from chronon_spark.operators.logflatten import flatten_logs, log_requests
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.max("ts").alias("ts"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_type").alias("u"),
+    )
+    v1 = base.where(F.col("user_id") % 2 == 0).select("user_id", "ts", "n")
+    v2 = base.where(F.col("user_id") % 2 == 1).select("user_id", "ts", "n", "u")
+    logs1, h1, s1 = log_requests(v1, ["user_id"], "user_feats")
+    logs2, h2, s2 = log_requests(v2, ["user_id"], "user_feats")
+    flat = flatten_logs(logs1.unionByName(logs2), {h1: s1, h2: s2}, "user_feats")
+    return flat.select("user_id", "ts_ms", "n", "u")
+
+
+SQL_LOG_FLATTEN = """
+SELECT user_id,
+       epoch_ms(max(ts)) AS ts_ms,
+       count(*) AS n,
+       CASE WHEN user_id % 2 = 1 THEN count(DISTINCT event_type) END AS u
+FROM events GROUP BY user_id
+"""
+
+QUERIES["log_flatten"] = q_log_flatten
+ORACLES["log_flatten"] = SQL_LOG_FLATTEN
