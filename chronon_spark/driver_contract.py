@@ -2186,3 +2186,47 @@ FROM events GROUP BY user_id
 
 QUERIES["log_flatten"] = q_log_flatten
 ORACLES["log_flatten"] = SQL_LOG_FLATTEN
+
+
+def q_selection_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-aggregation entity selection part (reference quickstart `users`
+    GroupBy: aggregations=None over an EntitySource): the daily snapshot's
+    non-key fields are served verbatim from the PREVIOUS day's partition —
+    the midnight-as-of rule with no time engine, just a broadcastable
+    (keys, serve-day) equi-join. The snapshot table is synthesized
+    deterministically from events (per user x day counts/sums)."""
+    from chronon_spark.operators.join import compute_join_part
+
+    ev = _t(spark, sf_dir, "events")
+    snap = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("ds")
+    ).agg(
+        F.count(F.lit(1)).alias("daily_n"),
+        _r(F.sum("value")).alias("daily_sum"),
+    )
+    left = _purchase_left(ev)
+    part = JoinPart(group_by=GroupBy(name="user_dim", keys=["user_id"], aggregations=None))
+    out = compute_join_part(left, snap, part)
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("user_dim_daily_n"),
+        F.col("user_dim_daily_sum"),
+    )
+
+
+SQL_SELECTION_PART = """
+WITH q AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS daily_n,
+         round(sum(value), 3) AS daily_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT q.user_id, epoch_ms(q.ts) AS ts_ms,
+       s.daily_n AS user_dim_daily_n, s.daily_sum AS user_dim_daily_sum
+FROM q LEFT JOIN s ON s.user_id = q.user_id AND s.d + 1 = CAST(q.ts AS DATE)
+"""
+
+QUERIES["selection_part"] = q_selection_part
+ORACLES["selection_part"] = SQL_SELECTION_PART
