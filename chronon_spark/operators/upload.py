@@ -100,6 +100,12 @@ def upload_batch_irs(
     Both frames are partial/merge-able (the reference's normalizeBatchIr
     contract): ``fetch_features`` — or a real KV fetcher — merges them with
     streaming events without touching the batch log again.
+
+    ``batch_end_ds`` is a UTC day (the ds partition contract,
+    api/.../PartitionSpec.scala): events at or after UTC midnight following
+    it are excluded here and MUST be on the caller's stream side. Splitting
+    batch/stream on local-time day boundaries under a non-UTC session
+    silently drops the overlap hours from both sides.
     """
     assert gb.accuracy == Accuracy.TEMPORAL
     run_setups(events, gb.setups)
@@ -237,7 +243,10 @@ def fetch_features(
             _merge_with_masked_cols(a, f"p{i}", include).alias(a.output_name(w, None))
         )
     feat = unioned.groupBy(*gb.keys, QTS).agg(*merge_exprs)
-    return left_n.join(feat, [*gb.keys, QTS], "left").drop(QTS)
+    out = left_n.join(feat, [*gb.keys, QTS], "left").drop(QTS)
+    from chronon_spark.operators.groupby import _apply_derivations
+
+    return _apply_derivations(out, gb, keep=list(requests.columns))
 
 
 def kv_event_rows(
@@ -257,3 +266,49 @@ def kv_event_rows(
         F.col(ETS).alias("ts_ms"),
         F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias("payload_json"),
     )
+
+
+def fetch_join(
+    requests: DataFrame,
+    batch: dict[str, tuple[DataFrame, DataFrame]],
+    streams: dict[str, DataFrame],
+    join,
+    batch_end_ds: str,
+    horizon_ms: int = DAY_MS,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Fetcher.fetchJoin, offline-simulated: for every join part, lambda-merge
+    its uploaded batch IRs (collapsed + tail tiles from ``upload_batch_irs``)
+    with its streaming events, prefix the features, and coalesce them onto
+    the request frame — the online twin of ``compute_join``, value-identical
+    to running it over each part's unified batch+stream log.
+
+    ``batch`` maps GroupBy name -> (collapsed, tail_tiles); ``streams`` maps
+    GroupBy name -> post-batch-end event frame. Key mappings and prefixes
+    follow the same flip/rename rules as the offline join (reference
+    online/.../FetcherBase.scala fetchJoin + api Extensions.scala:745-766).
+    """
+    from chronon_spark.operators.join import coalesced_join
+
+    out = requests
+    tc = join.time_column
+    for part in join.join_parts:
+        gb = part.group_by
+        lkeys = part.left_keys()
+        q = requests.select(
+            *[F.col(lk).alias(rk) for lk, rk in zip(lkeys, gb.keys)], F.col(tc)
+        ).dropDuplicates()
+        collapsed, tail = batch[gb.name]
+        feat = fetch_features(
+            q, collapsed, tail, streams[gb.name], gb, batch_end_ds,
+            horizon_ms=horizon_ms, left_time_column=tc, tiebreak=tiebreak,
+        )
+        prefix = part.full_prefix()
+        for c in feat.columns:
+            if c not in (*gb.keys, tc):
+                feat = feat.withColumnRenamed(c, f"{prefix}_{c}")
+        for lk, rk in zip(lkeys, gb.keys):
+            if lk != rk:
+                feat = feat.withColumnRenamed(rk, lk)
+        out = coalesced_join(out, feat, [*lkeys, tc])
+    return out

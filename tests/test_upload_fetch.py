@@ -146,3 +146,54 @@ def test_kv_event_rows_round_trip(spark, events):
         "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"), "value"
     )
     assert sorted(map(repr, decoded.collect())) == sorted(map(repr, src.collect()))
+
+
+def test_fetch_join_equals_compute_join(spark, events, split):
+    """fetch_join (per-part lambda fetch + prefix + coalesce) must equal
+    compute_join over each part's unified batch+stream log — the online/
+    offline twin invariant at the JOIN level (FetcherBase.fetchJoin)."""
+    from chronon_spark.api import Join, JoinPart
+    from chronon_spark.operators.join import compute_join
+    from chronon_spark.operators.upload import fetch_join
+
+    batch, stream, requests, batch_end_ds = split
+    left = requests.withColumn("etype", F.lit("click"))
+    gb_user = GroupBy(
+        name="user_stats",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(W7D,))],
+    )
+    gb_type = GroupBy(
+        name="type_stats",
+        keys=["event_type"],
+        aggregations=[Aggregation(Op.SUM, "value", windows=(W1D,))],
+    )
+    j = Join(
+        name="serve_join",
+        left_keys=["user_id", "etype"],
+        join_parts=[
+            JoinPart(group_by=gb_user),
+            JoinPart(group_by=gb_type, key_mapping={"etype": "event_type"}, prefix="ctx"),
+        ],
+    )
+    batch_irs = {
+        gb.name: upload_batch_irs(batch, gb, batch_end_ds, tiebreak="event_id")
+        for gb in (gb_user, gb_type)
+    }
+    got = fetch_join(
+        left,
+        batch_irs,
+        {"user_stats": stream, "type_stats": stream},
+        j,
+        batch_end_ds,
+        tiebreak="event_id",
+    )
+    want = compute_join(
+        left, {"user_stats": events, "type_stats": events}, j, tiebreak="event_id"
+    )
+    cols = [
+        "user_id", "etype", "ts",
+        "user_stats_value_count_7d", "ctx_type_stats_value_sum_1d",
+    ]
+    assert _rows(got.select(*cols), cols) == _rows(want.select(*cols), cols)
+    assert got.count() == left.count()
