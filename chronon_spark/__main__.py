@@ -28,6 +28,12 @@ Conf-module contract (only the names a given subcommand needs):
                              optional ``mapping``
     group-by-upload       -> ``group_by``, ``source(spark)``;
                              args --out-root --batch-end-ds
+    fetch                 -> ``join``, ``requests(spark)``, ``streams(spark)
+                             -> {group_by_name: DataFrame}``; reads the
+                             upload tables group-by-upload wrote; args
+                             --upload-root --out-root --batch-end-ds
+    metadata-export       -> ``group_by`` and/or ``join`` (semantic hashes,
+                             output schema — what resume keys on)
 
     optional everywhere: ``tiebreak`` (str), ``strategy`` (str)
 
@@ -273,6 +279,78 @@ def cmd_group_by_upload(spark, conf, args) -> dict:
     }
 
 
+def cmd_fetch(spark, conf, args) -> dict:
+    """Offline-simulated Fetcher.fetchJoin over PREVIOUSLY UPLOADED IR
+    tables (reference Driver.scala ``fetch``): read the
+    ``{gb}_upload_collapsed`` / ``{gb}_upload_tail`` tables written by
+    ``group-by-upload``, lambda-merge each part with its stream, write the
+    enriched request frame."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.upload import fetch_join
+    from chronon_spark.sources.tableio import insert_overwrite_partitions, resolve_table
+
+    join = conf.join
+    batch = {}
+    for part in join.join_parts:
+        gb = part.group_by
+        frames = []
+        for suffix in ("upload_collapsed", "upload_tail"):
+            t = resolve_table(spark, args.upload_root, f"{gb.name}_{suffix}")
+            frames.append(
+                t.read(spark).where(F.col("ds") == args.batch_end_ds).drop("ds")
+            )
+        batch[gb.name] = (frames[0], frames[1])
+    out = fetch_join(
+        conf.requests(spark), batch, conf.streams(spark), join,
+        args.batch_end_ds, tiebreak=_opt(conf, "tiebreak"),
+    )
+    table = resolve_table(spark, args.out_root, f"{join.name}_fetched")
+    insert_overwrite_partitions(out.withColumn("ds", F.lit(args.batch_end_ds)), table)
+    return {
+        "command": "fetch",
+        "output_table": _table_id(table),
+        "batch_end_ds": args.batch_end_ds,
+        "rows": out.count(),
+    }
+
+
+def cmd_metadata_export(spark, conf, args) -> dict:
+    """Definition metadata + semantic hashes (reference Driver.scala
+    ``metadata-export``): exactly what the incremental-resume machinery keys
+    on, exported for inspection and change diffing."""
+    out: dict = {"command": "metadata-export"}
+    if hasattr(conf, "group_by"):
+        gb = conf.group_by
+        out["group_by"] = {
+            "name": gb.name,
+            "keys": gb.keys,
+            "accuracy": gb.accuracy.value,
+            "semantic_hash": gb.semantic_hash(),
+            "output_columns": gb.output_columns(),
+            "max_window_millis": gb.max_window_millis(),
+        }
+    if hasattr(conf, "join"):
+        from chronon_spark.operators.join import join_semantic_hash
+
+        j = conf.join
+        out["join"] = {
+            "name": j.name,
+            "left_keys": j.left_keys,
+            "semantic_hash": join_semantic_hash(j),
+            "parts": [
+                {
+                    "group_by": p.group_by.name,
+                    "prefix": p.full_prefix(),
+                    "key_mapping": p.key_mapping,
+                    "semantic_hash": p.group_by.semantic_hash(),
+                }
+                for p in j.join_parts
+            ],
+        }
+    return out
+
+
 COMMANDS = {
     "join": (cmd_join, True),
     "group-by-backfill": (cmd_group_by_backfill, True),
@@ -284,6 +362,8 @@ COMMANDS = {
     "consistency-metrics-compute": (cmd_consistency_metrics, False),
     "compare": (cmd_compare, False),
     "group-by-upload": (cmd_group_by_upload, False),
+    "fetch": (cmd_fetch, False),
+    "metadata-export": (cmd_metadata_export, False),
 }
 
 
@@ -294,6 +374,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "label-join": ["--out-root", "--label-ds"],
         "log-flattener": ["--out-root"],
         "group-by-upload": ["--out-root", "--batch-end-ds"],
+        "fetch": ["--upload-root", "--out-root", "--batch-end-ds"],
     }
     for name, (_, needs_range) in COMMANDS.items():
         sp = sub.add_parser(name)

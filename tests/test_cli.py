@@ -414,3 +414,108 @@ def test_cli_spark_submit_py_files(tmp_path, day_range):
     assert proc.returncode == 0, proc.stderr[-3000:]
     res = json.loads(proc.stdout.strip().splitlines()[-1])
     assert res["partitions"] and res["chunks"][0]["rows"] > 0
+
+
+FETCH_CONF = f"""
+from chronon_spark.api import Aggregation, GroupBy, Join, JoinPart, Op, TimeUnit, Window
+from pyspark.sql import functions as F
+
+group_by = GroupBy(
+    name="cli_gb",
+    keys=["user_id"],
+    aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(1, TimeUnit.DAYS),))],
+)
+join = Join(name="cli_fetch", left_keys=["user_id"], join_parts=[JoinPart(group_by=group_by)])
+tiebreak = "event_id"
+
+BATCH_END = "__BATCH_END__"
+SERVE = "__SERVE__"
+
+def source(spark):
+    ev = spark.read.parquet("{SF_DIR}/events.parquet")
+    return ev.where(F.date_format("ts", "yyyy-MM-dd") <= BATCH_END)
+
+def requests(spark):
+    ev = spark.read.parquet("{SF_DIR}/events.parquet")
+    d = F.date_format("ts", "yyyy-MM-dd")
+    return (ev.where((d == SERVE) & (F.col("event_type") == "purchase"))
+              .select("user_id", "ts").distinct())
+
+def streams(spark):
+    ev = spark.read.parquet("{SF_DIR}/events.parquet")
+    return {{"cli_gb": ev.where(F.date_format("ts", "yyyy-MM-dd") == SERVE)}}
+"""
+
+
+def test_cli_fetch_over_uploaded_irs(spark, tmp_path, capsys):
+    """group-by-upload then fetch: the fetched frame must equal compute_join
+    over the full log — the serving lifecycle end-to-end through the CLI.
+    batch end and serve day are consecutive UTC days (the fetch horizon)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    days = [
+        r["d"]
+        for r in ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct().orderBy("d").limit(4).collect()
+    ]
+    batch_end, serve = days[2], days[3]
+    import datetime as _dt
+
+    assert (_dt.date.fromisoformat(serve) - _dt.date.fromisoformat(batch_end)).days == 1
+    conf = tmp_path / "fetch_conf.py"
+    conf.write_text(
+        FETCH_CONF.replace("__BATCH_END__", batch_end).replace("__SERVE__", serve)
+    )
+    rc, _res = _run(
+        spark,
+        [
+            "group-by-upload", "--conf", str(conf),
+            "--out-root", str(tmp_path / "ups"), "--batch-end-ds", batch_end,
+        ],
+        capsys,
+    )
+    assert rc == 0
+    rc, res = _run(
+        spark,
+        [
+            "fetch", "--conf", str(conf),
+            "--upload-root", str(tmp_path / "ups"),
+            "--out-root", str(tmp_path / "fout"), "--batch-end-ds", batch_end,
+        ],
+        capsys,
+    )
+    assert rc == 0 and res["rows"] > 0
+
+    from chronon_spark.api import Aggregation, GroupBy, Join, JoinPart, Op, TimeUnit, Window
+    from chronon_spark.operators.join import compute_join
+
+    gb = GroupBy(
+        name="cli_gb", keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(1, TimeUnit.DAYS),))],
+    )
+    j = Join(name="cli_fetch", left_keys=["user_id"], join_parts=[JoinPart(group_by=gb)])
+    d = F.date_format("ts", "yyyy-MM-dd")
+    reqs = (
+        ev.where((d == serve) & (F.col("event_type") == "purchase"))
+        .select("user_id", "ts").distinct()
+    )
+    want = compute_join(reqs, {"cli_gb": ev}, j, tiebreak="event_id")
+    got = (
+        spark.read.option("basePath", res["output_table"]).parquet(res["output_table"])
+        .where(F.col("ds") == batch_end).drop("ds")
+    )
+    cols = sorted(want.columns)
+    w = sorted(map(repr, want.select(*cols).collect()))
+    g = sorted(map(repr, got.select(*cols).collect()))
+    assert g == w and res["rows"] == len(w)
+
+
+def test_cli_metadata_export(spark, tmp_path, capsys):
+    conf = tmp_path / "meta_conf.py"
+    conf.write_text(JOIN_CONF + GB_CONF)
+    rc, res = _run(spark, ["metadata-export", "--conf", str(conf)], capsys)
+    assert rc == 0
+    assert res["group_by"]["semantic_hash"] and res["group_by"]["output_columns"]
+    assert res["join"]["semantic_hash"] and res["join"]["parts"][0]["group_by"] == "cli_part"
+    # the exported hash is the resume key: identical defs export identically
+    rc2, res2 = _run(spark, ["metadata-export", "--conf", str(conf)], capsys)
+    assert res2 == res
