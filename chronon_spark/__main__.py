@@ -34,6 +34,11 @@ Conf-module contract (only the names a given subcommand needs):
                              --upload-root --out-root --batch-end-ds
     metadata-export       -> ``group_by`` and/or ``join`` (semantic hashes,
                              output schema — what resume keys on)
+    group-by-streaming    -> ``group_by``, ``stream(spark)`` (a readStream
+                             frame), optional ``hop``/``watermark``; args
+                             --out-root --checkpoint-dir
+    daily-stats           -> ``frame(spark)`` (day-partitioned features),
+                             optional ``name``; args --out-root
 
     optional everywhere: ``tiebreak`` (str), ``strategy`` (str)
 
@@ -315,6 +320,77 @@ def cmd_fetch(spark, conf, args) -> dict:
     }
 
 
+def cmd_group_by_streaming(spark, conf, args) -> dict:
+    """Streaming tile maintenance (reference Driver.scala group-by-streaming
+    wrapping streaming/GroupBy.scala): drain the conf's stream with an
+    availableNow trigger, maintain hop-tile partial IRs, and persist them
+    day-partitioned. ``conf.stream(spark)`` builds the readStream — a file
+    source here; Kafka is the same call with connector jars."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.sources.tableio import insert_overwrite_partitions, resolve_table
+    from chronon_spark.streaming.ingest import run_to_completion
+    from chronon_spark.streaming.tiles import streaming_tiles
+
+    gb = conf.group_by
+    tiles = streaming_tiles(
+        conf.stream(spark),
+        gb,
+        hop=_opt(conf, "hop", "5 minutes"),
+        watermark=_opt(conf, "watermark", "0 seconds"),
+        tiebreak=_opt(conf, "tiebreak"),
+    )
+    qname = f"{gb.name}_tiles_drain"
+    run_to_completion(tiles, args.checkpoint_dir, query_name=qname)
+    drained = spark.table(qname).withColumn(
+        "ds", F.date_format(F.timestamp_millis(F.col("tile_start_ms")), "yyyy-MM-dd")
+    )
+    table = resolve_table(spark, args.out_root, f"{gb.name}_tiles")
+    insert_overwrite_partitions(drained, table)
+    return {
+        "command": "group-by-streaming",
+        "output_table": _table_id(table),
+        "partitions": table.partitions(),
+        "tile_rows": drained.count(),
+    }
+
+
+def cmd_daily_stats(spark, conf, args) -> dict:
+    """Per-day summary statistics of a features table (reference
+    Driver.scala daily-stats wrapping stats/StatsCompute): row count plus
+    null rate / mean / approx p50 / p90 for every numeric column, one row
+    per ds, persisted day-partitioned."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.sources.tableio import insert_overwrite_partitions, resolve_table
+
+    frame = conf.frame(spark)
+    numeric = [
+        f.name
+        for f in frame.schema.fields
+        if f.dataType.typeName() in ("integer", "long", "double", "float", "short")
+        and f.name != "ds"
+    ]
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in numeric:
+        aggs += [
+            F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}_null_rate"),
+            F.round(F.avg(c), 6).alias(f"{c}_mean"),
+            F.round(F.percentile_approx(c, 0.5), 6).alias(f"{c}_p50"),
+            F.round(F.percentile_approx(c, 0.9), 6).alias(f"{c}_p90"),
+        ]
+    stats = frame.groupBy("ds").agg(*aggs)
+    name = _opt(conf, "name", "features") + "_daily_stats"
+    table = resolve_table(spark, args.out_root, name)
+    insert_overwrite_partitions(stats, table)
+    return {
+        "command": "daily-stats",
+        "output_table": _table_id(table),
+        "partitions": table.partitions(),
+        "columns": numeric,
+    }
+
+
 def cmd_metadata_export(spark, conf, args) -> dict:
     """Definition metadata + semantic hashes (reference Driver.scala
     ``metadata-export``): exactly what the incremental-resume machinery keys
@@ -364,6 +440,8 @@ COMMANDS = {
     "group-by-upload": (cmd_group_by_upload, False),
     "fetch": (cmd_fetch, False),
     "metadata-export": (cmd_metadata_export, False),
+    "group-by-streaming": (cmd_group_by_streaming, False),
+    "daily-stats": (cmd_daily_stats, False),
 }
 
 
@@ -375,6 +453,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "log-flattener": ["--out-root"],
         "group-by-upload": ["--out-root", "--batch-end-ds"],
         "fetch": ["--upload-root", "--out-root", "--batch-end-ds"],
+        "group-by-streaming": ["--out-root", "--checkpoint-dir"],
+        "daily-stats": ["--out-root"],
     }
     for name, (_, needs_range) in COMMANDS.items():
         sp = sub.add_parser(name)
