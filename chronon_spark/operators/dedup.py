@@ -299,6 +299,7 @@ def dedup_components(
     id_b: str = "id_b",
     max_iterations: int = 20,
     allow_partial: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the step
     that turns pairwise matches into DEDUP GROUPS (keep min-id canonical,
@@ -320,19 +321,30 @@ def dedup_components(
     silently contain SPLIT components, so this raises unless
     ``allow_partial=True`` (which logs a warning and returns the partial
     labels instead).
+
+    ``checkpoint_dir``: on a real multi-executor cluster pass a reliable
+    (HDFS/S3) path — localCheckpoint stores blocks on executors, so one
+    executor loss kills every later round. With a dir set, each round uses a
+    reliable ``checkpoint()`` into it instead (reference concern: long
+    iterative lineage; Spark's standard GraphX-style pattern).
     """
     import warnings
-    e = (
+
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir else df.localCheckpoint()
+
+    e = _ckpt(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = _ckpt(
         e.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component_id", F.col("id"))
-        .localCheckpoint()
     )
     changed = 0
     for _ in range(max_iterations):
@@ -342,7 +354,7 @@ def dedup_components(
             .agg(F.min("component_id").alias("n_min"))
             .select(F.col("src").alias("id"), "n_min")
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neigh, "id", "left")
             .select(
                 "id",
@@ -350,7 +362,6 @@ def dedup_components(
                     F.col("component_id"), F.coalesce(F.col("n_min"), F.col("component_id"))
                 ).alias("component_id"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.select("id", F.col("component_id").alias("new_c"))

@@ -370,3 +370,27 @@ def test_map_input_aggregation(spark):
     )
     assert abs(row["m_sum"]["a"] - plain[0]) < 1e-6
     assert abs(row["m_sum"]["b"] - plain[1]) < 1e-6
+
+
+def test_dedup_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir routes each round through a reliable checkpoint()
+    (cluster-survivable) instead of localCheckpoint, with identical labels —
+    and actually materializes RDD checkpoints into the directory."""
+    import os
+
+    from chronon_spark.operators.dedup import dedup_components
+
+    pairs = [(i, i + 1) for i in range(1, 9)] + [(20, 21), (21, 22), (30, 31)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r["id"]: r["component_id"]
+        for r in dedup_components(df, checkpoint_dir=ckpt).collect()
+    }
+    want = {r["id"]: r["component_id"] for r in dedup_components(df).collect()}
+    assert got == want
+    # reliable checkpoints landed on storage (not executor-local blocks)
+    written = [
+        os.path.join(d, f) for d, _dirs, files in os.walk(ckpt) for f in files
+    ]
+    assert written, "no reliable checkpoint files materialized"
