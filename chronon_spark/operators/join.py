@@ -83,7 +83,21 @@ def compute_join_part(
             if lk != rk:
                 feat = feat.withColumnRenamed(rk, lk)
         return feat
-    if gb.accuracy == Accuracy.TEMPORAL:
+    if isinstance(events, (tuple, list, dict)):
+        # entity-CDC source: (snapshots, mutations) — point-in-time features
+        # over a mutable dimension via the signed-sum mutation engine
+        # (reference: EntitySource with mutationTable at TEMPORAL accuracy,
+        # GroupBy.scala:170-273)
+        from chronon_spark.operators.mutations import temporal_entities
+
+        if isinstance(events, dict):
+            snapshots, mutations = events["snapshots"], events["mutations"]
+        else:
+            snapshots, mutations = events
+        feat = temporal_entities(
+            q, snapshots, mutations, gb, left_time_column=left_time_column
+        )
+    elif gb.accuracy == Accuracy.TEMPORAL:
         feat = G.temporal_events(
             q, events, gb, left_time_column=left_time_column, tiebreak=tiebreak, strategy=strategy
         )
@@ -150,6 +164,9 @@ def _merge_groups(
             gb.accuracy == Accuracy.TEMPORAL
             and not gb.derivations
             and gb.aggregations is not None
+            # entity-CDC sources (snapshots, mutations) run the mutation
+            # engine — never merged into an event-tile pass
+            and not isinstance(sources[gb.name], (tuple, list, dict))
         )
         key = (
             (id(sources[gb.name]), tuple(part.left_keys()), tuple(gb.keys), gb.time_column)
@@ -277,6 +294,12 @@ def narrow_events(events: DataFrame, gb, lo_ds: str, hi_ds: str) -> DataFrame:
     day_ms = 86_400_000
     lo_d = dt.date.fromisoformat(lo_ds)
     hi_d = dt.date.fromisoformat(hi_ds)
+    if isinstance(events, (tuple, list, dict)):
+        # entity-CDC source: the previous-day snapshot already collapses all
+        # history, so no scan narrowing is needed for correctness; pass
+        # through unchanged (partition pruning happens inside the engine's
+        # (keys, day)-cell join)
+        return events
     if gb.aggregations is None:
         if "ds" in events.columns:
             return events.where(

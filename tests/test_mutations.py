@@ -272,3 +272,47 @@ def test_decomposition_matches_full_log_oracle(spark, events):
         for r in oracle.select(*cols).collect()
     }
     assert a == b
+
+
+def test_cdc_part_in_compute_join(spark, cdc):
+    """A Join can carry an entity-CDC part: sources[name] = (snapshots,
+    mutations) routes through temporal_entities, with key mapping, prefix,
+    and left-row preservation identical to a direct engine call."""
+    from chronon_spark.api import Join, JoinPart
+    from chronon_spark.operators.join import compute_join
+
+    snap, mut = cdc
+    left = spark.createDataFrame(
+        [
+            ("a", DAY11 + 9 * H),
+            ("a", DAY11 + 10 * H + 1),
+            ("a", DAY11 + 11 * H + 1),
+            ("b", DAY11 + 13 * H),
+            ("b", DAY11 + 13 * H),  # duplicate left row must be preserved
+        ],
+        "ent string, qts long",
+    ).select("ent", F.timestamp_millis("qts").alias("ts"))
+    gb = GroupBy(
+        name="dim",
+        keys=["k"],
+        aggregations=[Aggregation(Op.COUNT, "v"), Aggregation(Op.SUM, "v")],
+    )
+    j = Join(
+        name="with_cdc",
+        left_keys=["ent"],
+        join_parts=[JoinPart(group_by=gb, key_mapping={"ent": "k"}, prefix="d")],
+    )
+    out = compute_join(left, {"dim": (snap, mut)}, j)
+    assert out.count() == 5  # dup left row fans out
+    rows = {
+        (r["ent"], r["ts"]): (r["d_dim_v_count"], r["d_dim_v_sum"])
+        for r in out.collect()
+    }
+    # direct engine call for comparison
+    q = left.withColumnRenamed("ent", "k").dropDuplicates()
+    want = {
+        (r["k"], r["ts"]): (r["v_count"], r["v_sum"])
+        for r in temporal_entities(q, snap, mut, gb, left_time_column="ts").collect()
+    }
+    for (ent, ts), v in rows.items():
+        assert v == want[(ent, ts)], (ent, ts, v, want[(ent, ts)])
