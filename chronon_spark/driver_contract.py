@@ -1061,19 +1061,12 @@ FROM base
 """
 
 
-def q_mutations_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-mutation (CDC) temporal engine: point-in-time features over a
-    MUTABLE dimension synthesized deterministically from events — every
-    event inserts its value at its ts; values >= 5 are corrected 2h later
-    (reversal of the original + insert of value*2, same row event-time).
-
-    The engine consumes the EOD snapshot + day-mutation decomposition
-    (operators/mutations.temporal_entities); the oracle is the equivalent
-    full-log signed scan, so equality proves the decomposition."""
-    from chronon_spark.operators.mutations import temporal_entities
-
+def _synth_cdc(ev: DataFrame, queries: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic mutable dimension from events: every event inserts its
+    value at its ts; values >= 5 are corrected 2h later (reversal of the
+    original + insert of value*2, same row event-time). Returns (snapshots,
+    mutations) — snapshot partitions only for the days the queries read."""
     h2 = 7_200_000
-    ev = _t(spark, sf_dir, "events")
     ems = to_millis(F.col("ts"))
     base = ev.select("user_id", "value", ems.alias("ets"))
     births = base.select(
@@ -1098,7 +1091,6 @@ def q_mutations_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_before",
         F.date_format(F.timestamp_millis("mts"), "yyyy-MM-dd").alias("ds"),
     )
-    queries = _purchase_left(ev)
     # snapshot partitions only for the days the queries read (qday - 1):
     # rows live at END of that day (birth <= EOD, not yet reversed)
     day_ms = 86_400_000
@@ -1126,6 +1118,20 @@ def q_mutations_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.timestamp_millis("d0"), "yyyy-MM-dd").alias("ds"),
         )
     )
+    return snapshots, mutations
+
+
+def q_mutations_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-mutation (CDC) temporal engine over the synthesized mutable
+    dimension (_synth_cdc). The engine consumes the EOD snapshot +
+    day-mutation decomposition (operators/mutations.temporal_entities); the
+    oracle is the equivalent full-log signed scan, so equality proves the
+    decomposition."""
+    from chronon_spark.operators.mutations import temporal_entities
+
+    ev = _t(spark, sf_dir, "events")
+    queries = _purchase_left(ev)
+    snapshots, mutations = _synth_cdc(ev, queries)
     gb = GroupBy(
         name="mut",
         keys=["user_id"],
@@ -2230,3 +2236,59 @@ FROM q LEFT JOIN s ON s.user_id = q.user_id AND s.d + 1 = CAST(q.ts AS DATE)
 
 QUERIES["selection_part"] = q_selection_part
 ORACLES["selection_part"] = SQL_SELECTION_PART
+
+
+def q_cdc_join_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-CDC source as a JOIN PART: the same synthesized mutable
+    dimension as mutations_temporal, but routed through compute_join with a
+    key mapping (ent -> user_id) and prefix — proving the join-part plumbing
+    (key flip, prefixing, left-row preservation) on top of the mutation
+    engine against the same full-log signed oracle."""
+    ev = _t(spark, sf_dir, "events")
+    left = _purchase_left(ev).withColumnRenamed("user_id", "ent")
+    snapshots, mutations = _synth_cdc(
+        ev, left.withColumnRenamed("ent", "user_id")
+    )
+    gb = GroupBy(
+        name="mut",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(W7D,)),
+            Aggregation(Op.SUM, "value", windows=(W7D,)),
+        ],
+    )
+    j = Join(
+        name="cdc_join",
+        left_keys=["ent"],
+        join_parts=[JoinPart(group_by=gb, key_mapping={"ent": "user_id"}, prefix="d")],
+    )
+    out = compute_join(left, {"mut": (snapshots, mutations)}, j)
+    return out.select(
+        F.col("ent").alias("user_id"),
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("d_mut_value_count_7d").alias("value_count_7d"),
+        _r(F.col("d_mut_value_sum_7d")).alias("value_sum_7d"),
+    )
+
+
+SQL_CDC_JOIN_PART = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), log AS (
+  SELECT user_id, value, epoch_ms(ts) AS ets, epoch_ms(ts) AS mts, 1 AS sign FROM events
+  UNION ALL
+  SELECT user_id, value * 2, epoch_ms(ts), epoch_ms(ts) + 7200000, 1 FROM events WHERE value >= 5
+  UNION ALL
+  SELECT user_id, value, epoch_ms(ts), epoch_ms(ts) + 7200000, -1 FROM events WHERE value >= 5
+)
+SELECT q.user_id, q.ts_ms,
+       CAST(coalesce(sum(CASE WHEN m.ets < q.ts_ms AND m.ets >= {TAIL_7D}
+                              THEN m.sign END), 0) AS BIGINT) AS value_count_7d,
+       round(sum(CASE WHEN m.ets < q.ts_ms AND m.ets >= {TAIL_7D}
+                      THEN m.sign * m.value END), 3) AS value_sum_7d
+FROM q LEFT JOIN log m ON m.user_id = q.user_id AND m.mts < q.ts_ms
+GROUP BY q.user_id, q.ts_ms
+"""
+
+QUERIES["cdc_join_part"] = q_cdc_join_part
+ORACLES["cdc_join_part"] = SQL_CDC_JOIN_PART
