@@ -1092,7 +1092,12 @@ def _synth_cdc(ev: DataFrame, queries: DataFrame) -> tuple[DataFrame, DataFrame]
         F.date_format(F.timestamp_millis("mts"), "yyyy-MM-dd").alias("ds"),
     )
     # snapshot partitions only for the days the queries read (qday - 1):
-    # rows live at END of that day (birth <= EOD, not yet reversed)
+    # rows live at END of that day (birth <= EOD, not yet reversed).
+    # Each version is live at EOD(d0) iff mts < d0+1d and (dmts is null or
+    # dmts >= d0+1d), i.e. for the contiguous midnight range
+    # [day_start(mts), day_start(dmts-1d)] — generate exactly those days with
+    # one sequence-explode per version (clamped to the query-day span)
+    # instead of a versions x days nested-loop filter.
     day_ms = 86_400_000
     days = (
         queries.select(
@@ -1100,17 +1105,30 @@ def _synth_cdc(ev: DataFrame, queries: DataFrame) -> tuple[DataFrame, DataFrame]
         )
         .distinct()
     )
+    bounds = days.agg(F.min("d0").alias("__lo"), F.max("d0").alias("__hi"))
     versions = births.join(
         deaths.select("user_id", "value", "ets", F.col("mts").alias("dmts")),
         ["user_id", "value", "ets"],
         "left",
     ).select("user_id", "value", "ets", "mts", "dmts")
+    lo_day = F.greatest(F.col("mts") - F.pmod(F.col("mts"), F.lit(day_ms)), F.col("__lo"))
+    hi_day = F.least(
+        F.coalesce(
+            (F.col("dmts") - day_ms) - F.pmod(F.col("dmts") - day_ms, F.lit(day_ms)),
+            F.col("__hi"),
+        ),
+        F.col("__hi"),
+    )
     snapshots = (
-        versions.crossJoin(F.broadcast(days))
-        .where(
-            (F.col("mts") < F.col("d0") + day_ms)
-            & (F.col("dmts").isNull() | (F.col("dmts") >= F.col("d0") + day_ms))
+        versions.crossJoin(F.broadcast(bounds))
+        .where(lo_day <= hi_day)
+        .select(
+            "user_id",
+            "value",
+            "ets",
+            F.explode(F.sequence(lo_day, hi_day, F.lit(day_ms))).alias("d0"),
         )
+        .join(F.broadcast(days), "d0")  # query days may have gaps
         .select(
             "user_id",
             "value",
