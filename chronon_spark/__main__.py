@@ -311,12 +311,18 @@ def cmd_fetch(spark, conf, args) -> dict:
         args.batch_end_ds, tiebreak=_opt(conf, "tiebreak"),
     )
     table = resolve_table(spark, args.out_root, f"{join.name}_fetched")
+    # row count rides the write job as an observed metric — a separate
+    # count() would execute the whole fetch plan a second time
+    from pyspark.sql import Observation
+
+    obs = Observation("fetch_rows")
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     insert_overwrite_partitions(out.withColumn("ds", F.lit(args.batch_end_ds)), table)
     return {
         "command": "fetch",
         "output_table": _table_id(table),
         "batch_end_ds": args.batch_end_ds,
-        "rows": out.count(),
+        "rows": obs.get["rows"],
     }
 
 

@@ -206,6 +206,10 @@ class GroupBy:
                         "buckets": list(a.buckets) if a.buckets else None,
                         "k": a.k,
                         "percentiles": list(a.percentiles) if a.percentiles else None,
+                        # sketch knobs change output values, so they must
+                        # invalidate materialized partitions too
+                        "lg_k": a.lg_k,
+                        "mg_cap": a.mg_cap,
                     }
                     for a in self.aggregations or []
                 ],

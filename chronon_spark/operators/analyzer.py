@@ -89,11 +89,31 @@ def validate_group_by(
 
     Returns [] when the backfill is safe to launch."""
     errs: list[ValidationError] = []
+    if isinstance(events, (tuple, list, dict)):
+        # entity-CDC source (snapshots, mutations) — validate the snapshot
+        # frame as the source and the mutation frame through the CDC checks
+        if isinstance(events, dict):
+            events, mutations = events["snapshots"], events["mutations"]
+        else:
+            events, mutations = events
     fields = {f.name: f.dataType for f in events.schema.fields}
 
     for k in gb.keys:
         if k not in fields:
             errs.append(ValidationError("missing_key_column", k, f"key column '{k}' not in source schema"))
+    if gb.aggregations is None:
+        # no-aggregation selection part: features are the snapshot's non-key
+        # fields served from the previous day's 'ds' partition — no time
+        # engine, so the only extra requirement is the partition column
+        if "ds" not in fields:
+            errs.append(
+                ValidationError(
+                    "missing_partition_column", "ds",
+                    "selection GroupBy (aggregations=None) requires a 'ds' "
+                    "snapshot-partition column to serve from",
+                )
+            )
+        return errs
     if gb.time_column not in fields:
         errs.append(
             ValidationError(
@@ -225,12 +245,37 @@ def analyze_group_by(
     errors = validate_group_by(events, gb, check_data=False)
     if errors:
         return GroupByAnalysis([], gb.keys, [], errors)
-    left = events.select(*gb.keys, F.col(gb.time_column).alias("ts")).limit(0)
-    plan = G.temporal_events(left, events.limit(0), gb, left_time_column="ts")
-    schema = [(f.name, f.dataType.simpleString()) for f in plan.schema.fields]
+    if isinstance(events, dict):
+        snapshots = events["snapshots"]
+    elif isinstance(events, (tuple, list)):
+        snapshots = events[0]
+    else:
+        snapshots = events
+    if gb.aggregations is None:
+        # selection GroupBy: output = keys + the snapshot's non-key fields
+        schema = [
+            (f.name, f.dataType.simpleString())
+            for f in snapshots.schema.fields
+            if f.name not in ("ds", gb.time_column)
+        ]
+    else:
+        left = snapshots.select(*gb.keys, F.col(gb.time_column).alias("ts")).limit(0)
+        if isinstance(events, (tuple, list, dict)):
+            from chronon_spark.operators.mutations import temporal_entities
+
+            if isinstance(events, dict):
+                muts = events["mutations"]
+            else:
+                muts = events[1]
+            plan = temporal_entities(
+                left, snapshots.limit(0), muts.limit(0), gb, left_time_column="ts"
+            )
+        else:
+            plan = G.temporal_events(left, events.limit(0), gb, left_time_column="ts")
+        schema = [(f.name, f.dataType.simpleString()) for f in plan.schema.fields]
     hot = [
         (r["column"], r["key"], r["n"])
-        for r in heavy_hitters(events, gb.keys, min_count=hot_key_threshold).collect()
+        for r in heavy_hitters(snapshots, gb.keys, min_count=hot_key_threshold).collect()
     ]
     return GroupByAnalysis(schema, gb.keys, hot, [])
 
@@ -304,7 +349,17 @@ def validate_join(
             errs.append(
                 ValidationError(e.code, e.column, f"part '{label}': {e.message}")
             )
-        for c in gb.output_columns():
+        if gb.aggregations is None:
+            # selection part: outputs are the snapshot's non-key fields
+            src = sources[gb.name]
+            part_outputs = [
+                c
+                for c in src.columns
+                if c not in (*gb.keys, "ds", gb.time_column)
+            ]
+        else:
+            part_outputs = gb.output_columns()
+        for c in part_outputs:
             full = f"{label}_{c}"
             if full in seen_outputs:
                 errs.append(
@@ -341,8 +396,16 @@ def analyze_join(
     if errors:
         return JoinAnalysis([], {}, [], errors)
 
+    def _empty(s):
+        # CDC sources are (snapshots, mutations) pairs — empty both legs
+        if isinstance(s, dict):
+            return {k: v.limit(0) for k, v in s.items()}
+        if isinstance(s, (tuple, list)):
+            return tuple(x.limit(0) for x in s)
+        return s.limit(0)
+
     plan = compute_join(
-        left.limit(0), {n: s.limit(0) for n, s in sources.items()}, join
+        left.limit(0), {n: _empty(s) for n, s in sources.items()}, join
     )
     schema = [(f.name, f.dataType.simpleString()) for f in plan.schema.fields]
     part_schemas: dict[str, list[tuple[str, str]]] = {}
@@ -357,9 +420,12 @@ def analyze_join(
     for r in heavy_hitters(left, left_keys, min_count=hot_key_threshold).collect():
         hot.append(("left", r["column"], r["key"], r["n"]))
     for part in join.join_parts:
-        hh = heavy_hitters(
-            sources[part.group_by.name], part.group_by.keys, min_count=hot_key_threshold
-        )
+        src = sources[part.group_by.name]
+        if isinstance(src, dict):
+            src = src["snapshots"]
+        elif isinstance(src, (tuple, list)):
+            src = src[0]
+        hh = heavy_hitters(src, part.group_by.keys, min_count=hot_key_threshold)
         for r in hh.collect():
             hot.append((part.full_prefix(), r["column"], r["key"], r["n"]))
     return JoinAnalysis(schema, part_schemas, hot, [])

@@ -68,8 +68,6 @@ def pad_external_parts(df: DataFrame, parts: list) -> DataFrame:
     left request columns through as features: the bare column and its
     ``ext_contextual_{col}`` twin are kept consistent with a two-way coalesce
     even when only one was bootstrapped (Join.scala:104-120)."""
-    from chronon_spark.api import CONTEXTUAL_SOURCE_NAME
-
     for part in parts:
         if part.source.is_contextual:
             continue
@@ -80,7 +78,9 @@ def pad_external_parts(df: DataFrame, parts: list) -> DataFrame:
         if not part.source.is_contextual:
             continue
         for name, typ in part.key_schema_full():
-            prefixed = f"ext_{CONTEXTUAL_SOURCE_NAME}_{name}"
+            # honor ExternalPart.prefix: the declared twin column is
+            # ext[_{prefix}]_contextual_{col} (Extensions.scala:698-736)
+            prefixed = f"{part.full_name()}_{name}"
             if name not in df.columns:
                 df = df.withColumn(name, F.lit(None).cast(typ))
             if prefixed not in df.columns:

@@ -122,23 +122,24 @@ def _tiebreak_col(tiebreak: str | None) -> Column:
     return F.col(tiebreak) if tiebreak else F.lit(0)
 
 
-# statements already executed, per SparkSession — planning calls re-enter
-# run_setups many times (once per join part / backfill chunk) and
-# `CREATE TEMPORARY FUNCTION` is not re-runnable (FUNCTION_ALREADY_EXISTS)
-_EXECUTED_SETUPS: dict[int, set[str]] = {}
-
-
 def run_setups(df: DataFrame, setups: list[str]) -> None:
     """Execute setup DDL (UDF registration etc.) against the session owning
     ``df`` before planning — the reference runs Query.setups through
     tableUtils.sql at every job entry (JoinBase.scala:410, GroupBy.scala:691,
     StagingQuery.scala:46). Statements run in order, once per statement per
     SparkSession: multi-part joins and multi-chunk backfills re-plan with the
-    same setups, and DDL like CREATE TEMPORARY FUNCTION throws on re-run."""
+    same setups, and DDL like CREATE TEMPORARY FUNCTION throws on re-run.
+
+    The executed-set lives ON the session object (not a module-level dict
+    keyed by id(): ids are reused after GC and entries for dead sessions
+    would otherwise accumulate forever)."""
     if not setups:
         return
     spark = df.sparkSession
-    done = _EXECUTED_SETUPS.setdefault(id(spark), set())
+    done = getattr(spark, "_chronon_executed_setups", None)
+    if done is None:
+        done = set()
+        spark._chronon_executed_setups = done
     for stmt in setups:
         if stmt not in done:
             spark.sql(stmt)

@@ -65,14 +65,23 @@ def compute_join_part(
         # midnight-as-of rule as SNAPSHOT accuracy (JoinBase.scala:70-130
         # ts_ds shift; entity snapshot ds holds end-of-ds state). Plain
         # broadcast-able equi-join on (keys, serve-day); no time engine.
-        fields = [c for c in events.columns if c not in (*gb.keys, "ds")]
+        # the snapshot's own event-time column is bookkeeping, not a feature
+        # (and would collide with the left's time column after the join)
+        fields = [
+            c for c in events.columns if c not in (*gb.keys, "ds", gb.time_column)
+        ]
         snap = events.select(
             *gb.keys,
             F.date_add(F.to_date(F.col("ds")), 1).alias("__serve_ds"),
             *fields,
         )
+        from chronon_spark.plans.windows import ts_to_millis
+
+        # schema-aware day derivation: the left ts may be a timestamp OR the
+        # library's long-epoch-millis contract — to_date(bigint) would fail
+        serve_day = F.to_date(F.timestamp_millis(ts_to_millis(q, left_time_column)))
         feat = (
-            q.withColumn("__serve_ds", F.to_date(F.col(left_time_column)))
+            q.withColumn("__serve_ds", serve_day)
             .join(snap, [*gb.keys, "__serve_ds"], "left")
             .drop("__serve_ds")
         )
@@ -339,7 +348,10 @@ def join_semantic_hash(join: Join) -> str:
                 for p in join.join_parts
             ],
             *[
-                f"ext:{p.full_name()}:{p.source.key_schema}:{p.source.value_schema}"
+                # key_mapping changes which left column feeds the external key
+                # — it must invalidate like any other definition change
+                f"ext:{p.full_name()}:{sorted(p.key_mapping.items())}:"
+                f"{p.source.key_schema}:{p.source.value_schema}"
                 for p in join.external_parts
             ],
         ]

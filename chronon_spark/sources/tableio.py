@@ -230,7 +230,12 @@ def insert_overwrite_partitions(
     if table.exists() and table.partitions():
         existing = {
             f.name: f.dataType.simpleString()
-            for f in df.sparkSession.read.parquet(table.path).schema.fields
+            # mergeSchema: without it Spark infers from ONE arbitrary footer,
+            # so columns added by a previous evolution could be missed and a
+            # dropped-column write would slip through the guard
+            for f in df.sparkSession.read.option("mergeSchema", "true")
+            .parquet(table.path)
+            .schema.fields
             if f.name != table.ds_col
         }
         incoming = {

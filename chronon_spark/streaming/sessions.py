@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from chronon_spark.operators.sessionize import _interval_to_ms
-from chronon_spark.plans.windows import to_millis
+from chronon_spark.plans.windows import ts_to_millis
 
 
 def streaming_session_stats(
@@ -57,8 +57,10 @@ def streaming_session_stats(
     store merges adjacent windows; the watermark closes sessions once
     event time passes last_event + gap + watermark.
     """
-    src = stream.withColumn("__event_time", F.col(ts_column).cast("timestamp"))
-    ts_ms = to_millis(F.col(ts_column))
+    # schema-aware conversion: a long epoch-millis ts cast straight to
+    # timestamp would be read as SECONDS (windows.ts_to_millis contract)
+    ts_ms = ts_to_millis(stream, ts_column)
+    src = stream.withColumn("__event_time", F.timestamp_millis(ts_ms))
     base: dict[str, Column] = {
         "n_rows": F.count(F.lit(1)),
         "start_ms": F.min(ts_ms),
@@ -169,7 +171,7 @@ def streaming_sessionize_stateful(
         state.update((int(cur[0]), int(cur[1]), int(cur[2]), int(cur[3])))
         yield pd.DataFrame(out)
 
-    src = stream.withColumn("__ts_ms", to_millis(F.col(ts_column)))
+    src = stream.withColumn("__ts_ms", ts_to_millis(stream, ts_column))
     return src.groupBy(*keys).applyInPandasWithState(
         fn,
         outputStructType=out_schema,

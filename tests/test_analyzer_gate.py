@@ -177,6 +177,97 @@ def test_join_missing_left_time_column(spark, events):
     assert "missing_time_column" in _codes(validate_join(left, {"g": events}, _join([_part()])))
 
 
+def _snapshots(spark):
+    return spark.createDataFrame(
+        [(1, "2024-01-01", "gold", 10.0, 1704067200000),
+         (2, "2024-01-01", "free", 3.0, 1704067200000)],
+        "user_id long, ds string, tier string, balance double, ts long",
+    )
+
+
+def _mutations(spark):
+    return spark.createDataFrame(
+        [(1, "2024-01-02", "gold", 10.0, 1704153600000, 1704153600000, True)],
+        "user_id long, ds string, tier string, balance double, ts long, "
+        "mutation_ts long, is_before boolean",
+    )
+
+
+def test_selection_groupby_validates_and_analyzes(spark, events):
+    """aggregations=None selection parts must pass the gate (no crash on the
+    agg loop) and require only keys + the 'ds' snapshot partition column."""
+    sel = GroupBy(name="users", keys=["user_id"], aggregations=None)
+    snaps = _snapshots(spark)
+    assert validate_group_by(snaps, sel) == []
+    # missing 'ds' is the one selection-specific requirement
+    codes = _codes(validate_group_by(snaps.drop("ds"), sel))
+    assert "missing_partition_column" in codes
+    res = analyze_group_by(snaps, sel, hot_key_threshold=1)
+    assert res.errors == []
+    names = [n for n, _ in res.output_schema]
+    assert "tier" in names and "balance" in names and "ds" not in names
+
+
+def test_cdc_tuple_source_validates_and_analyzes(spark):
+    """Entity-CDC (snapshots, mutations) sources route through the gate:
+    snapshot schema checks + mutation-column + deletable-op checks, and
+    analyze_group_by plans the mutation engine without a data pass."""
+    from chronon_spark.api import Accuracy
+
+    gb = GroupBy(
+        name="acct",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.SUM, "balance", windows=(Window(7, TimeUnit.DAYS),))],
+        accuracy=Accuracy.TEMPORAL,
+    )
+    src = (_snapshots(spark), _mutations(spark))
+    assert validate_group_by(src, gb, check_data=False) == []
+    # mutation frame missing CDC columns -> structured error
+    bad = (_snapshots(spark), _mutations(spark).drop("is_before", "mutation_ts"))
+    assert "missing_mutation_column" in _codes(validate_group_by(bad, gb, check_data=False))
+    # non-deletable op over a CDC source -> structured error
+    gb_bad = GroupBy(
+        name="acct", keys=["user_id"],
+        aggregations=[Aggregation(Op.LAST, "balance")],
+    )
+    assert "non_deletable_op" in _codes(validate_group_by(src, gb_bad, check_data=False))
+    res = analyze_group_by(src, gb, hot_key_threshold=1)
+    assert res.errors == []
+    assert ("balance_sum_7d", "double") in res.output_schema
+
+
+def test_join_with_selection_and_cdc_parts(spark, events):
+    """analyze_join over a mixed join (temporal events part + selection part
+    + CDC part) — the reference's analyzeJoin covers every part kind."""
+    from chronon_spark.api import Accuracy, Join, JoinPart
+    from chronon_spark.operators.analyzer import analyze_join, validate_join
+
+    sel = GroupBy(name="users", keys=["user_id"], aggregations=None)
+    cdc = GroupBy(
+        name="acct", keys=["user_id"],
+        aggregations=[Aggregation(Op.SUM, "balance", windows=(Window(7, TimeUnit.DAYS),))],
+        accuracy=Accuracy.TEMPORAL,
+    )
+    j = Join(
+        name="mixed", left_keys=["user_id"],
+        join_parts=[_part(), JoinPart(group_by=sel), JoinPart(group_by=cdc)],
+    )
+    sources = {
+        "g": events,
+        "users": _snapshots(spark),
+        "acct": (_snapshots(spark), _mutations(spark)),
+    }
+    assert validate_join(_left(events), sources, j) == []
+    res = analyze_join(_left(events), sources, j, hot_key_threshold=1)
+    assert res.errors == []
+    names = [n for n, _ in res.output_schema]
+    assert "g_value_sum_7d" in names
+    assert "users_tier" in names  # selection fields under the part prefix
+    assert "acct_balance_sum_7d" in names
+    origins = {h[0] for h in res.hot_keys}
+    assert {"left", "g", "users", "acct"} <= origins
+
+
 def test_analyze_join_schema_and_hot_keys(spark, events):
     from chronon_spark.operators.analyzer import analyze_join
 

@@ -54,6 +54,23 @@ def test_setups_register_udf_for_derivations(spark, events):
     assert row["c2"] == row["value_count_7d"] * 2
 
 
+def test_setups_run_once_per_session(spark, events):
+    """Non-re-runnable DDL (CREATE TEMPORARY FUNCTION without OR REPLACE)
+    must execute once per SparkSession even when planning re-enters
+    run_setups (multi-part joins, multi-chunk backfills); the executed-set
+    lives on the session object, not a module-global keyed by id()."""
+    from chronon_spark.operators.groupby import run_setups
+
+    ddl = (
+        "CREATE TEMPORARY FUNCTION chronon_runonce_probe(x BIGINT) "
+        "RETURNS BIGINT RETURN x + 1"
+    )
+    run_setups(events, [ddl])
+    # second call must be a silent no-op, not FUNCTION_ALREADY_EXISTS
+    run_setups(events, [ddl])
+    assert ddl in spark._chronon_executed_setups
+
+
 def test_rename_replaces_in_place(spark, events):
     out = _run(events, {"*": "*", "value_count": "value_count * 10"})
     assert set(out.columns) == {"user_id", "ts", "value_count_7d", "value_count"}
