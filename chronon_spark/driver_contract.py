@@ -1194,6 +1194,40 @@ GROUP BY q.user_id, q.ts_ms
 # registry
 # ---------------------------------------------------------------------------
 
+def q_cumulative_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative event source (reference EventSource.isCumulative,
+    api/thrift/api.thrift:70; scan collapse GroupBy.scala:576-580): each ds
+    partition holds the FULL history up to end-of-ds, so the engine reads
+    ONLY the latest partition <= the requested end instead of a day range.
+    Built here as a two-partition cumulative frame over events (2024-01-15
+    holds history through Jan 15; 2024-01-30 holds everything): a backfill
+    ending 2024-01-20 must serve the Jan-15 partition — serving the later
+    partition would inflate every count and hash-mismatch the oracle."""
+    from chronon_spark.sources.tableio import cumulative_latest
+
+    ev = _t(spark, sf_dir, "events")
+    cum = (
+        ev.where(F.to_date("ts") <= F.lit("2024-01-15"))
+        .withColumn("ds", F.lit("2024-01-15"))
+        .unionByName(ev.withColumn("ds", F.lit("2024-01-30")))
+    )
+    snap = cumulative_latest(cum, end_ds="2024-01-20")
+    return snap.groupBy("user_id").agg(
+        F.count("value").alias("value_count"),
+        _r(F.sum("value")).alias("value_sum"),
+    )
+
+
+SQL_CUMULATIVE_SOURCE = """
+SELECT user_id,
+       count(value) AS value_count,
+       round(sum(value), 3) AS value_sum
+FROM events
+WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "join_pricing": q_join_pricing,
@@ -1221,6 +1255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bootstrap_backfill": q_bootstrap_backfill,
     "external_parts": q_external_parts,
     "join_chain": q_join_chain,
+    "cumulative_source": q_cumulative_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -1250,6 +1285,7 @@ ORACLES: dict[str, str] = {
     "bootstrap_backfill": SQL_BOOTSTRAP_BACKFILL,
     "external_parts": SQL_EXTERNAL_PARTS,
     "join_chain": SQL_JOIN_CHAIN,
+    "cumulative_source": SQL_CUMULATIVE_SOURCE,
 }
 
 

@@ -169,6 +169,50 @@ def unfilled_ranges(
     return out
 
 
+def read_cumulative(
+    spark: SparkSession, table: PartitionedTable, end_ds: str | None = None
+) -> DataFrame:
+    """Cumulative event source: each ds partition holds the FULL history up
+    to the end of ds (reference EventSource.isCumulative,
+    api/thrift/api.thrift:70; scan-range collapse GroupBy.scala:576-580), so
+    a backfill reads ONLY the latest valid partition — ``end_ds`` if given,
+    else the last available — instead of a day range. At 100TB this replaces
+    a many-partition union scan with a single partition read; partition
+    selection is a directory listing, no data job."""
+    parts = table.partitions()
+    if end_ds is not None:
+        parts = [p for p in parts if p <= end_ds]
+    if not parts:
+        raise ValueError(
+            f"no cumulative partition available in {table.path}"
+            + (f" at or before {end_ds}" if end_ds else "")
+        )
+    latest = parts[-1]
+    return (
+        table.read(spark)
+        .where(F.col(table.ds_col) == latest)
+        .drop(table.ds_col)
+    )
+
+
+def cumulative_latest(
+    df: DataFrame, ds_col: str = "ds", end_ds: str | None = None
+) -> DataFrame:
+    """DataFrame-level variant of :func:`read_cumulative` for sources that
+    arrive as frames (catalog tables, views): keep only the latest eligible
+    ``ds`` partition's rows. The max-ds probe is one tiny job — against a
+    hive-partitioned parquet scan it folds to partition-directory metadata
+    (the ds predicate prunes at plan time)."""
+    eligible = df if end_ds is None else df.where(F.col(ds_col) <= end_ds)
+    latest = eligible.agg(F.max(ds_col)).first()[0]
+    if latest is None:
+        raise ValueError(
+            "no cumulative partition available"
+            + (f" at or before {end_ds}" if end_ds else "")
+        )
+    return eligible.where(F.col(ds_col) == latest).drop(ds_col)
+
+
 def salted_repartition(df: DataFrame, ds_col: str, n_files: int) -> DataFrame:
     """Deterministic write-salting: hash all columns into ``n_files`` salts so
     hot partitions spread over n_files tasks/files, then sort within

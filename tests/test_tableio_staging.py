@@ -172,3 +172,29 @@ def test_schema_evolution_append_only(spark, tmp_table):
 
     # and the rejected writes left the table untouched
     assert tmp_table.partitions() == ["2024-01-01", "2024-01-02"]
+
+
+def test_cumulative_source_reads_latest_valid_partition(spark, tmp_table):
+    """EventSource.isCumulative: every ds partition holds full history up to
+    end-of-ds, so reads select ONE partition — the latest at or before the
+    requested end — never a day range (reference GroupBy.scala:576-580)."""
+    from chronon_spark.sources.tableio import cumulative_latest, read_cumulative
+
+    # partition ds holds ds_range('2024-01-01', ds) rows (cumulative layout:
+    # _mk's per-day ds column is overridden with the constant partition ds)
+    for ds in ("2024-01-02", "2024-01-05", "2024-01-08"):
+        insert_overwrite_partitions(
+            _mk(spark, "2024-01-01", ds).withColumn("ds", F.lit(ds)), tmp_table
+        )
+    latest = read_cumulative(spark, tmp_table)
+    assert latest.count() == 5 * len(ds_range("2024-01-01", "2024-01-08"))
+    assert "ds" not in latest.columns
+    mid = read_cumulative(spark, tmp_table, end_ds="2024-01-06")
+    assert mid.count() == 5 * len(ds_range("2024-01-01", "2024-01-05"))
+    with pytest.raises(ValueError):
+        read_cumulative(spark, tmp_table, end_ds="2024-01-01")
+    # DataFrame-level variant agrees with the table-level one
+    df = tmp_table.read(spark)
+    assert cumulative_latest(df, end_ds="2024-01-06").count() == mid.count()
+    with pytest.raises(ValueError):
+        cumulative_latest(df, end_ds="2024-01-01")
