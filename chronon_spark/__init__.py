@@ -18,10 +18,13 @@ own optimization; Python touches data only through vectorized Arrow batches.
 from chronon_spark.api import (  # noqa: F401
     Accuracy,
     Aggregation,
+    EntitySource,
+    EventSource,
     GroupBy,
     Join,
     JoinPart,
     Op,
+    Query,
     TimeUnit,
     Window,
 )

@@ -238,6 +238,51 @@ class JoinPart:
         return [inv.get(k, k) for k in self.group_by.keys]
 
 
+@dataclass
+class Query:
+    """Row-level scan spec (reference api/thrift/api.thrift:7-17; SQL
+    rendering QueryUtils.scala:23-56): ``selects`` maps output name -> Spark
+    SQL expression (None = pass every column through), ``wheres`` are
+    AND-joined predicates, the partition bounds prune the ``partition_column``
+    at plan time, and ``setups`` is DDL run before scanning (UDF
+    registration). Expressions are Spark SQL verbatim — the reference defines
+    select/where semantics AS Spark SQL (CatalystUtil), so nothing is
+    translated."""
+
+    selects: dict[str, str] | None = None
+    wheres: list[str] = field(default_factory=list)
+    start_partition: str | None = None
+    end_partition: str | None = None
+    time_column: str = "ts"
+    setups: list[str] = field(default_factory=list)
+    partition_column: str = "ds"
+
+
+@dataclass
+class EventSource:
+    """Immutable, timestamped fact log (reference api.thrift:51-71).
+    ``table`` is a catalog table name or a DataFrame. ``is_cumulative``
+    marks tables whose every ds partition holds the full history up to
+    end-of-ds — scans then collapse to the single latest valid partition
+    (api.thrift:70; GroupBy.scala:576-580)."""
+
+    table: object  # str (catalog name) | DataFrame
+    query: Query = field(default_factory=Query)
+    is_cumulative: bool = False
+
+
+@dataclass
+class EntitySource:
+    """Mutable dimension: daily ``snapshot_table`` + optional CDC
+    ``mutation_table`` (reference api.thrift:81-101). With mutations the
+    scanned source is the (snapshots, mutations) pair the temporal-entity
+    engine consumes (operators/mutations.py)."""
+
+    snapshot_table: object  # str | DataFrame
+    mutation_table: object | None = None
+    query: Query = field(default_factory=Query)
+
+
 CONTEXTUAL_SOURCE_NAME = "contextual"  # reference Constants.scala:58
 EXTERNAL_PREFIX = "ext"  # reference Constants.scala:57
 

@@ -1,0 +1,82 @@
+"""Source scanning: compile a declarative EventSource / EntitySource +
+Query into the DataFrame the engines consume.
+
+Reference: renderDataSourceQuery (spark/.../GroupBy.scala:608-680) renders
+``SELECT (expr) as col ... FROM table WHERE wheres AND partition-range`` as a
+SQL string; here the same spec compiles to ``where`` + ``selectExpr`` calls so
+Catalyst sees the predicates and projections natively (predicate pushdown and
+column pruning reach the parquet scan — check ``PushedFilters``/``ReadSchema``
+in ``.explain``). Cumulative event tables collapse to their latest valid
+partition before any row work (GroupBy.scala:576-580).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chronon_spark.api import EntitySource, EventSource, Query
+
+
+def _resolve(spark: SparkSession, table) -> DataFrame:
+    if isinstance(table, DataFrame):
+        return table
+    return spark.table(table)
+
+
+def _apply_query(df: DataFrame, q: Query, keep: tuple[str, ...] = ()) -> DataFrame:
+    """wheres -> partition bounds -> selects, in scan order. ``keep`` columns
+    (e.g. the partition column for snapshot serving) survive an explicit
+    select list without the user naming them."""
+    if q.setups:
+        from chronon_spark.operators.groupby import run_setups
+
+        run_setups(df, q.setups)
+    pc = q.partition_column
+    if q.start_partition is not None and pc in df.columns:
+        df = df.where(F.col(pc) >= q.start_partition)
+    if q.end_partition is not None and pc in df.columns:
+        df = df.where(F.col(pc) <= q.end_partition)
+    for w in q.wheres:
+        df = df.where(w)
+    if q.selects is not None:
+        exprs = [f"{e} AS {n}" for n, e in q.selects.items()]
+        exprs += [c for c in keep if c in df.columns and c not in q.selects]
+        df = df.selectExpr(*exprs)
+    return df
+
+
+def scan_source(spark: SparkSession, source):
+    """EventSource -> DataFrame; EntitySource -> DataFrame (snapshot-only) or
+    (snapshots, mutations) pair for the CDC temporal engine. The result is
+    exactly what ``compute_join``'s ``sources`` dict expects."""
+    if isinstance(source, EventSource):
+        df = _resolve(spark, source.table)
+        q = source.query
+        if source.is_cumulative:
+            from chronon_spark.sources.tableio import cumulative_latest
+
+            df = cumulative_latest(df, ds_col=q.partition_column, end_ds=q.end_partition)
+            # partition bounds are consumed by the cumulative selection
+            q = Query(
+                selects=q.selects,
+                wheres=q.wheres,
+                time_column=q.time_column,
+                setups=q.setups,
+                partition_column=q.partition_column,
+            )
+        return _apply_query(df, q)
+    if isinstance(source, EntitySource):
+        q = source.query
+        snaps = _apply_query(
+            _resolve(spark, source.snapshot_table), q, keep=(q.partition_column,)
+        )
+        if source.mutation_table is None:
+            return snaps
+        muts = _apply_query(
+            _resolve(spark, source.mutation_table),
+            q,
+            keep=(q.partition_column, "mutation_ts", "is_before"),
+        )
+        return (snaps, muts)
+    raise TypeError(f"unknown source type: {type(source).__name__}")

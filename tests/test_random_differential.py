@@ -129,3 +129,68 @@ def test_random_config_estimators_agree(spark, seed):
     assert rows["exact"] == rows["hops"], f"seed={seed}: hops != exact"
     assert rows["exact"] == rows["sliding"], f"seed={seed}: sliding != exact"
     ev.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# join-orchestration sweep: a multi-part join routes same-(source, keys)
+# TEMPORAL parts through ONE merged estimator pass (operators/join.py
+# _merge_groups / _compute_merged_parts — agg slot dedup + prefixed fan-out);
+# a single-part join takes the solo compute_join_part path. The two paths
+# must agree column-for-column on every random configuration, and the join
+# must preserve left duplicates.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_join_orchestration_matches_solo_parts(spark, seed):
+    from chronon_spark.api import Accuracy, Join, JoinPart
+    from chronon_spark.operators.join import compute_join
+
+    rng = random.Random(seed)
+    ev = _random_events(spark, rng).cache()
+    left = ev.sample(0.08, seed=seed).select(F.col("k").alias("uid"), "ts")
+    dup = left.limit(5)
+    left = left.unionByName(dup)  # duplicate left rows must be preserved
+
+    parts, sources = [], {}
+    for i in range(rng.randint(2, 4)):
+        gb = _random_gb(rng)
+        gb.name = f"gb{i}"
+        if rng.random() < 0.25:
+            gb.accuracy = Accuracy.SNAPSHOT  # not mergeable: solo branch
+        parts.append(
+            JoinPart(
+                group_by=gb,
+                key_mapping={"uid": "k"},
+                prefix=rng.choice([None, f"p{i}"]),
+            )
+        )
+        sources[gb.name] = ev
+    j = Join(name="rj", left_keys=["uid"], join_parts=parts, time_column="ts")
+    out = compute_join(left, sources, j, tiebreak="event_id").cache()
+
+    assert out.count() == left.count(), f"seed={seed}: left rows not preserved"
+
+    for part in parts:
+        solo = compute_join(
+            left.distinct(),
+            {part.group_by.name: ev},
+            Join(name="solo", left_keys=["uid"], join_parts=[part], time_column="ts"),
+            tiebreak="event_id",
+        )
+        pcols = [
+            f"{part.full_prefix()}_{c}" for c in part.group_by.output_columns()
+        ]
+        got = sorted(
+            (tuple(_freeze(v) for v in r)
+             for r in out.select("uid", "ts", *pcols).distinct().collect()),
+            key=str,
+        )
+        want = sorted(
+            (tuple(_freeze(v) for v in r)
+             for r in solo.select("uid", "ts", *pcols).collect()),
+            key=str,
+        )
+        assert got == want, f"seed={seed}: part {part.full_prefix()} != solo"
+    out.unpersist()
+    ev.unpersist()

@@ -1,0 +1,165 @@
+"""Declarative Source/Query scanning (reference api.thrift:7-101 Query /
+EventSource / EntitySource; SQL rendering QueryUtils.scala:23-56,
+renderDataSourceQuery GroupBy.scala:608-680) compiled to native DataFrame
+predicates/projections."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api import (
+    Aggregation,
+    EntitySource,
+    EventSource,
+    GroupBy,
+    Op,
+    Query,
+    TimeUnit,
+    Window,
+)
+from chronon_spark.sources.scan import scan_source
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_event_source_selects_wheres(spark, events):
+    src = EventSource(
+        table=events,
+        query=Query(
+            selects={"user_id": "user_id", "v2": "value * 2", "ts": "ts"},
+            wheres=["event_type = 'purchase'", "value > 0"],
+        ),
+    )
+    out = scan_source(spark, src)
+    assert out.columns == ["user_id", "v2", "ts"]
+    base = events.where("event_type = 'purchase' AND value > 0")
+    assert out.count() == base.count()
+    a = out.agg(F.sum("v2")).first()[0]
+    b = base.agg(F.sum(F.col("value") * 2)).first()[0]
+    assert abs(a - b) < 1e-6
+
+
+def test_event_source_predicates_reach_parquet_scan(spark):
+    """wheres compile to native predicates: the parquet scan node must carry
+    PushedFilters (not a post-scan-only filter over all rows)."""
+    fresh = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = scan_source(
+        spark,
+        EventSource(table=fresh, query=Query(wheres=["user_id = 7"])),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:120]
+
+
+def test_event_source_catalog_name_and_partition_bounds(spark, events):
+    events.withColumn("ds", F.date_format("ts", "yyyy-MM-dd")).createOrReplaceTempView(
+        "scan_events_v"
+    )
+    src = EventSource(
+        table="scan_events_v",
+        query=Query(start_partition="2024-01-05", end_partition="2024-01-10"),
+    )
+    out = scan_source(spark, src)
+    days = [r[0] for r in out.select("ds").distinct().collect()]
+    assert days and all("2024-01-05" <= d <= "2024-01-10" for d in days)
+
+
+def test_cumulative_event_source_reads_latest_partition(spark, events):
+    cum = (
+        events.where(F.to_date("ts") <= F.lit("2024-01-15"))
+        .withColumn("ds", F.lit("2024-01-15"))
+        .unionByName(events.withColumn("ds", F.lit("2024-01-30")))
+    )
+    src = EventSource(
+        table=cum,
+        query=Query(end_partition="2024-01-20"),
+        is_cumulative=True,
+    )
+    out = scan_source(spark, src)
+    assert "ds" not in out.columns
+    assert out.count() == events.where(F.to_date("ts") <= F.lit("2024-01-15")).count()
+
+
+def test_query_setups_udf_available_in_selects(spark, events):
+    src = EventSource(
+        table=events,
+        query=Query(
+            selects={"user_id": "user_id", "v3": "chronon_scan_triple(value)"},
+            setups=[
+                "CREATE OR REPLACE TEMPORARY FUNCTION chronon_scan_triple(x DOUBLE) "
+                "RETURNS DOUBLE RETURN x * 3"
+            ],
+        ),
+    )
+    out = scan_source(spark, src)
+    a = out.agg(F.sum("v3")).first()[0]
+    b = events.agg(F.sum(F.col("value") * 3)).first()[0]
+    assert a == pytest.approx(b)
+
+
+def test_entity_source_snapshot_and_cdc_pair(spark):
+    snaps = spark.createDataFrame(
+        [(1, "2024-01-01", "gold", 10.0, 1704067200000)],
+        "user_id long, ds string, tier string, balance double, ts long",
+    )
+    muts = spark.createDataFrame(
+        [(1, "2024-01-02", "gold", 10.0, 1704153600000, 1704153600000, True)],
+        "user_id long, ds string, tier string, balance double, ts long, "
+        "mutation_ts long, is_before boolean",
+    )
+    q = Query(selects={"user_id": "user_id", "balance": "balance", "ts": "ts"})
+    only = scan_source(spark, EntitySource(snapshot_table=snaps, query=q))
+    # partition + CDC bookkeeping columns survive an explicit select list
+    assert set(only.columns) == {"user_id", "balance", "ts", "ds"}
+    pair = scan_source(
+        spark, EntitySource(snapshot_table=snaps, mutation_table=muts, query=q)
+    )
+    assert isinstance(pair, tuple) and len(pair) == 2
+    s, m = pair
+    assert "ds" in s.columns
+    assert {"mutation_ts", "is_before"} <= set(m.columns)
+
+
+def test_scanned_cdc_source_feeds_join_part(spark):
+    """scan_source output plugs straight into compute_join's sources dict."""
+    from chronon_spark.api import Join, JoinPart
+    from chronon_spark.operators.join import compute_join
+
+    day0 = 1704067200000  # 2024-01-01T00:00Z
+    snaps = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0, day0), (2, "2024-01-01", 3.0, day0)],
+        "user_id long, ds string, balance double, ts long",
+    )
+    muts = spark.createDataFrame(
+        [
+            (1, "2024-01-02", 10.0, day0, day0 + 86_400_000 + 3_600_000, True),
+            (1, "2024-01-02", 25.0, day0 + 86_400_000 + 3_600_000,
+             day0 + 86_400_000 + 3_600_000, False),
+        ],
+        "user_id long, ds string, balance double, ts long, "
+        "mutation_ts long, is_before boolean",
+    )
+    gb = GroupBy(
+        name="acct",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.SUM, "balance", windows=(Window(7, TimeUnit.DAYS),))],
+    )
+    left = spark.createDataFrame(
+        [(1, day0 + 86_400_000 + 2 * 3_600_000), (2, day0 + 86_400_000 + 2 * 3_600_000)],
+        "user_id long, ts long",
+    )
+    src = scan_source(
+        spark, EntitySource(snapshot_table=snaps, mutation_table=muts, query=Query())
+    )
+    out = compute_join(
+        left,
+        {"acct": src},
+        Join(name="j", left_keys=["user_id"], join_parts=[JoinPart(group_by=gb)]),
+    )
+    got = {r["user_id"]: r["acct_balance_sum_7d"] for r in out.collect()}
+    # user 1: snapshot 10 reversed, 25 inserted before the query ts -> 25
+    assert got[1] == pytest.approx(25.0)
+    assert got[2] == pytest.approx(3.0)
