@@ -80,3 +80,24 @@ def scan_source(spark: SparkSession, source):
         )
         return (snaps, muts)
     raise TypeError(f"unknown source type: {type(source).__name__}")
+
+
+def scan_sources(spark: SparkSession, sources: list) -> DataFrame:
+    """Union several event sources column-aligned — a GroupBy may draw from
+    multiple sources whose Queries project onto the same schema (reference
+    GroupBy.scala:484-488: per-source rendered scans unioned by name). CDC
+    entity sources can't be unioned (the mutation pair is a different shape);
+    pass those as a single source instead."""
+    frames = []
+    for s in sources:
+        out = scan_source(spark, s)
+        if isinstance(out, tuple):
+            raise TypeError(
+                "scan_sources cannot union a CDC entity source "
+                "(snapshots+mutations); scan it alone"
+            )
+        frames.append(out)
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    return df

@@ -163,3 +163,39 @@ def test_scanned_cdc_source_feeds_join_part(spark):
     # user 1: snapshot 10 reversed, 25 inserted before the query ts -> 25
     assert got[1] == pytest.approx(25.0)
     assert got[2] == pytest.approx(3.0)
+
+
+def test_scan_sources_unions_by_name(spark, events):
+    """Multi-source GroupBy: each source's Query projects onto the same
+    schema, the scans union by name (reference GroupBy.scala:484-488)."""
+    from chronon_spark.sources.scan import scan_sources
+
+    s1 = EventSource(
+        table=events,
+        query=Query(
+            selects={"user_id": "user_id", "v": "value", "ts": "ts"},
+            wheres=["event_type = 'purchase'"],
+        ),
+    )
+    s2 = EventSource(
+        table=events,
+        query=Query(
+            # different shape on disk, same projected schema
+            selects={"user_id": "user_id", "v": "value * 1.0", "ts": "ts"},
+            wheres=["event_type = 'click'"],
+        ),
+    )
+    out = scan_sources(spark, [s1, s2])
+    assert out.columns == ["user_id", "v", "ts"]
+    want = events.where("event_type IN ('purchase', 'click')").count()
+    assert out.count() == want
+    snaps = spark.createDataFrame([(1, "2024-01-01")], "user_id long, ds string")
+    muts = spark.createDataFrame(
+        [(1, "2024-01-02", 0, False)],
+        "user_id long, ds string, mutation_ts long, is_before boolean",
+    )
+    with pytest.raises(TypeError):
+        scan_sources(
+            spark,
+            [EntitySource(snapshot_table=snaps, mutation_table=muts, query=Query())],
+        )
