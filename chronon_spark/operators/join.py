@@ -240,6 +240,20 @@ def _compute_merged_parts(
     return feat
 
 
+def _resolve_sources(spark, sources: dict) -> dict:
+    """Accept declarative EventSource/EntitySource values alongside raw
+    DataFrames (and CDC (snapshots, mutations) pairs): declarative sources
+    are compiled through sources/scan.py once, up front, so the rest of the
+    orchestration sees only frames."""
+    from chronon_spark.api import EntitySource, EventSource
+    from chronon_spark.sources.scan import scan_source
+
+    return {
+        n: scan_source(spark, s) if isinstance(s, (EventSource, EntitySource)) else s
+        for n, s in sources.items()
+    }
+
+
 def compute_join(
     left: DataFrame,
     sources: dict[str, DataFrame],
@@ -256,6 +270,7 @@ def compute_join(
     overlaps their stages instead of chaining part N's tile build behind
     part N-1's output. Parts sharing (source, key mapping) additionally
     collapse into one estimator pass (see _merge_groups)."""
+    sources = _resolve_sources(left.sparkSession, sources)
     G.run_setups(left, join.setups)
     out = left
     for parts in _merge_groups(join, sources):
@@ -389,6 +404,7 @@ def materialize_join(
     from chronon_spark.operators.groupby import run_setups
     from chronon_spark.sources.tableio import backfill, resolve_table
 
+    sources = _resolve_sources(spark, sources)
     run_setups(left, join.setups)
     tc = join.time_column
     left_ds = left.withColumn("ds", F.date_format(F.col(tc), "yyyy-MM-dd"))

@@ -199,3 +199,31 @@ def test_scan_sources_unions_by_name(spark, events):
             spark,
             [EntitySource(snapshot_table=snaps, mutation_table=muts, query=Query())],
         )
+
+
+def test_compute_join_accepts_declarative_sources(spark, events):
+    """compute_join's sources dict accepts EventSource values directly —
+    the declarative authoring flow end-to-end."""
+    from chronon_spark.api import Join, JoinPart
+    from chronon_spark.operators.join import compute_join
+
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.SUM, "value", windows=(Window(7, TimeUnit.DAYS),))],
+    )
+    left = events.where("event_type = 'purchase'").select("user_id", "ts").distinct()
+    j = Join(name="dj", left_keys=["user_id"], join_parts=[JoinPart(group_by=gb)])
+    declared = compute_join(
+        left,
+        {"g": EventSource(table=events, query=Query(
+            selects={"user_id": "user_id", "value": "value", "ts": "ts"}))},
+        j,
+        tiebreak=None,
+    )
+    direct = compute_join(
+        left, {"g": events.select("user_id", "value", "ts")}, j, tiebreak=None
+    )
+    a = sorted(map(str, declared.collect()))
+    b = sorted(map(str, direct.collect()))
+    assert a == b
