@@ -298,11 +298,27 @@ def fetch_join(
         q = requests.select(
             *[F.col(lk).alias(rk) for lk, rk in zip(lkeys, gb.keys)], F.col(tc)
         ).dropDuplicates()
-        collapsed, tail = batch[gb.name]
-        feat = fetch_features(
-            q, collapsed, tail, streams[gb.name], gb, batch_end_ds,
-            horizon_ms=horizon_ms, left_time_column=tc, tiebreak=tiebreak,
-        )
+        if gb.aggregations is None:
+            # selection part: online the fetcher serves the LATEST uploaded
+            # entity snapshot's non-key fields to every request (reference
+            # FetcherBase entity GroupBys — no time engine, latest batch
+            # value wins). ``batch`` maps the part to that snapshot frame.
+            snap = batch[gb.name]
+            if isinstance(snap, tuple):
+                raise TypeError(
+                    f"selection part '{gb.name}' expects a snapshot frame in "
+                    "batch, not an IR pair"
+                )
+            fields = [
+                c for c in snap.columns if c not in (*gb.keys, "ds", gb.time_column)
+            ]
+            feat = q.join(snap.select(*gb.keys, *fields), gb.keys, "left")
+        else:
+            collapsed, tail = batch[gb.name]
+            feat = fetch_features(
+                q, collapsed, tail, streams[gb.name], gb, batch_end_ds,
+                horizon_ms=horizon_ms, left_time_column=tc, tiebreak=tiebreak,
+            )
         prefix = part.full_prefix()
         for c in feat.columns:
             if c not in (*gb.keys, tc):

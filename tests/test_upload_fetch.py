@@ -197,3 +197,48 @@ def test_fetch_join_equals_compute_join(spark, events, split):
     ]
     assert _rows(got.select(*cols), cols) == _rows(want.select(*cols), cols)
     assert got.count() == left.count()
+
+
+def test_fetch_join_serves_selection_parts(spark, events, split):
+    """A no-aggregation (selection) part in a served join reads the latest
+    uploaded entity snapshot's fields (reference FetcherBase entity
+    GroupBys). With requests one day after the uploaded snapshot's ds, the
+    online serve equals the offline previous-day join exactly."""
+    from chronon_spark.api import Join, JoinPart
+    from chronon_spark.operators.join import compute_join
+    from chronon_spark.operators.upload import fetch_join
+
+    batch, stream, requests, batch_end_ds = split
+    snap = (
+        events.select("user_id").distinct()
+        .withColumn("tier", F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")))
+        .withColumn("ds", F.lit(batch_end_ds))
+    )
+    gb_user = GroupBy(
+        name="user_stats",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(W7D,))],
+    )
+    gb_sel = GroupBy(name="users", keys=["user_id"], aggregations=None)
+    j = Join(
+        name="serve_sel",
+        left_keys=["user_id"],
+        join_parts=[JoinPart(group_by=gb_user), JoinPart(group_by=gb_sel)],
+    )
+    got = fetch_join(
+        requests,
+        {
+            "user_stats": upload_batch_irs(batch, gb_user, batch_end_ds, tiebreak="event_id"),
+            "users": snap,
+        },
+        {"user_stats": stream},
+        j,
+        batch_end_ds,
+        tiebreak="event_id",
+    )
+    want = compute_join(
+        requests, {"user_stats": events, "users": snap}, j, tiebreak="event_id"
+    )
+    cols = ["user_id", "ts", "user_stats_value_count_7d", "users_tier"]
+    assert _rows(got.select(*cols), cols) == _rows(want.select(*cols), cols)
+    assert got.where(F.col("users_tier").isNull()).count() == 0
