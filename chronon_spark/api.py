@@ -345,6 +345,12 @@ class Join:
     time_column: str = "ts"
     derivations: dict[str, str] = field(default_factory=dict)
     setups: list[str] = field(default_factory=list)
+    # declared hot keys to EXCLUDE from the backfill, keyed by LEFT column
+    # name (reference Join.skewKeys, api.thrift:304-336; exclusion SQL
+    # Extensions.scala:950-1000): the left scan drops those rows and every
+    # part's source drops the mapped right-key rows, so a pathological key
+    # can't straggle the whole job
+    skew_keys: dict[str, list] = field(default_factory=dict)
     # online-only feature slots, realized offline via bootstrap + null padding
     # (reference Join.onlineExternalParts, api.thrift:304-336)
     external_parts: list[ExternalPart] = field(default_factory=list)

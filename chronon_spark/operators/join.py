@@ -240,6 +240,37 @@ def _compute_merged_parts(
     return feat
 
 
+def _apply_skew_keys(left: DataFrame, sources: dict, join: Join):
+    """Declared skew-key exclusion, both sides (reference JoinUtils.scala:
+    62-68 left filter; Extensions.scala:950-1000 right-side filter): drop
+    the hot keys' rows from the left AND from every part source whose key
+    mapping touches an excluded left column."""
+    from chronon_spark.operators.skew import filter_skew_keys
+
+    if not join.skew_keys:
+        return left, sources
+    left = filter_skew_keys(left, join.skew_keys)
+    out: dict = dict(sources)
+    for part in join.join_parts:
+        gb = part.group_by
+        mapped = {
+            part.key_mapping.get(lk, lk): vals
+            for lk, vals in join.skew_keys.items()
+            if part.key_mapping.get(lk, lk) in gb.keys
+        }
+        if not mapped:
+            continue
+        src = out[gb.name]
+        if isinstance(src, dict):
+            src = {k: filter_skew_keys(v, mapped) for k, v in src.items()}
+        elif isinstance(src, (tuple, list)):
+            src = tuple(filter_skew_keys(f, mapped) for f in src)
+        else:
+            src = filter_skew_keys(src, mapped)
+        out[gb.name] = src
+    return left, out
+
+
 def _resolve_sources(spark, sources: dict) -> dict:
     """Accept declarative EventSource/EntitySource values alongside raw
     DataFrames (and CDC (snapshots, mutations) pairs): declarative sources
@@ -271,6 +302,7 @@ def compute_join(
     part N-1's output. Parts sharing (source, key mapping) additionally
     collapse into one estimator pass (see _merge_groups)."""
     sources = _resolve_sources(left.sparkSession, sources)
+    left, sources = _apply_skew_keys(left, sources, join)
     G.run_setups(left, join.setups)
     out = left
     for parts in _merge_groups(join, sources):
@@ -356,6 +388,8 @@ def join_semantic_hash(join: Join) -> str:
         [
             join.name,
             join.time_column,
+            # excluded keys change the computed rows -> must invalidate
+            *sorted(f"skew:{c}={sorted(map(str, v))}" for c, v in join.skew_keys.items()),
             *join.setups,
             *sorted(f"{n}={e}" for n, e in join.derivations.items()),
             *[
@@ -405,6 +439,7 @@ def materialize_join(
     from chronon_spark.sources.tableio import backfill, resolve_table
 
     sources = _resolve_sources(spark, sources)
+    left, sources = _apply_skew_keys(left, sources, join)
     run_setups(left, join.setups)
     tc = join.time_column
     left_ds = left.withColumn("ds", F.date_format(F.col(tc), "yyyy-MM-dd"))

@@ -236,3 +236,43 @@ def test_compute_join_groups_by_key_mapping(spark, events, monkeypatch):
     out = J.compute_join(left, {"gu": events, "gt": events}, j, tiebreak="event_id")
     out.collect()
     assert len(calls) == 2
+
+
+def test_join_skew_key_exclusion_both_sides(spark, events):
+    """Join.skew_keys drops the declared hot keys from the LEFT and from
+    every part source whose key mapping touches them (reference
+    JoinUtils.scala:62-68; Extensions.scala:950-1000), and the exclusion
+    feeds the join semantic hash (changed keys must invalidate)."""
+    from chronon_spark.api import Aggregation, GroupBy, Join, JoinPart, Op, TimeUnit, Window
+    from chronon_spark.operators.join import compute_join, join_semantic_hash
+
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(7, TimeUnit.DAYS),))],
+    )
+    left = events.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("uid"), "ts"
+    ).distinct()
+    hot = left.select("uid").first()["uid"]
+    j = Join(
+        name="sk", left_keys=["uid"],
+        join_parts=[JoinPart(group_by=gb, key_mapping={"uid": "user_id"})],
+        skew_keys={"uid": [hot]},
+    )
+    out = compute_join(left, {"g": events}, j, tiebreak="event_id")
+    assert out.where(F.col("uid") == hot).count() == 0
+    assert out.count() == left.where(F.col("uid") != hot).count()
+    # right side pruned too: identical to joining pre-filtered inputs
+    j_plain = Join(
+        name="sk", left_keys=["uid"],
+        join_parts=[JoinPart(group_by=gb, key_mapping={"uid": "user_id"})],
+    )
+    want = compute_join(
+        left.where(F.col("uid") != hot),
+        {"g": events.where(F.col("user_id") != hot)},
+        j_plain,
+        tiebreak="event_id",
+    )
+    assert sorted(map(str, out.collect())) == sorted(map(str, want.collect()))
+    assert join_semantic_hash(j) != join_semantic_hash(j_plain)
