@@ -256,6 +256,11 @@ class Query:
     time_column: str = "ts"
     setups: list[str] = field(default_factory=list)
     partition_column: str = "ds"
+    # CDC bookkeeping column names on the mutation table (api.thrift:15-16);
+    # scanning normalizes them to the engine's standard mutation_ts /
+    # is_before names
+    mutation_time_column: str = "mutation_ts"
+    reversal_column: str = "is_before"
 
 
 @dataclass

@@ -73,10 +73,16 @@ def scan_source(spark: SparkSession, source):
         )
         if source.mutation_table is None:
             return snaps
+        muts = _resolve(spark, source.mutation_table)
+        # normalize declared CDC column names to the engine's standard ones
+        # BEFORE the query runs (selects/wheres refer to raw names; the
+        # engine consumes mutation_ts / is_before)
+        if q.mutation_time_column != "mutation_ts":
+            muts = muts.withColumnRenamed(q.mutation_time_column, "mutation_ts")
+        if q.reversal_column != "is_before":
+            muts = muts.withColumnRenamed(q.reversal_column, "is_before")
         muts = _apply_query(
-            _resolve(spark, source.mutation_table),
-            q,
-            keep=(q.partition_column, "mutation_ts", "is_before"),
+            muts, q, keep=(q.partition_column, "mutation_ts", "is_before")
         )
         return (snaps, muts)
     raise TypeError(f"unknown source type: {type(source).__name__}")

@@ -227,3 +227,25 @@ def test_compute_join_accepts_declarative_sources(spark, events):
     a = sorted(map(str, declared.collect()))
     b = sorted(map(str, direct.collect()))
     assert a == b
+
+
+def test_custom_cdc_column_names_normalized(spark):
+    """Query.mutation_time_column / reversal_column (api.thrift:15-16) are
+    renamed to the engine's standard mutation_ts / is_before at scan time."""
+    snaps = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0, 1704067200000)],
+        "user_id long, ds string, balance double, ts long",
+    )
+    muts = spark.createDataFrame(
+        [(1, "2024-01-02", 10.0, 1704153600000, 1704153600000, True)],
+        "user_id long, ds string, balance double, ts long, "
+        "changed_at long, is_prior boolean",
+    )
+    src = EntitySource(
+        snapshot_table=snaps,
+        mutation_table=muts,
+        query=Query(mutation_time_column="changed_at", reversal_column="is_prior"),
+    )
+    s, m = scan_source(spark, src)
+    assert {"mutation_ts", "is_before"} <= set(m.columns)
+    assert "changed_at" not in m.columns and "is_prior" not in m.columns
