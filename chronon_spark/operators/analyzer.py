@@ -296,7 +296,12 @@ def validate_join(
 ) -> list[ValidationError]:
     """Pre-flight checks for a whole Join: left schema (keys + time column),
     per-part key mapping sanity, every part's GroupBy against its own source,
-    and cross-part output-name collisions. Schema-only unless ``check_data``."""
+    and cross-part output-name collisions. Schema-only unless ``check_data``.
+    ``sources`` values may be DataFrames, CDC (snapshots, mutations) pairs,
+    or declarative EventSource/EntitySource objects."""
+    from chronon_spark.operators.join import _resolve_sources
+
+    sources = _resolve_sources(left.sparkSession, sources)
     errs: list[ValidationError] = []
     lf = {f.name: f.dataType for f in left.schema.fields}
 
@@ -390,8 +395,9 @@ def analyze_join(
     """Join-level dry run: validation gate over left + every part, exact
     output schema (planned against empty slices — no data pass), and hot-key
     detection aggregated across the left and every part source."""
-    from chronon_spark.operators.join import compute_join
+    from chronon_spark.operators.join import _resolve_sources, compute_join
 
+    sources = _resolve_sources(left.sparkSession, sources)
     errors = validate_join(left, sources, join, check_data=False)
     if errors:
         return JoinAnalysis([], {}, [], errors)

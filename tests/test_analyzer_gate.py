@@ -281,3 +281,34 @@ def test_analyze_join_schema_and_hot_keys(spark, events):
     # threshold=1: every key is "hot"; left + both parts contribute rows
     origins = {h[0] for h in res.hot_keys}
     assert {"left", "g", "p_g2"} <= origins
+
+
+def test_analyzer_accepts_declarative_sources(spark, events):
+    from chronon_spark.api import EntitySource, EventSource
+    from chronon_spark.api import Query as Q
+    from chronon_spark.operators.analyzer import analyze_join, validate_join
+
+    src_ev = EventSource(
+        table=events,
+        query=Q(selects={"user_id": "user_id", "value": "value", "ts": "ts"}),
+    )
+    src_cdc = EntitySource(
+        snapshot_table=_snapshots(spark), mutation_table=_mutations(spark), query=Q()
+    )
+    from chronon_spark.api import Accuracy, Join, JoinPart
+
+    cdc = GroupBy(
+        name="acct", keys=["user_id"],
+        aggregations=[Aggregation(Op.SUM, "balance", windows=(Window(7, TimeUnit.DAYS),))],
+        accuracy=Accuracy.TEMPORAL,
+    )
+    j = Join(
+        name="decl", left_keys=["user_id"],
+        join_parts=[_part(), JoinPart(group_by=cdc)],
+    )
+    sources = {"g": src_ev, "acct": src_cdc}
+    assert validate_join(_left(events), sources, j) == []
+    res = analyze_join(_left(events), sources, j, hot_key_threshold=1)
+    assert res.errors == []
+    names = [n for n, _ in res.output_schema]
+    assert "g_value_sum_7d" in names and "acct_balance_sum_7d" in names
