@@ -105,6 +105,14 @@ def validate_group_by(
         # no-aggregation selection part: features are the snapshot's non-key
         # fields served from the previous day's 'ds' partition — no time
         # engine, so the only extra requirement is the partition column
+        if mutations is not None:
+            errs.append(
+                ValidationError(
+                    "selection_with_mutations", gb.name,
+                    "selection GroupBy (aggregations=None) cannot consume a "
+                    "mutation source — it serves snapshot fields only",
+                )
+            )
         if "ds" not in fields:
             errs.append(
                 ValidationError(
@@ -298,10 +306,11 @@ def validate_join(
     per-part key mapping sanity, every part's GroupBy against its own source,
     and cross-part output-name collisions. Schema-only unless ``check_data``.
     ``sources`` values may be DataFrames, CDC (snapshots, mutations) pairs,
-    or declarative EventSource/EntitySource objects."""
+    or declarative EventSource/EntitySource objects (resolved schema-only
+    unless ``check_data`` — the gate itself must not launch jobs)."""
     from chronon_spark.operators.join import _resolve_sources
 
-    sources = _resolve_sources(left.sparkSession, sources)
+    sources = _resolve_sources(left.sparkSession, sources, schema_only=not check_data)
     errs: list[ValidationError] = []
     lf = {f.name: f.dataType for f in left.schema.fields}
 
@@ -357,6 +366,16 @@ def validate_join(
         if gb.aggregations is None:
             # selection part: outputs are the snapshot's non-key fields
             src = sources[gb.name]
+            if isinstance(src, (tuple, list, dict)):
+                errs.append(
+                    ValidationError(
+                        "selection_with_mutations", gb.name,
+                        f"part '{label}' has aggregations=None but a CDC "
+                        "(snapshots, mutations) source — selection parts "
+                        "serve snapshot fields only",
+                    )
+                )
+                continue
             part_outputs = [
                 c
                 for c in src.columns

@@ -58,6 +58,12 @@ def compute_join_part(
         F.col(left_time_column),
     ).dropDuplicates([*gb.keys, left_time_column])
     if gb.aggregations is None:
+        if isinstance(events, (tuple, list, dict)):
+            raise ValueError(
+                f"selection part '{gb.name}' (aggregations=None) cannot "
+                "consume a CDC (snapshots, mutations) source — it serves "
+                "snapshot fields only"
+            )
         # no-aggregation selection part (reference quickstart users:
         # GroupBy(aggregations=None) over an EntitySource): the snapshot's
         # non-key fields ARE the features, served from the PREVIOUS day's
@@ -240,47 +246,46 @@ def _compute_merged_parts(
     return feat
 
 
-def _apply_skew_keys(left: DataFrame, sources: dict, join: Join):
-    """Declared skew-key exclusion, both sides (reference JoinUtils.scala:
-    62-68 left filter; Extensions.scala:950-1000 right-side filter): drop
-    the hot keys' rows from the left AND from every part source whose key
-    mapping touches an excluded left column."""
+def _part_skew_keys(part: JoinPart, skew_keys: dict[str, list]) -> dict[str, list]:
+    """The skew exclusion mapped onto THIS part's right-key names. Applied
+    per part (reference Extensions.scala:950-1000), never onto a shared
+    sources entry — two parts reusing one GroupBy with different key
+    mappings must not contaminate each other's scans."""
+    gb = part.group_by
+    return {
+        part.key_mapping.get(lk, lk): vals
+        for lk, vals in skew_keys.items()
+        if part.key_mapping.get(lk, lk) in gb.keys
+    }
+
+
+def _skew_filter_source(events, mapped: dict[str, list]):
+    """Apply a mapped skew exclusion to one part's source (frame, CDC pair,
+    or dict)."""
     from chronon_spark.operators.skew import filter_skew_keys
 
-    if not join.skew_keys:
-        return left, sources
-    left = filter_skew_keys(left, join.skew_keys)
-    out: dict = dict(sources)
-    for part in join.join_parts:
-        gb = part.group_by
-        mapped = {
-            part.key_mapping.get(lk, lk): vals
-            for lk, vals in join.skew_keys.items()
-            if part.key_mapping.get(lk, lk) in gb.keys
-        }
-        if not mapped:
-            continue
-        src = out[gb.name]
-        if isinstance(src, dict):
-            src = {k: filter_skew_keys(v, mapped) for k, v in src.items()}
-        elif isinstance(src, (tuple, list)):
-            src = tuple(filter_skew_keys(f, mapped) for f in src)
-        else:
-            src = filter_skew_keys(src, mapped)
-        out[gb.name] = src
-    return left, out
+    if not mapped:
+        return events
+    if isinstance(events, dict):
+        return {k: filter_skew_keys(v, mapped) for k, v in events.items()}
+    if isinstance(events, (tuple, list)):
+        return tuple(filter_skew_keys(f, mapped) for f in events)
+    return filter_skew_keys(events, mapped)
 
 
-def _resolve_sources(spark, sources: dict) -> dict:
+def _resolve_sources(spark, sources: dict, schema_only: bool = False) -> dict:
     """Accept declarative EventSource/EntitySource values alongside raw
     DataFrames (and CDC (snapshots, mutations) pairs): declarative sources
     are compiled through sources/scan.py once, up front, so the rest of the
-    orchestration sees only frames."""
+    orchestration sees only frames. ``schema_only`` is for validation/dry-run
+    callers — no job may run during resolution (see scan_source)."""
     from chronon_spark.api import EntitySource, EventSource
     from chronon_spark.sources.scan import scan_source
 
     return {
-        n: scan_source(spark, s) if isinstance(s, (EventSource, EntitySource)) else s
+        n: scan_source(spark, s, schema_only=schema_only)
+        if isinstance(s, (EventSource, EntitySource))
+        else s
         for n, s in sources.items()
     }
 
@@ -301,12 +306,22 @@ def compute_join(
     overlaps their stages instead of chaining part N's tile build behind
     part N-1's output. Parts sharing (source, key mapping) additionally
     collapse into one estimator pass (see _merge_groups)."""
+    from chronon_spark.operators.skew import filter_skew_keys
+
     sources = _resolve_sources(left.sparkSession, sources)
-    left, sources = _apply_skew_keys(left, sources, join)
+    if join.skew_keys:
+        # declared hot keys excluded from the left (JoinUtils.scala:62-68);
+        # each part's source is filtered per-part below
+        left = filter_skew_keys(left, join.skew_keys)
     G.run_setups(left, join.setups)
     out = left
     for parts in _merge_groups(join, sources):
-        events = sources[parts[0].group_by.name]
+        # parts in one merge group share their key mapping, so the mapped
+        # exclusion is identical across the group
+        events = _skew_filter_source(
+            sources[parts[0].group_by.name],
+            _part_skew_keys(parts[0], join.skew_keys),
+        )
         if len(parts) == 1:
             part = parts[0]
             feat = compute_join_part(
@@ -438,8 +453,11 @@ def materialize_join(
     from chronon_spark.operators.groupby import run_setups
     from chronon_spark.sources.tableio import backfill, resolve_table
 
+    from chronon_spark.operators.skew import filter_skew_keys
+
     sources = _resolve_sources(spark, sources)
-    left, sources = _apply_skew_keys(left, sources, join)
+    if join.skew_keys:
+        left = filter_skew_keys(left, join.skew_keys)
     run_setups(left, join.setups)
     tc = join.time_column
     left_ds = left.withColumn("ds", F.date_format(F.col(tc), "yyyy-MM-dd"))
@@ -448,7 +466,8 @@ def materialize_join(
     for part in join.join_parts:
         prefix = part.full_prefix()
         table = resolve_table(spark, out_root, f"{join.name}_{prefix}")
-        events = sources[part.group_by.name]
+        mapped_skew = _part_skew_keys(part, join.skew_keys)
+        events = _skew_filter_source(sources[part.group_by.name], mapped_skew)
 
         def compute_range(s, lo, hi, part=part, events=events):
             sliver = left_ds.where(F.col("ds").between(lo, hi))
@@ -460,13 +479,21 @@ def materialize_join(
                 q.drop("ds"), ev, part, tc, tiebreak, strategy
             ).join(q.select(*part.left_keys(), tc, "ds"), [*part.left_keys(), tc])
 
+        # the part checkpoint must invalidate when its skew exclusion
+        # changes — rows computed under a different exclusion are stale
+        part_hash = part.group_by.semantic_hash()
+        if mapped_skew:
+            skew_tag = sorted(
+                f"{c}={sorted(map(str, v))}" for c, v in mapped_skew.items()
+            )
+            part_hash = f"{part_hash}|skew:{skew_tag}"
         backfill(
             spark,
             table,
             compute_range,
             start_ds,
             end_ds,
-            semantic_hash=part.group_by.semantic_hash(),
+            semantic_hash=part_hash,
             step_days=step_days,
         )
         part_tables[prefix] = table

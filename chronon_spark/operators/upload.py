@@ -309,8 +309,15 @@ def fetch_join(
                     f"selection part '{gb.name}' expects a snapshot frame in "
                     "batch, not an IR pair"
                 )
+            if "ds" in snap.columns:
+                # multi-day snapshot tables reduce to the latest partition at
+                # or before batch end — without this, every request row would
+                # duplicate once per ds partition
+                from chronon_spark.sources.tableio import cumulative_latest
+
+                snap = cumulative_latest(snap, ds_col="ds", end_ds=batch_end_ds)
             fields = [
-                c for c in snap.columns if c not in (*gb.keys, "ds", gb.time_column)
+                c for c in snap.columns if c not in (*gb.keys, gb.time_column)
             ]
             feat = q.join(snap.select(*gb.keys, *fields), gb.keys, "left")
         else:

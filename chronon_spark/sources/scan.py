@@ -8,6 +8,12 @@ Catalyst sees the predicates and projections natively (predicate pushdown and
 column pruning reach the parquet scan — check ``PushedFilters``/``ReadSchema``
 in ``.explain``). Cumulative event tables collapse to their latest valid
 partition before any row work (GroupBy.scala:576-580).
+
+Column normalization (the reference hardcodes standard names,
+Constants.scala:22): the declared ``time_column`` is renamed to ``ts``, the
+declared ``partition_column`` to ``ds``, and CDC bookkeeping columns to
+``mutation_ts`` / ``is_before`` — so GroupBys over scanned sources use the
+engine defaults. selects/wheres run FIRST and refer to the raw column names.
 """
 
 from __future__ import annotations
@@ -25,9 +31,10 @@ def _resolve(spark: SparkSession, table) -> DataFrame:
 
 
 def _apply_query(df: DataFrame, q: Query, keep: tuple[str, ...] = ()) -> DataFrame:
-    """wheres -> partition bounds -> selects, in scan order. ``keep`` columns
-    (e.g. the partition column for snapshot serving) survive an explicit
-    select list without the user naming them."""
+    """setups -> partition bounds -> wheres -> selects, in scan order —
+    selects/wheres see the RAW column names. ``keep`` columns (e.g. the
+    partition column for snapshot serving) survive an explicit select list
+    without the user naming them."""
     if q.setups:
         from chronon_spark.operators.groupby import run_setups
 
@@ -46,17 +53,42 @@ def _apply_query(df: DataFrame, q: Query, keep: tuple[str, ...] = ()) -> DataFra
     return df
 
 
-def scan_source(spark: SparkSession, source):
+def _normalize_names(df: DataFrame, q: Query, time: bool = True) -> DataFrame:
+    """Rename the declared time/partition columns to the engine-standard
+    ``ts`` / ``ds`` (reference scan SQL renders ``(timeColumn) as ts``;
+    Constants.scala:22 hardcodes the names). No-ops when already standard,
+    absent (e.g. consumed by an explicit select list), or colliding."""
+    if time and q.time_column != "ts" and q.time_column in df.columns and "ts" not in df.columns:
+        df = df.withColumnRenamed(q.time_column, "ts")
+    pc = q.partition_column
+    if pc != "ds" and pc in df.columns and "ds" not in df.columns:
+        df = df.withColumnRenamed(pc, "ds")
+    return df
+
+
+def scan_source(spark: SparkSession, source, schema_only: bool = False):
     """EventSource -> DataFrame; EntitySource -> DataFrame (snapshot-only) or
     (snapshots, mutations) pair for the CDC temporal engine. The result is
-    exactly what ``compute_join``'s ``sources`` dict expects."""
+    exactly what ``compute_join``'s ``sources`` dict expects.
+
+    ``schema_only=True`` (validation / dry-run callers): produce a frame with
+    the post-scan SCHEMA without running any job — in particular the
+    cumulative latest-partition probe (an aggregation over non-partition-
+    backed sources) is replaced by a lazy drop of the partition column."""
     if isinstance(source, EventSource):
         df = _resolve(spark, source.table)
         q = source.query
         if source.is_cumulative:
-            from chronon_spark.sources.tableio import cumulative_latest
+            if schema_only:
+                if q.end_partition is not None and q.partition_column in df.columns:
+                    df = df.where(F.col(q.partition_column) <= q.end_partition)
+                df = df.drop(q.partition_column)
+            else:
+                from chronon_spark.sources.tableio import cumulative_latest
 
-            df = cumulative_latest(df, ds_col=q.partition_column, end_ds=q.end_partition)
+                df = cumulative_latest(
+                    df, ds_col=q.partition_column, end_ds=q.end_partition
+                )
             # partition bounds are consumed by the cumulative selection
             q = Query(
                 selects=q.selects,
@@ -65,26 +97,29 @@ def scan_source(spark: SparkSession, source):
                 setups=q.setups,
                 partition_column=q.partition_column,
             )
-        return _apply_query(df, q)
+        return _normalize_names(_apply_query(df, q), q)
     if isinstance(source, EntitySource):
         q = source.query
-        snaps = _apply_query(
-            _resolve(spark, source.snapshot_table), q, keep=(q.partition_column,)
+        snaps = _normalize_names(
+            _apply_query(
+                _resolve(spark, source.snapshot_table), q, keep=(q.partition_column,)
+            ),
+            q,
         )
         if source.mutation_table is None:
             return snaps
-        muts = _resolve(spark, source.mutation_table)
-        # normalize declared CDC column names to the engine's standard ones
-        # BEFORE the query runs (selects/wheres refer to raw names; the
-        # engine consumes mutation_ts / is_before)
-        if q.mutation_time_column != "mutation_ts":
-            muts = muts.withColumnRenamed(q.mutation_time_column, "mutation_ts")
-        if q.reversal_column != "is_before":
-            muts = muts.withColumnRenamed(q.reversal_column, "is_before")
+        # selects/wheres run against the RAW names; the engine-standard CDC
+        # names (mutation_ts / is_before) are applied after, like ts/ds
         muts = _apply_query(
-            muts, q, keep=(q.partition_column, "mutation_ts", "is_before")
+            _resolve(spark, source.mutation_table),
+            q,
+            keep=(q.partition_column, q.mutation_time_column, q.reversal_column),
         )
-        return (snaps, muts)
+        if q.mutation_time_column != "mutation_ts" and q.mutation_time_column in muts.columns:
+            muts = muts.withColumnRenamed(q.mutation_time_column, "mutation_ts")
+        if q.reversal_column != "is_before" and q.reversal_column in muts.columns:
+            muts = muts.withColumnRenamed(q.reversal_column, "is_before")
+        return (snaps, _normalize_names(muts, q))
     raise TypeError(f"unknown source type: {type(source).__name__}")
 
 

@@ -109,3 +109,37 @@ def test_materialize_join_resumes_from_partitions(spark, events, tmp_path):
     )
     sample = parts2["user_stats"].read(spark)
     assert "user_stats_value_count_1d" in sample.columns
+
+
+def test_part_checkpoint_invalidates_on_skew_key_change(spark, events, tmp_path):
+    """Changing Join.skew_keys must recompute part tables: rows computed
+    under a different exclusion are stale even though the GroupBy itself is
+    unchanged (the part checkpoint hash carries the mapped exclusion)."""
+    from chronon_spark.api import Aggregation, GroupBy, Join, JoinPart, Op, TimeUnit, Window
+    from chronon_spark.operators.join import materialize_join
+
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(7, TimeUnit.DAYS),))],
+    )
+    left = events.where("event_type = 'purchase'").select("user_id", "ts").distinct()
+    hot = left.select("user_id").first()["user_id"]
+    root = str(tmp_path / "mj")
+
+    def run(skew):
+        j = Join(name="skj", left_keys=["user_id"],
+                 join_parts=[JoinPart(group_by=gb)], skew_keys=skew)
+        final, _ = materialize_join(
+            spark, left, {"g": events}, j, root, "2024-01-02", "2024-01-20",
+            tiebreak="event_id", step_days=30,
+        )
+        return final
+
+    run({"user_id": [hot]})
+    # with the exclusion, the hot user contributes no rows at all
+    final = run({})  # exclusion removed -> everything must recompute
+    out = final.read(spark)
+    hot_rows = out.where(F.col("user_id") == hot)
+    assert hot_rows.count() > 0
+    assert hot_rows.where(F.col("g_value_count_7d").isNotNull()).count() > 0

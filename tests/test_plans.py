@@ -276,3 +276,54 @@ def test_join_skew_key_exclusion_both_sides(spark, events):
     )
     assert sorted(map(str, out.collect())) == sorted(map(str, want.collect()))
     assert join_semantic_hash(j) != join_semantic_hash(j_plain)
+
+
+def test_shared_groupby_skew_filter_not_compounded(spark, events):
+    """Two parts reusing ONE GroupBy with different key mappings: excluding a
+    hot key through part A's mapping must not prune part B's scan (the
+    reference applies the right-side filter per part, Extensions.scala:
+    950-1000)."""
+    from chronon_spark.api import Aggregation, GroupBy, Join, JoinPart, Op, TimeUnit, Window
+    from chronon_spark.operators.join import compute_join
+
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(7, TimeUnit.DAYS),))],
+    )
+    base = events.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("uid"), "ts"
+    ).distinct()
+    hot = base.select("uid").first()["uid"]
+    # left carries TWO key columns mapping to the same right key; mid == uid
+    # except the hot uid maps to a different (innocent) mid
+    left = base.withColumn(
+        "mid", F.when(F.col("uid") == hot, F.lit(hot + 1)).otherwise(F.col("uid"))
+    )
+    j = Join(
+        name="shared", left_keys=["uid", "mid"],
+        join_parts=[
+            JoinPart(group_by=gb, key_mapping={"uid": "user_id"}),
+            JoinPart(group_by=gb, key_mapping={"mid": "user_id"}, prefix="m"),
+        ],
+        skew_keys={"uid": [hot]},
+    )
+    out = compute_join(left, {"g": events}, j, tiebreak="event_id")
+    # part B keyed on mid=hot+1 still sees user hot+1's events: its feature
+    # for rows where mid == hot+1 must equal the unfiltered solo join's value
+    solo = compute_join(
+        left.where(F.col("uid") != hot).select("mid", "ts").distinct(),
+        {"g": events},
+        Join(name="solo", left_keys=["mid"],
+             join_parts=[JoinPart(group_by=gb, key_mapping={"mid": "user_id"}, prefix="m")]),
+        tiebreak="event_id",
+    )
+    got = {
+        (r["mid"], str(r["ts"])): r["m_g_value_count_7d"]
+        for r in out.collect()
+    }
+    want = {
+        (r["mid"], str(r["ts"])): r["m_g_value_count_7d"]
+        for r in solo.collect()
+    }
+    assert got == want

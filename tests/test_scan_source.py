@@ -249,3 +249,84 @@ def test_custom_cdc_column_names_normalized(spark):
     s, m = scan_source(spark, src)
     assert {"mutation_ts", "is_before"} <= set(m.columns)
     assert "changed_at" not in m.columns and "is_prior" not in m.columns
+
+
+def test_scan_normalizes_time_and_partition_columns(spark, events):
+    """Declared time/partition columns rename to the engine-standard ts/ds
+    (the reference renders `(timeColumn) as ts`; Constants.scala:22)."""
+    raw = events.select(
+        "user_id", F.col("ts").alias("event_time"), F.col("value")
+    ).withColumn("date", F.date_format("event_time", "yyyy-MM-dd"))
+    out = scan_source(
+        spark,
+        EventSource(
+            table=raw,
+            query=Query(time_column="event_time", partition_column="date",
+                        start_partition="2024-01-05"),
+        ),
+    )
+    assert "ts" in out.columns and "ds" in out.columns
+    assert "event_time" not in out.columns and "date" not in out.columns
+    assert out.agg(F.min("ds")).first()[0] >= "2024-01-05"
+    # entity snapshots normalize the same way
+    snaps = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0, 1704067200000)],
+        "user_id long, date string, balance double, event_time long",
+    )
+    s = scan_source(
+        spark,
+        EntitySource(
+            snapshot_table=snaps,
+            query=Query(time_column="event_time", partition_column="date"),
+        ),
+    )
+    assert {"ts", "ds"} <= set(s.columns)
+
+
+def test_schema_only_resolution_runs_no_job(spark, events):
+    """Validation resolves declarative sources SCHEMA-ONLY: a cumulative
+    source over a frame that would error on execution must still validate
+    (no latest-partition job, no scan)."""
+    from chronon_spark.api import Join, JoinPart
+    from chronon_spark.operators.analyzer import validate_join
+
+    booby = (
+        events.withColumn("ds", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn(
+            "value",
+            F.when(F.lit(True), F.raise_error("must not execute")).otherwise(F.col("value")),
+        )
+    )
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(7, TimeUnit.DAYS),))],
+    )
+    j = Join(name="so", left_keys=["user_id"], join_parts=[JoinPart(group_by=gb)])
+    left = events.select("user_id", "ts")
+    src = EventSource(table=booby, query=Query(), is_cumulative=True)
+    assert validate_join(left, {"g": src}, j, check_data=False) == []
+
+
+def test_selection_part_with_cdc_source_structured_error(spark):
+    """aggregations=None + mutation source is a config error, surfaced as a
+    structured ValidationError (and a ValueError from the engine), never an
+    AttributeError crash."""
+    from chronon_spark.api import Join, JoinPart
+    from chronon_spark.operators.analyzer import validate_join
+    from chronon_spark.operators.join import compute_join_part
+
+    snaps = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0)], "user_id long, ds string, balance double"
+    )
+    muts = spark.createDataFrame(
+        [(1, "2024-01-02", 10.0, 0, True)],
+        "user_id long, ds string, balance double, mutation_ts long, is_before boolean",
+    )
+    sel = GroupBy(name="users", keys=["user_id"], aggregations=None)
+    j = Join(name="bad", left_keys=["user_id"], join_parts=[JoinPart(group_by=sel)])
+    left = spark.createDataFrame([(1, 1704240000000)], "user_id long, ts long")
+    errs = validate_join(left, {"users": (snaps, muts)}, j)
+    assert any(e.code == "selection_with_mutations" for e in errs)
+    with pytest.raises(ValueError, match="selection part"):
+        compute_join_part(left, (snaps, muts), JoinPart(group_by=sel))

@@ -242,3 +242,29 @@ def test_fetch_join_serves_selection_parts(spark, events, split):
     cols = ["user_id", "ts", "user_stats_value_count_7d", "users_tier"]
     assert _rows(got.select(*cols), cols) == _rows(want.select(*cols), cols)
     assert got.where(F.col("users_tier").isNull()).count() == 0
+
+
+def test_fetch_join_selection_uses_latest_snapshot_partition(spark, events, split):
+    """A multi-day snapshot table must reduce to the latest partition at or
+    before batch end — no per-partition row duplication, latest value wins."""
+    from chronon_spark.api import Join, JoinPart
+    from chronon_spark.operators.upload import fetch_join
+
+    batch, stream, requests, batch_end_ds = split
+    users = events.select("user_id").distinct()
+    snap = (
+        users.withColumn("tier", F.lit("old")).withColumn("ds", F.lit("2024-01-02"))
+        .unionByName(
+            users.withColumn("tier", F.lit("new")).withColumn("ds", F.lit(batch_end_ds))
+        )
+        .unionByName(  # future partition must be ignored
+            users.withColumn("tier", F.lit("future")).withColumn("ds", F.lit("2099-01-01"))
+        )
+    )
+    gb_sel = GroupBy(name="users", keys=["user_id"], aggregations=None)
+    j = Join(name="latest_sel", left_keys=["user_id"],
+             join_parts=[JoinPart(group_by=gb_sel)])
+    got = fetch_join(requests, {"users": snap}, {}, j, batch_end_ds)
+    assert got.count() == requests.count()  # no duplication
+    tiers = {r["users_tier"] for r in got.collect()}
+    assert tiers == {"new"}
