@@ -198,3 +198,20 @@ def test_cumulative_source_reads_latest_valid_partition(spark, tmp_table):
     assert cumulative_latest(df, end_ds="2024-01-06").count() == mid.count()
     with pytest.raises(ValueError):
         cumulative_latest(df, end_ds="2024-01-01")
+
+
+def test_cumulative_read_prunes_partitions_at_plan_time(spark, tmp_table):
+    """The latest-partition selection must reach PartitionFilters on the
+    scan (directory pruning), not a post-scan row filter over every
+    partition — the point of cumulative sources at 100TB."""
+    from chronon_spark.sources.tableio import read_cumulative
+
+    for ds in ("2024-01-02", "2024-01-05"):
+        insert_overwrite_partitions(
+            _mk(spark, "2024-01-01", ds).withColumn("ds", F.lit(ds)), tmp_table
+        )
+    out = read_cumulative(spark, tmp_table)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "2024-01-05" in seg
