@@ -316,3 +316,157 @@ def test_cdc_part_in_compute_join(spark, cdc):
     }
     for (ent, ts), v in rows.items():
         assert v == want[(ent, ts)], (ent, ts, v, want[(ent, ts)])
+
+
+# ---------------------------------------------------------------------------
+# seeded random CDC sweep: random insert/update/delete lifecycles vs a pure-
+# Python naive oracle (recompute over the rows alive at each query ts) —
+# independent of both the engine's snapshot/day decomposition AND the signed
+# Spark-SQL oracle above. Reference analog: MutationsTest randomized runs.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [5, 17, 99])
+def test_random_cdc_lifecycles_match_naive_oracle(spark, seed):
+    import random as _random
+
+    rng = _random.Random(seed)
+    base = 1_700_006_400_000  # mid-day anchor, fixed
+    day = 86_400_000
+
+    # version rows: (key, value, ets, birth_mts, death_mts|None)
+    versions = []
+    for k in ("a", "b", "c", "d"):
+        for _ in range(rng.randint(8, 20)):
+            ets = base + rng.randint(0, 12 * day)
+            cur_birth = ets  # insert lands at the row's event time
+            cur_val = round(rng.uniform(-10, 10), 2)
+            while rng.random() < 0.4:  # update chain: reversal + new version
+                upd = cur_birth + rng.randint(1, 3 * day)
+                versions.append((k, cur_val, ets, cur_birth, upd))
+                cur_val = round(rng.uniform(-10, 10), 2)
+                cur_birth = upd
+            death = (
+                cur_birth + rng.randint(1, 3 * day) if rng.random() < 0.25 else None
+            )
+            versions.append((k, cur_val, ets, cur_birth, death))
+
+    births = [(k, v, e, b, False) for k, v, e, b, d in versions]
+    deaths = [(k, v, e, d, True) for k, v, e, b, d in versions if d is not None]
+    mut_rows = [
+        (k, v, e, m, rev, _day_str(m)) for k, v, e, m, rev in births + deaths
+    ]
+    mutations = spark.createDataFrame(
+        mut_rows,
+        "user_id string, value double, ts long, mutation_ts long, "
+        "is_before boolean, ds string",
+    )
+    # snapshots: for EVERY day in range, the rows alive at end of day
+    lo_day = min(m for *_rest, m, _rev in [(r[0], r[1], r[2], r[3], r[4]) for r in births]) // day
+    hi_day = max(r[3] for r in mut_rows_keyed(versions)) // day + 1
+    snap_rows = []
+    for d0 in range(lo_day, hi_day + 1):
+        eod = (d0 + 1) * day
+        for k, v, e, b, dth in versions:
+            if b < eod and (dth is None or dth >= eod):
+                snap_rows.append((k, v, e, _day_str(d0 * day)))
+    snapshots = spark.createDataFrame(
+        snap_rows, "user_id string, value double, ts long, ds string"
+    )
+
+    # queries: random times + exact mutation-ts boundaries (strict <)
+    q_rows = set()
+    for _ in range(30):
+        k = rng.choice(("a", "b", "c", "d"))
+        q_rows.add((k, base + rng.randint(1, 13 * day)))
+    for k, v, e, b, dth in rng.sample(versions, min(8, len(versions))):
+        q_rows.add((k, b))  # boundary: birth NOT visible at its own mts
+        if dth is not None:
+            q_rows.add((k, dth))
+    queries = spark.createDataFrame(sorted(q_rows), "user_id string, ts long")
+
+    w7, w1, w6h = Window(7, TimeUnit.DAYS), Window(1, TimeUnit.DAYS), Window(6, TimeUnit.HOURS)
+    gb = GroupBy(
+        name="rmut",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(w7, w6h)),
+            Aggregation(Op.SUM, "value", windows=(w1,)),
+            Aggregation(Op.AVERAGE, "value", windows=(w7,)),
+            Aggregation(Op.VARIANCE, "value"),  # lifetime
+        ],
+    )
+    got = temporal_entities(queries, snapshots, mutations, gb, left_time_column="ts")
+
+    def tail(qts, w):
+        hop = w.tail_hop_millis()
+        return ((qts - w.millis) // hop) * hop
+
+    def naive(k, qts):
+        alive = [
+            (v, e)
+            for kk, v, e, b, dth in versions
+            if kk == k and b < qts and (dth is None or dth >= qts)
+        ]
+        def med(w):
+            if w is None:
+                return [v for v, e in alive]
+            return [v for v, e in alive if tail(qts, w) <= e < qts]
+        c7, c6h = len(med(w7)), len(med(w6h))
+        s1 = med(w1)
+        a7 = med(w7)
+        life = med(None)
+        mean = sum(life) / len(life) if life else None
+        return (
+            c7,
+            c6h,
+            round(sum(s1), 6) if s1 else None,
+            round(sum(a7) / len(a7), 6) if a7 else None,
+            round(sum((x - mean) ** 2 for x in life) / len(life), 6)
+            if life
+            else None,
+        )
+
+    out = {
+        (r["user_id"], r["ts"]): (
+            r["value_count_7d"],
+            r["value_count_6h"],
+            None if r["value_sum_1d"] is None else round(r["value_sum_1d"], 6),
+            None if r["value_average_7d"] is None else round(r["value_average_7d"], 6),
+            None if r["value_variance"] is None else round(r["value_variance"], 6),
+        )
+        for r in got.collect()
+    }
+    assert set(out) == q_rows
+    for (k, qts), got_vals in sorted(out.items()):
+        want = naive(k, qts)
+        for g, w_, name in zip(
+            got_vals, want, ("count7", "count6h", "sum1", "avg7", "var_life")
+        ):
+            if name == "sum1":
+                # signed-IR semantics (reference delete() too): an insert
+                # reversed inside the window leaves SUM = 0.0, which the
+                # set-based oracle can't distinguish from absence -> compare
+                # with None == 0.0
+                g2 = 0.0 if g is None else g
+                w2 = 0.0 if w_ is None else w_
+                assert abs(g2 - w2) < 1e-5, f"seed={seed} ({k},{qts}) {name}: {g} != {w_}"
+            elif g is None or w_ is None:
+                assert g == w_, f"seed={seed} ({k},{qts}) {name}: {g} != {w_}"
+            else:
+                assert abs(g - w_) < 1e-5, f"seed={seed} ({k},{qts}) {name}: {g} != {w_}"
+
+
+def _day_str(ms):
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(ms / 1000, _dt.timezone.utc).strftime("%Y-%m-%d")
+
+
+def mut_rows_keyed(versions):
+    out = []
+    for k, v, e, b, d in versions:
+        out.append((k, v, e, b))
+        if d is not None:
+            out.append((k, v, e, d))
+    return out
