@@ -1194,6 +1194,46 @@ GROUP BY q.user_id, q.ts_ms
 # registry
 # ---------------------------------------------------------------------------
 
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join.skewKeys (reference api.thrift:304-336; Extensions.scala:950-1000):
+    declared hot keys are EXCLUDED from the backfill — dropped from the left
+    and from every mapped part source — so one pathological key can't
+    straggle the job. Gated with users 1 and 7 excluded: their rows must be
+    absent and everyone else's features unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    gb = GroupBy(
+        name="user_stats",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(W7D,))],
+    )
+    j = Join(
+        name="skew",
+        left_keys=["user_id"],
+        join_parts=[JoinPart(group_by=gb)],
+        skew_keys={"user_id": [1, 7]},
+    )
+    out = compute_join(_purchase_left(ev), {"user_stats": ev}, j, tiebreak="event_id")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("user_stats_value_count_7d"),
+    )
+
+
+SQL_SKEW_JOIN = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events
+  WHERE event_type = 'purchase' AND user_id NOT IN (1, 7)
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value FROM events WHERE user_id NOT IN (1, 7)
+)
+SELECT q.user_id, q.ts_ms,
+       count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS user_stats_value_count_7d
+FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
+GROUP BY 1, 2
+"""
+
+
 def q_cumulative_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative event source (reference EventSource.isCumulative,
     api/thrift/api.thrift:70; scan collapse GroupBy.scala:576-580): each ds
@@ -1256,6 +1296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "external_parts": q_external_parts,
     "join_chain": q_join_chain,
     "cumulative_source": q_cumulative_source,
+    "skew_join": q_skew_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -1286,6 +1327,7 @@ ORACLES: dict[str, str] = {
     "external_parts": SQL_EXTERNAL_PARTS,
     "join_chain": SQL_JOIN_CHAIN,
     "cumulative_source": SQL_CUMULATIVE_SOURCE,
+    "skew_join": SQL_SKEW_JOIN,
 }
 
 
