@@ -112,6 +112,11 @@ class Aggregation:
     k: int | None = None
     percentiles: tuple[float, ...] | None = None
     lg_k: int = 8  # approx_unique_count sketch size knob (rsd mapping)
+    # APPROX_PERCENTILE only: sketch accuracy (reference KLL `k` arg,
+    # SimpleAggregators.scala:654-694). None = engine default (10000).
+    # At Int.MaxValue the sketch is lossless and the op returns the exact
+    # discrete quantile element — the oracle-gating parameterization.
+    accuracy: int | None = None
     # APPROX_HISTOGRAM_K only: Misra-Gries cap on per-(keys, tile) IR rows in
     # the tiled plan (reference ItemsSketch size, SimpleAggregators.scala:
     # 458-600). None = exact counts (unbounded tile state, truncate-at-end).
@@ -210,6 +215,7 @@ class GroupBy:
                         # invalidate materialized partitions too
                         "lg_k": a.lg_k,
                         "mg_cap": a.mg_cap,
+                        "accuracy": a.accuracy,
                     }
                     for a in self.aggregations or []
                 ],

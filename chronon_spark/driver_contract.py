@@ -2201,6 +2201,54 @@ QUERIES["approx_ops"] = q_approx_ops
 # intentionally no oracle: sketch outputs differ across engines
 
 
+def q_approx_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_PERCENTILE through the real GroupBy surface at LOSSLESS
+    parameterization (accuracy = Int.MaxValue): the quantile sketch
+    (reference KLL, SimpleAggregators.scala:654-694) degrades to the exact
+    discrete quantile, so the full as-of pipeline hash-matches DuckDB's
+    quantile_disc — the same exact-parameterization trick as mg_histogram
+    and ivf_knn. Array output projected to scalars for the harness."""
+    ev = _t(spark, sf_dir, "events")
+    gb = GroupBy(
+        name="apx",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(
+                Op.APPROX_PERCENTILE,
+                "value",
+                windows=(W7D,),
+                percentiles=(0.5, 0.9),
+                accuracy=2147483647,
+            )
+        ],
+    )
+    out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id")
+    pct = F.col("value_approx_percentile_7d")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        _r(pct[0], 4).alias("p50"),
+        _r(pct[1], 4).alias("p90"),
+    )
+
+
+SQL_APPROX_PERCENTILE_EXACT = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value FROM events
+)
+SELECT q.user_id, q.ts_ms,
+       round(CAST(quantile_disc(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END, 0.5) AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_disc(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END, 0.9) AS DOUBLE), 4) AS p90
+FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
+GROUP BY 1, 2
+"""
+
+QUERIES["approx_percentile_exact"] = q_approx_percentile_exact
+ORACLES["approx_percentile_exact"] = SQL_APPROX_PERCENTILE_EXACT
+
+
 def q_mg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROX_HISTOGRAM_K through the Misra-Gries-compressed sliding-tile
     plan (reference ItemsSketch hybrid, SimpleAggregators.scala:458-600).

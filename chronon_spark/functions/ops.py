@@ -90,7 +90,7 @@ def direct_agg(
         arr = F.array(*[F.lit(p) for p in ps])
         if op == Op.PERCENTILE:
             return F.percentile(value, arr)
-        return F.percentile_approx(value, arr, 10000)
+        return F.percentile_approx(value, arr, agg.accuracy or 10000)
     # time-ordered ops: order key = (ts, tiebreak) for determinism
     ordk = F.struct(ts.alias("t"), (tiebreak if tiebreak is not None else F.lit(0)).alias("tb"))
     ordk = F.when(value.isNotNull() & ts.isNotNull(), ordk)
