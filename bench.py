@@ -112,6 +112,9 @@ def main() -> None:
             finally:
                 # queries may persist intermediates (e.g. the prepared
                 # transcript frame); drop them so no run warms another
+                from chronon_spark.plans.cache import release_plan_caches
+
+                release_plan_caches()  # also empties the plan-cache registry
                 spark.catalog.clearCache()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)

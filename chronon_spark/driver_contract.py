@@ -2436,3 +2436,23 @@ GROUP BY q.user_id, q.ts_ms
 
 QUERIES["cdc_join_part"] = q_cdc_join_part
 ORACLES["cdc_join_part"] = SQL_CDC_JOIN_PART
+
+
+def _release_before(fn):
+    """Each driver query starts by releasing the previous query's estimator-
+    internal cached frames (plans/cache registry): the harness runs dozens of
+    queries in one session, and dead cache blocks from completed plans would
+    otherwise accumulate for the session's lifetime."""
+
+    def wrapped(spark, sf_dir, _fn=fn):
+        from chronon_spark.plans.cache import release_plan_caches
+
+        release_plan_caches()
+        return _fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "q")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+QUERIES = {n: _release_before(f) for n, f in QUERIES.items()}

@@ -23,28 +23,6 @@ from pyspark.sql import functions as F
 
 from chronon_spark.api import Aggregation, Op
 
-# ops whose output is a deterministic scalar computable in one agg expression
-DIRECT_OPS = {
-    Op.COUNT,
-    Op.SUM,
-    Op.AVERAGE,
-    Op.VARIANCE,
-    Op.SKEW,
-    Op.KURTOSIS,
-    Op.MIN,
-    Op.MAX,
-    Op.UNIQUE_COUNT,
-    Op.APPROX_UNIQUE_COUNT,
-    Op.APPROX_PERCENTILE,
-    Op.PERCENTILE,
-    Op.FIRST,
-    Op.LAST,
-    Op.FIRST_K,
-    Op.LAST_K,
-    Op.TOP_K,
-    Op.BOTTOM_K,
-}
-
 # ops requiring a two-phase (keys+value grouping) plan
 MAP_OPS = {Op.HISTOGRAM, Op.APPROX_HISTOGRAM_K}
 
@@ -234,52 +212,6 @@ def singleton_cols(
         return {f"{slot}__set": F.when(value.isNotNull(), F.array(value))}
     raise ValueError(f"{op} has no singleton IR form")
 
-
-def merge_finalize(agg: Aggregation, slot: str) -> Column:
-    """Merge partial IR columns named per ``partial_cols`` across tiles and
-    finalize to the user-facing value. Used in a groupBy over (keys, query_ts)
-    where each input row is one tile's partials."""
-    op = agg.operation
-    k = agg.k or 1
-    if op == Op.COUNT:
-        return F.coalesce(F.sum(F.col(f"{slot}__n")), F.lit(0))
-    if op == Op.SUM:
-        return F.sum(F.col(f"{slot}__s"))
-    if op == Op.AVERAGE:
-        return F.sum(F.col(f"{slot}__s")) / F.when(F.sum(F.col(f"{slot}__n")) > 0, F.sum(F.col(f"{slot}__n")))
-    if op == Op.VARIANCE:
-        n = F.sum(F.col(f"{slot}__n"))
-        s = F.sum(F.col(f"{slot}__s"))
-        q = F.sum(F.col(f"{slot}__q"))
-        return F.when(n > 0, q / n - (s / n) * (s / n))
-    if op == Op.MIN:
-        return F.min(F.col(f"{slot}__m"))
-    if op == Op.MAX:
-        return F.max(F.col(f"{slot}__m"))
-    if op == Op.FIRST:
-        p = F.col(f"{slot}__p")
-        return F.min_by(p, p["o"])["v"]
-    if op == Op.LAST:
-        p = F.col(f"{slot}__p")
-        return F.max_by(p, p["o"])["v"]
-    if op in (Op.FIRST_K, Op.LAST_K):
-        flat = F.flatten(F.collect_list(F.col(f"{slot}__l")))
-        srt = F.array_sort(flat)
-        if op == Op.LAST_K:
-            srt = F.reverse(srt)
-        return F.slice(F.transform(srt, lambda s: s["v"]), 1, k)
-    if op in (Op.TOP_K, Op.BOTTOM_K):
-        flat = F.array_sort(F.flatten(F.collect_list(F.col(f"{slot}__l"))))
-        if op == Op.TOP_K:
-            flat = F.reverse(flat)
-        return F.slice(flat, 1, k)
-    if op == Op.UNIQUE_COUNT:
-        return F.size(F.array_distinct(F.flatten(F.collect_list(F.col(f"{slot}__set"))))).cast(
-            "long"
-        )
-    if op == Op.APPROX_UNIQUE_COUNT:
-        return F.hll_sketch_estimate(F.hll_union_agg(F.col(f"{slot}__hll")))
-    raise ValueError(f"{op} has no mergeable partial form")
 
 
 def partial_merge_cols(agg: Aggregation, slot: str) -> dict[str, Column]:

@@ -154,6 +154,16 @@ def validate_group_by(
                     f"'{a.input_column}' is {fields[a.input_column].simpleString()}",
                 )
             )
+        from chronon_spark.functions.ops import MAP_OPS
+
+        if a.buckets and a.operation in MAP_OPS:
+            errs.append(
+                ValidationError(
+                    "bucketed_map_op", a.input_column,
+                    f"{a.operation.value} does not support buckets "
+                    "(map-valued output cannot nest)",
+                )
+            )
         for b in a.buckets or ():
             if b not in fields:
                 errs.append(

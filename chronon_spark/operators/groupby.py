@@ -81,6 +81,16 @@ def _split_passes(
     mapops: list[Aggregation] = []
     for a in gb.aggregations:
         if a.operation in O.MAP_OPS:
+            if a.buckets:
+                # a bucketed histogram would be a map-of-maps output; the
+                # engine (like the exploded driver queries) has no such
+                # column shape — reject loudly instead of silently dropping
+                # the buckets and emitting colliding column names
+                raise ValueError(
+                    f"{a.operation.value} on '{a.input_column}' does not "
+                    "support buckets (map-valued output cannot nest); "
+                    "bucket by a composite key column instead"
+                )
             mapops.append(a)
         elif a.buckets:
             for b in a.buckets:
@@ -280,9 +290,11 @@ def _temporal_pass_hops(
     # same reason, HopsAggregator + per-part intermediate tables)
     from pyspark.storagelevel import StorageLevel
 
-    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    from chronon_spark.plans.cache import register
+
+    q = register(q.persist(StorageLevel.MEMORY_AND_DISK))
     tiles_by_res: dict[int, DataFrame] = {}
-    tiles_by_res[finest] = (
+    tiles_by_res[finest] = register(
         ev.withColumn(TILE, W.round_down(F.col(ETS), finest))
         .groupBy(*keys, TILE)
         .agg(*[c.alias(n) for n, c in partial_exprs.items()])
@@ -373,7 +385,8 @@ def _temporal_pass_hops(
 
 
 def _merge_with_masked_cols(a: Aggregation, slot: str, mask: Column) -> Column:
-    """Same shapes as ops.merge_finalize but every IR column is masked."""
+    """Merge per-tile partial IR columns (ops.partial_cols shapes) and
+    finalize to the user-facing value, with every IR column masked."""
     op = a.operation
     k = a.k or 1
 
@@ -553,16 +566,13 @@ def _hop_aligned(a: Aggregation) -> bool:
 
 def _presence_window_aligned(gb: GroupBy):
     """The bucket-presence auxiliary window (largest window across the whole
-    GroupBy, or None for lifetime) — False when it exists but is not
-    hop-aligned (then the tiled map passes cannot replicate the exact
-    presence bound and must fall back)."""
-    w_max = None
-    for a in gb.aggregations:
-        if a.windows is None:
-            return None
-        for w in a.windows:
-            if w_max is None or w.millis > w_max.millis:
-                w_max = w
+    GroupBy, or None for lifetime — ONE shared definition, plans/sliding
+    _presence_window) — False when it exists but is not hop-aligned (then
+    the tiled map passes cannot replicate the exact presence bound and must
+    fall back)."""
+    from chronon_spark.plans.sliding import _presence_window
+
+    w_max = _presence_window(gb)
     if w_max is not None and w_max.millis % w_max.tail_hop_millis() != 0:
         return False
     return w_max
@@ -651,8 +661,15 @@ def temporal_events(
         else:
             parts.append(_histogram_pass(q, ev, gb, a, tiebreak))
 
-    feat = parts[0]
-    for p in parts[1:]:
+    # direct passes are row-complete (one output row per query row); bucket/
+    # histogram passes emit only rows with qualifying events, so when NO
+    # direct pass exists the assembly must anchor on the query frame or a
+    # row missing from parts[0] silently nulls every later part's feature
+    if direct:
+        feat, rest_parts = parts[0], parts[1:]
+    else:
+        feat, rest_parts = q, parts
+    for p in rest_parts:
         feat = feat.join(p, [*gb.keys, QTS], "left")
     out = left_n.join(feat, [*gb.keys, QTS], "left").drop(QTS)
     return _apply_derivations(out, gb, keep=list(left.columns))
@@ -685,8 +702,14 @@ def snapshot_events(
     ev = _normalize_events(events, gb, tiebreak)
     if start_ds is None or end_ds is None:
         lo, hi = ev.select(F.min(ETS), F.max(ETS)).first()
-        start_ms = lo - lo % DAY_MS
-        end_ms = hi - hi % DAY_MS
+        if lo is None:
+            # empty source, no explicit range: empty coverage grid (not a
+            # TypeError) — the passes below run over zero rows and return
+            # the correct (empty) output schema
+            start_ms = end_ms = 0
+        else:
+            start_ms = lo - lo % DAY_MS
+            end_ms = hi - hi % DAY_MS
     else:
         import calendar
         import datetime as _dt
@@ -742,8 +765,13 @@ def snapshot_events(
         parts.append(_bucket_pass(grid, ev, gb_snap, bcol, aggs, tiebreak))
     for a in mapops:
         parts.append(_histogram_pass(grid, ev, gb_snap, a, tiebreak))
-    feat = parts[0]
-    for p in parts[1:]:
+    # same anchoring rule as temporal_events: bucket/histogram passes are not
+    # row-complete, so without a direct pass the coverage grid is the anchor
+    if direct:
+        feat, rest_parts = parts[0], parts[1:]
+    else:
+        feat, rest_parts = grid.select(*gb_snap.keys, QTS), parts
+    for p in rest_parts:
         feat = feat.join(p, [*gb_snap.keys, QTS], "left")
     out = feat.withColumn(
         "ds", F.date_format((F.col(QTS) / 1000 - DAY_MS / 1000).cast("timestamp"), "yyyy-MM-dd")

@@ -61,7 +61,7 @@ def _batch_end_ms(batch_end_ds: str) -> int:
     return day * 1000 + DAY_MS
 
 
-def _pairs(gb: GroupBy):
+def _pairs(gb: GroupBy, horizon_ms: int | None = None):
     out = []
     for a in gb.aggregations:
         if a.buckets or a.operation not in O.HOP_MERGEABLE_OPS:
@@ -70,6 +70,23 @@ def _pairs(gb: GroupBy):
                 f"{a.operation.value} (buckets={a.buckets})"
             )
         for w, _ in a.unpacked():
+            # the tail-tile band math assumes hop-aligned windows (and a
+            # horizon the hop divides) — the same invariant the offline
+            # router enforces by falling back to the exact estimator; the
+            # serving path has no fallback, so reject instead of silently
+            # under/over-counting the tail band
+            if w is not None:
+                hop = w.tail_hop_millis()
+                if w.millis % hop != 0:
+                    raise ValueError(
+                        f"upload requires hop-aligned windows; {w.suffix} is "
+                        f"not a multiple of its {hop}ms sawtooth tail hop"
+                    )
+                if horizon_ms is not None and horizon_ms % hop != 0:
+                    raise ValueError(
+                        f"upload horizon {horizon_ms}ms must be a multiple "
+                        f"of window {w.suffix}'s {hop}ms tail hop"
+                    )
             out.append((a, w))
     return out
 
@@ -112,7 +129,7 @@ def upload_batch_irs(
     ev = _normalize_events(events, gb, tiebreak)
     batch_end = _batch_end_ms(batch_end_ds)
     ev = ev.where(F.col(ETS) < batch_end)
-    pairs = _pairs(gb)
+    pairs = _pairs(gb, horizon_ms)
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
 
     collapsed_exprs = {}
@@ -181,7 +198,7 @@ def fetch_features(
     lambdaAggregateIr)."""
     assert gb.accuracy == Accuracy.TEMPORAL
     batch_end = _batch_end_ms(batch_end_ds)
-    pairs = _pairs(gb)
+    pairs = _pairs(gb, horizon_ms)
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
 
     left_n = requests.withColumn(QTS, W.ts_to_millis(requests, left_time_column))

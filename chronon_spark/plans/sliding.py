@@ -271,7 +271,9 @@ def temporal_pass_sliding(
     except Exception:
         npart = 200
 
-    q = q.repartition(npart, *keys).persist(StorageLevel.MEMORY_AND_DISK)
+    from chronon_spark.plans.cache import register
+
+    q = register(q.repartition(npart, *keys).persist(StorageLevel.MEMORY_AND_DISK))
 
     # ---- base frame: raw events + one probe row per query ----
     # NOT pre-repartitioned: the tile groupBy below must shuffle PARTIALLY
@@ -304,6 +306,7 @@ def temporal_pass_sliding(
         .repartition(npart, *keys)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    register(t5)
 
     out = q
     band_prefixes: dict[tuple[int, int], list[str]] = defaultdict(list)  # (agg_id, w_ms) -> prefixes
@@ -421,8 +424,7 @@ def temporal_pass_sliding(
     for a, w in pairs:
         prefixes = band_prefixes[(id(a), w.millis if w else -1)]
         final_cols.append(combine_and_finalize(a, prefixes).alias(a.output_name(w, None)))
-    feature_names = [a.output_name(w, None) for a, w in pairs]
-    return out.select(*gb.keys, QTS, *final_cols).select(*gb.keys, QTS, *feature_names)
+    return out.select(*gb.keys, QTS, *final_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -448,6 +450,8 @@ def _strip(a: Aggregation, op: Op | None = None, input_column: str | None = None
         k=a.k,
         percentiles=a.percentiles,
         lg_k=a.lg_k,
+        mg_cap=a.mg_cap,
+        accuracy=a.accuracy,
     )
 
 

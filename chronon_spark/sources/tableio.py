@@ -339,6 +339,12 @@ def backfill(
         out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
         insert_overwrite_partitions(out, table, n_files)
         rows = obs.get["rows"]
+        # the chunk is materialized: release estimator-internal cached frames
+        # (tile tables, query frames) so a long chunked backfill does not
+        # accumulate dead cache blocks across chunks
+        from chronon_spark.plans.cache import release_plan_caches
+
+        release_plan_caches()
         meta = {
             "range": [lo, hi],
             "rows": rows,

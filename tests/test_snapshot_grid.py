@@ -52,3 +52,20 @@ def test_lifetime_grid_extends_to_range_end(spark):
     assert ("a", "2024-01-09") not in got  # before first event day
     for d in range(10, 16):
         assert got[("a", f"2024-01-{d:02d}")] == 1
+
+
+def test_snapshot_events_empty_source_returns_empty(spark):
+    """An empty source with no explicit range yields an empty frame with the
+    right schema, not a TypeError on the min/max probe."""
+    from chronon_spark.api import Aggregation, GroupBy, Op, TimeUnit, Window
+    from chronon_spark.operators.groupby import snapshot_events
+
+    ev = spark.createDataFrame([], "user string, v double, ts long")
+    gb = GroupBy(
+        name="g",
+        keys=["user"],
+        aggregations=[Aggregation(Op.SUM, "v", windows=(Window(7, TimeUnit.DAYS),))],
+    )
+    out = snapshot_events(ev, gb)
+    assert out.count() == 0
+    assert set(out.columns) == {"user", "v_sum_7d", "ds"}

@@ -116,3 +116,61 @@ def test_bucketed_unaligned_window_falls_back(spark, events):
     exact = temporal_events(left, events, gb, tiebreak="event_id", strategy="exact")
     cols = ["user_id", "ts", "value_count_7m_by_event_type"]
     assert _rows(auto, cols) == _rows(exact, cols)
+
+
+def test_map_only_groupby_keeps_rows_missing_from_first_part(spark):
+    """Assembly anchoring: with NO direct aggregations, a query row absent
+    from the first (bucket) pass must still receive later parts' features —
+    previously the left-join chain silently nulled them."""
+    from chronon_spark.operators.groupby import snapshot_events, temporal_events
+
+    ts0 = 1704067200000
+    ev = spark.createDataFrame(
+        [("u1", None, "itemA", 5.0, ts0 + 1000, 1),
+         ("u2", "catX", "itemB", 3.0, ts0 + 1000, 2)],
+        "user string, cat string, item string, amt double, ts long, eid long",
+    )
+    q = spark.createDataFrame(
+        [("u1", ts0 + 10_000), ("u2", ts0 + 10_000)], "user string, ts long"
+    )
+    gb = GroupBy(
+        name="g",
+        keys=["user"],
+        aggregations=[
+            Aggregation(Op.SUM, "amt", windows=W1D, buckets=("cat",)),
+            Aggregation(Op.HISTOGRAM, "item", windows=W1D),
+        ],
+    )
+    for strat in ("exact", "auto"):
+        out = temporal_events(q, ev, gb, tiebreak="eid", strategy=strat)
+        rows = {r["user"]: r["item_histogram_1d"] for r in out.collect()}
+        assert rows["u1"] == {"itemA": 1}, strat
+        assert rows["u2"] == {"itemB": 1}, strat
+    snap = snapshot_events(ev, gb, tiebreak="eid")
+    srows = {r["user"]: r["item_histogram_1d"] for r in snap.collect()}
+    assert srows["u1"] == {"itemA": 1} and srows["u2"] == {"itemB": 1}
+
+
+def test_bucketed_map_op_rejected(spark):
+    """HISTOGRAM with buckets (map-of-maps) is a structured config error in
+    both the planner and the analyzer, never silent bucket-dropping."""
+    import pytest as _pytest
+
+    from chronon_spark.operators.analyzer import validate_group_by
+    from chronon_spark.operators.groupby import temporal_events
+
+    ts0 = 1704067200000
+    ev = spark.createDataFrame(
+        [("u1", "b1", "x", ts0, 1)], "user string, b string, v string, ts long, eid long"
+    )
+    q = spark.createDataFrame([("u1", ts0 + 1)], "user string, ts long")
+    gb = GroupBy(
+        name="g",
+        keys=["user"],
+        aggregations=[Aggregation(Op.HISTOGRAM, "v", windows=W1D, buckets=("b",))],
+    )
+    with _pytest.raises(ValueError, match="does not support buckets"):
+        temporal_events(q, ev, gb, tiebreak="eid")
+    assert any(
+        e.code == "bucketed_map_op" for e in validate_group_by(ev, gb, check_data=False)
+    )

@@ -268,3 +268,25 @@ def test_fetch_join_selection_uses_latest_snapshot_partition(spark, events, spli
     assert got.count() == requests.count()  # no duplication
     tiers = {r["users_tier"] for r in got.collect()}
     assert tiers == {"new"}
+
+
+def test_upload_rejects_unaligned_windows(spark, events, split):
+    """The serving tail-band math assumes hop-aligned windows; the offline
+    router falls back to exact for those, but serving has no fallback — it
+    must reject instead of silently under-counting the tail band."""
+    batch, _stream, _requests, batch_end_ds = split
+    gb = GroupBy(
+        name="bad",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value",
+                                  windows=(Window(7, TimeUnit.MINUTES),))],
+    )
+    with pytest.raises(ValueError, match="hop-aligned"):
+        upload_batch_irs(batch, gb, batch_end_ds)
+    gb_ok = GroupBy(
+        name="ok",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(W1D,))],
+    )
+    with pytest.raises(ValueError, match="horizon"):
+        upload_batch_irs(batch, gb_ok, batch_end_ds, horizon_ms=7 * 60_000)
