@@ -219,13 +219,21 @@ def cmd_log_flattener(spark, conf, args) -> dict:
     )
     name = _opt(conf, "name", _opt(conf, "join_name", "logs")) + "_flattened"
     table = resolve_table(spark, args.out_root, name)
+    # the flattened count rides the write job as an observed metric — a
+    # post-write count() would re-run the whole decode plan; raw_rows stays a
+    # plain count over the UNDECODED input (the drop-lineage signal: raw
+    # minus flattened = rows lost to unregistered schema hashes)
+    from pyspark.sql import Observation
+
+    obs = Observation("flatten_rows")
+    flat = flat.observe(obs, F.count(F.lit(1)).alias("flattened_rows"))
     insert_overwrite_partitions(flat, table)
     return {
         "command": "log-flattener",
         "output_table": _table_id(table),
         "partitions": table.partitions(),
         "raw_rows": logs.count(),
-        "flattened_rows": table.read(spark).count(),
+        "flattened_rows": obs.get["flattened_rows"],
     }
 
 

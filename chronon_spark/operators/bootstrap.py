@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from chronon_spark.api import Accuracy, Aggregation, GroupBy, Window
 from chronon_spark.operators import groupby as G
 from chronon_spark.operators.join import coalesced_join
-from chronon_spark.plans.windows import to_millis
+from chronon_spark.plans.windows import ts_to_millis
 
 PROVENANCE = "matched_hashes"
 
@@ -103,7 +103,9 @@ def backfill_with_bootstrap(
     """Bootstrap-aware backfill for one GroupBy: rows covered by the
     bootstrap table keep its values; only uncovered rows are computed."""
     booted = bootstrap_join(left, [(gb.name, bootstrap)], [*keys, time_column])
-    todo = uncovered_rows(booted, gb.name).select(*keys, time_column)
+    # distinct: computed must carry ONE row per (keys, ts) or the final
+    # coalesced join multiplies duplicate left rows n x m
+    todo = uncovered_rows(booted, gb.name).select(*keys, time_column).distinct()
     # no driver-side isEmpty() probe: an empty todo just contributes an empty
     # branch to the coalesced join (one plan, no extra blocking job)
     computed = G.temporal_events(todo, events, gb, left_time_column=time_column, tiebreak=tiebreak)
@@ -129,10 +131,13 @@ def label_join(
     leakage discipline (now guaranteeing labels see ONLY the future)."""
     # negated REAL timestamps (pre-1970 instants) so all millis arithmetic in
     # the engine (to_millis, pmod tail rounding) stays exact
-    neg_ts = F.timestamp_millis(-to_millis(F.col(time_column)))
+    # schema-aware conversion: a LONG epoch-millis ts run through a bare
+    # timestamp cast would be read as SECONDS and shrink the horizon 1000x
+    neg_ts = F.timestamp_millis(-ts_to_millis(features, time_column))
     neg_q = features.select(*label_gb.keys, time_column, neg_ts.alias("__neg_ts"))
     neg_ev = label_events.withColumn(
-        "__neg_ts", F.timestamp_millis(-to_millis(F.col(label_gb.time_column)))
+        "__neg_ts",
+        F.timestamp_millis(-ts_to_millis(label_events, label_gb.time_column)),
     )
     gb_neg = GroupBy(
         name=label_gb.name,
@@ -145,11 +150,18 @@ def label_join(
                 buckets=a.buckets,
                 k=a.k,
                 percentiles=a.percentiles,
+                # sketch knobs must survive the horizon rewrite — dropping
+                # them silently resets requested-exact labels to defaults
+                lg_k=a.lg_k,
+                mg_cap=a.mg_cap,
+                accuracy=a.accuracy,
             )
             for a in label_gb.aggregations
         ],
         accuracy=Accuracy.TEMPORAL,
         time_column="__neg_ts",
+        derivations=label_gb.derivations,
+        setups=label_gb.setups,
     )
     # strict past on negated axis = strict future on real axis; the sawtooth
     # tail on the negated axis rounds the horizon start — acceptable for
@@ -171,7 +183,13 @@ def label_join(
         tiebreak=tiebreak,
         strategy="auto",
     )
-    renames = {c: f"{prefix}_{c}" for c in gb_neg.output_columns()}
+    # rename from the ACTUAL output columns (derivations may have renamed
+    # or replaced the raw aggregation outputs)
+    renames = {
+        c: f"{prefix}_{c}"
+        for c in out.columns
+        if c not in (*label_gb.keys, time_column, "__q_neg")
+    }
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
     # features with duplicate (keys, ts) rows fan out into `out`; dedup the

@@ -65,10 +65,15 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 8) -> DataFrame
     """(id, shingle) rows: n-word sliding windows over whitespace tokens."""
     df = _spread_by_id(df, id_col)
     words = F.split(normalize_text(F.col(text_col)), " ")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
+    # docs shorter than n words have no shingles: sequence(1, 0) would be the
+    # DESCENDING array [1, 0] and slice(words, 0, n) then crashes the job
+    sh = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .distinct()
@@ -106,7 +111,9 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle", "left_semi")
-    sh = sh.cache()
+    from chronon_spark.plans.cache import register
+
+    sh = register(sh.cache())
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -186,8 +193,12 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     # the signature table feeds band-keying AND both sides of the estimate
     # join — persist it so the shingle x perm explosion runs once
-    sig = minhash_signatures(df, text_col, id_col, n, num_perm).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from chronon_spark.plans.cache import register
+
+    sig = register(
+        minhash_signatures(df, text_col, id_col, n, num_perm).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     sig = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
     # zero-pad the perm so lexicographic order == numeric order (keeps the

@@ -11,7 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as SW
 
-from chronon_spark.plans.windows import to_millis
+from chronon_spark.plans.windows import ts_to_millis
 
 
 def with_lag_lead(
@@ -51,7 +51,9 @@ def sessionize(
     gap_ms = gap if isinstance(gap, int) else _interval_to_ms(gap)
     order_by = order_by or [ts_column]
     w = SW.partitionBy(*partition_by).orderBy(*order_by)
-    ts_ms = to_millis(F.col(ts_column))
+    # schema-aware: a LONG epoch-millis ts cast via to_millis would be
+    # interpreted as epoch seconds and inflate every gap 1000x
+    ts_ms = ts_to_millis(df, ts_column)
     new_sess = (
         F.when(F.lag(ts_ms, 1).over(w).isNull(), F.lit(0))
         .when(ts_ms - F.lag(ts_ms, 1).over(w) > F.lit(gap_ms), F.lit(1))
@@ -74,7 +76,7 @@ def session_stats(
     """Sessionize then aggregate one row per session: bounds, length, count
     plus any caller-provided aggregate expressions."""
     s = sessionize(df, partition_by, ts_column, gap, order_by)
-    ts_ms = to_millis(F.col(ts_column))
+    ts_ms = ts_to_millis(df, ts_column)
     base = {
         "n_rows": F.count(F.lit(1)),
         "start_ms": F.min(ts_ms),

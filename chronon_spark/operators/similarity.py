@@ -127,7 +127,7 @@ def rh_signature(
 def lsh_knn(
     vectors: DataFrame,
     queries: DataFrame,
-    k: int = 10,
+    k: int | None = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 16,
@@ -136,7 +136,9 @@ def lsh_knn(
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any signature band
     with the query; exact cosine re-rank within candidates. Recall grows
-    with bands; cost stays ~ bucket sizes (shuffle join on band key)."""
+    with bands; cost stays ~ bucket sizes (shuffle join on band key).
+    ``k=None`` returns ALL scored candidates unranked (no rank column) for
+    threshold-style consumers."""
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
 
@@ -180,6 +182,13 @@ def lsh_knn(
     )
     sim = _dot(F.col("q_v"), F.col("n_v")) / (F.col("q_norm") * F.col("n_norm"))
     scored = cand.withColumn("sim", F.round(sim, 6))
+    if k is None:
+        # threshold-style callers filter on sim themselves — skip the per-key
+        # ranking window entirely (a hot bucket would otherwise sort millions
+        # of candidate pairs in one reducer just to keep them all)
+        return scored.select(
+            F.col("q_id").alias("query_id"), F.col("n_id").alias("neighbor_id"), "sim"
+        )
     w = SW.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -304,7 +313,7 @@ def cosine_neardup_pairs(
     """Embedding near-duplicates: LSH-bucketed candidate pairs with exact
     cosine >= threshold. For the exact (small-scale / oracle) variant use a
     self brute_force_knn + filter."""
-    res = lsh_knn(vectors, vectors, k=1 << 30, id_col=id_col, vec_col=vec_col,
+    res = lsh_knn(vectors, vectors, k=None, id_col=id_col, vec_col=vec_col,
                   n_planes=n_planes, bands=bands, seed=seed)
     return (
         res.where((F.col("sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))

@@ -141,7 +141,11 @@ def salted_two_phase_agg(
     """Skew-proof aggregation: phase 1 groups by (keys, salt) — hot keys
     spread over ``n_salts`` reducers — phase 2 merges the tiny per-salt
     partials. ``merge_exprs`` reference the partial output column names."""
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    # deterministic salt (hash of the row's own values): a salt derived
+    # from monotonically_increasing_id changes across task retries, so a
+    # shuffle-fetch failure could re-route rows to different (key, salt)
+    # reducers and corrupt the merged aggregates
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     p1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -163,4 +167,10 @@ def null_safe_join(
         c = F.col(k).eqNullSafe(F.col(f"__r_{k}"))
         cond = c if cond is None else cond & c
     out = left.join(r, cond, how)
+    if how in ("right", "rightouter", "right_outer", "full", "fullouter",
+               "full_outer", "outer"):
+        # unmatched right rows have their keys only in the renamed columns —
+        # fold them back before dropping or those rows lose their keys
+        for k in keys:
+            out = out.withColumn(k, F.coalesce(F.col(k), F.col(f"__r_{k}")))
     return out.drop(*[f"__r_{k}" for k in keys])

@@ -54,3 +54,17 @@ def test_semi_join_reduce_small_mode_still_inlist(spark):
     # asserted in test_plans; here the scan may be cache-substituted)
     assert "Join" not in plan
     assert "user_id" in plan and "IN" in plan or "isin" in plan.lower()
+
+
+def test_null_safe_join_outer_keeps_right_keys(spark):
+    """full/right outer: unmatched right rows keep their key values (the
+    keys previously lived only in dropped renamed columns)."""
+    from chronon_spark.operators.skew import null_safe_join
+
+    l = spark.createDataFrame([(1, "a"), (None, "n")], "k int, lv string")
+    r = spark.createDataFrame([(1, "x"), (5, "y"), (None, "z")], "k int, rv string")
+    out = null_safe_join(l, r, ["k"], how="full")
+    rows = {(row["k"], row["lv"], row["rv"]) for row in out.collect()}
+    assert (5, None, "y") in rows  # unmatched right row keeps k=5
+    assert (1, "a", "x") in rows
+    assert (None, "n", "z") in rows  # NULL <=> NULL matched

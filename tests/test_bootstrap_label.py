@@ -150,3 +150,44 @@ def test_label_join_routes_to_tile_plan(spark, events):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "__e_user_id" not in plan, "label side fell back to the exact range join"
     assert "Window" in plan  # sliding TAIL/HEAD window passes present
+
+
+def test_bootstrap_backfill_preserves_duplicate_left_rows(spark, events):
+    """Duplicate uncovered (keys, ts) left rows must come back exactly once
+    each — not n x m multiplied by the covered/computed coalesce join."""
+    from chronon_spark.operators.bootstrap import backfill_with_bootstrap
+
+    left = (
+        events.where("event_type = 'purchase'").select("user_id", "ts").limit(10)
+    )
+    left_dup = left.unionByName(left)  # every row twice
+    gb = GroupBy(
+        name="g",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(7, TimeUnit.DAYS),))],
+    )
+    empty_boot = left.limit(0).withColumn("g_value_count_7d", F.lit(None).cast("long"))
+    out = backfill_with_bootstrap(
+        left_dup, events, gb, empty_boot, ["user_id"], tiebreak="event_id"
+    )
+    assert out.count() == left_dup.count()
+
+
+def test_label_join_long_millis_ts(spark):
+    """label_join over LONG epoch-millis timestamps: the horizon must cover
+    true milliseconds (a seconds-interpreting cast shrinks it 1000x)."""
+    from chronon_spark.operators.bootstrap import label_join
+
+    t0 = 1_700_000_000_000
+    feats = spark.createDataFrame([("u", t0)], "user_id string, ts long")
+    # label event 2 days after the feature row
+    labels = spark.createDataFrame(
+        [("u", 5.0, t0 + 2 * 86_400_000)], "user_id string, v double, ts long"
+    )
+    gb = GroupBy(
+        name="lab", keys=["user_id"],
+        aggregations=[Aggregation(Op.SUM, "v")],
+    )
+    out = label_join(feats, labels, gb, horizon=Window(7, TimeUnit.DAYS))
+    row = out.first()
+    assert row["label_v_sum_7d"] == 5.0

@@ -394,3 +394,36 @@ def test_dedup_components_reliable_checkpoint(spark, tmp_path):
         os.path.join(d, f) for d, _dirs, files in os.walk(ckpt) for f in files
     ]
     assert written, "no reliable checkpoint files materialized"
+
+
+def test_shingles_short_documents_dont_crash(spark):
+    """Docs with fewer than n words have zero shingles; previously
+    sequence(1, 0) -> slice(words, 0, n) crashed the whole job."""
+    from chronon_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    docs = spark.createDataFrame(
+        [(1, "only three words"),
+         (2, "a longer document with enough words to produce several shingles here"),
+         (3, "a longer document with enough words to produce several shingles here")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, "text", "doc_id", n=8)
+    assert sh.where(F.col("id") == 1).count() == 0
+    assert sh.where(F.col("id") == 2).count() > 0
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(2, 3)}
+
+
+def test_sessionize_long_millis_ts_contract(spark):
+    """A LONG epoch-millis ts column must not be interpreted as seconds:
+    rows 1s apart with a 60s gap are ONE session."""
+    from chronon_spark.operators.sessionize import session_stats, sessionize
+
+    df = spark.createDataFrame(
+        [("c", 1_700_000_000_000), ("c", 1_700_000_001_000), ("c", 1_700_000_002_000)],
+        "conv string, ts long",
+    )
+    out = sessionize(df, ["conv"], "ts", gap=60_000)
+    assert {r["session_id"] for r in out.collect()} == {0}
+    stats = session_stats(df, ["conv"], "ts", gap=60_000).first()
+    assert stats["duration_ms"] == 2000
