@@ -28,6 +28,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+#: The exact column layout the Spark Kafka source emits (kafka-010 connector
+#: docs): binary key/value plus per-record provenance. Tests synthesize frames
+#: of this shape so every stage downstream of ``format("kafka").load()`` runs
+#: for real without a broker.
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
 
 def read_event_stream(
     spark: SparkSession,
@@ -39,7 +48,10 @@ def read_event_stream(
     """Open a streaming source. ``source_format`` "parquet"/"json"/"text"
     reads a directory as a stream (new files = new micro-batches);
     "kafka" passes ``path_or_topic`` as `subscribe` (needs connector jars —
-    not present in this environment, the call shape is the contract)."""
+    not present in this environment). Either way the frame downstream has a
+    fixed shape: the kafka branch emits ``KAFKA_RECORD_SCHEMA``, which tests
+    reproduce through the file source so ``decode_kafka_records`` and
+    everything after it runs for real."""
     if source_format == "kafka":
         reader = spark.readStream.format("kafka").option("subscribe", path_or_topic)
         for k, v in (options or {}).items():
@@ -62,6 +74,54 @@ def decode_json_events(
     return raw.select(
         F.from_json(F.col(payload_col).cast("string"), schema).alias("__e")
     ).select("__e.*")
+
+
+def decode_kafka_records(
+    raw: DataFrame,
+    schema: StructType | str,
+    keep_meta: bool = False,
+    dedupe_on_offset: bool = False,
+) -> DataFrame:
+    """Decode Kafka-record-shaped rows (``KAFKA_RECORD_SCHEMA``) into typed
+    event rows — the full value-decode stage of the reference's streaming
+    GroupBy (streaming/GroupBy.scala:37-145; Avro there, JSON here — same
+    shape, no schema-registry dependency).
+
+    Operates on ANY DataFrame with the Kafka source's columns, batch or
+    streaming, which is how the path is exercised without a broker: the
+    only line this function cannot cover is ``format("kafka").load()``
+    itself.
+
+    ``keep_meta`` carries (topic, partition, offset, kafka timestamp)
+    through as ``_kafka_*`` provenance columns. ``dedupe_on_offset`` drops
+    redelivered records by their (topic, partition, offset) identity —
+    Kafka is at-least-once; offsets are the idempotency key (batch frames
+    only; streaming dedup state needs a watermark, see
+    ``dedupe_kafka_stream``).
+    """
+    if dedupe_on_offset:
+        raw = raw.dropDuplicates(["topic", "partition", "offset"])
+    meta_names = (
+        ["_kafka_topic", "_kafka_partition", "_kafka_offset", "_kafka_timestamp"]
+        if keep_meta
+        else []
+    )
+    meta_cols = [
+        F.col(src).alias(dst)
+        for src, dst in zip(["topic", "partition", "offset", "timestamp"], meta_names)
+    ]
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("__e"), *meta_cols
+    ).select("__e.*", *meta_names)
+
+
+def dedupe_kafka_stream(decoded: DataFrame, event_time_col: str, delay: str = "10 minutes") -> DataFrame:
+    """Offset-identity dedup for a STREAMING Kafka-shaped frame: requires the
+    ``_kafka_*`` provenance columns (``keep_meta=True``) and a watermark so
+    the dedup state is bounded (dropDuplicatesWithinWatermark)."""
+    return decoded.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        ["_kafka_topic", "_kafka_partition", "_kafka_offset"]
+    )
 
 
 def enrich_stream(

@@ -186,3 +186,134 @@ def test_late_event_dropped_then_batch_corrects(spark, events, tmp_path):
     assert store == want, "post-correction state must equal batch-only"
     # and the correction actually changed the late event's tile
     assert store != after_on_time
+
+
+def _kafka_shaped(events, n=300, redeliver=5):
+    """Project events into the exact frame the Spark Kafka source emits
+    (KAFKA_RECORD_SCHEMA): JSON payload as binary `value`, key bytes, and
+    (topic, partition, offset, timestamp) provenance — plus `redeliver`
+    duplicated records (same offset identity) to model at-least-once
+    delivery."""
+    base = (
+        events.orderBy("event_id")
+        .limit(n)
+        .select(
+            F.col("user_id").cast("string").cast("binary").alias("key"),
+            F.to_json(
+                F.struct(
+                    "user_id", "event_id", "event_type", "value",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts"),
+                )
+            ).cast("binary").alias("value"),
+            F.lit("events").alias("topic"),
+            F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("partition"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("topic", "partition").orderBy("value")
+    base = base.withColumn("offset", F.row_number().over(w).cast("long") - 1)
+    base = base.withColumn("timestamp", F.current_timestamp()).withColumn(
+        "timestampType", F.lit(0)
+    )
+    dupes = base.orderBy("partition", "offset").limit(redeliver)
+    return base.unionByName(dupes)
+
+
+def test_kafka_record_decode_stream_tiles_equal_batch(spark, events, tmp_path):
+    """Drive the FULL Kafka ingest pipeline (record schema -> value decode ->
+    tiles) through a real streaming execution by synthesizing the Kafka
+    source's exact output frame; only `format("kafka").load()` itself is
+    substituted (no broker in the sandbox)."""
+    from chronon_spark.streaming.ingest import (
+        KAFKA_RECORD_SCHEMA,
+        decode_kafka_records,
+    )
+
+    src = tmp_path / "ksrc"
+    src.mkdir()
+    kf = _kafka_shaped(events, n=300, redeliver=0)
+    kf.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    gb = GroupBy(
+        name="k",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value"), Aggregation(Op.SUM, "value")],
+    )
+    raw = read_event_stream(
+        spark, str(src), schema=KAFKA_RECORD_SCHEMA, source_format="parquet"
+    )
+    decoded = decode_kafka_records(raw, SCHEMA)
+    assert decoded.isStreaming
+    tiles = streaming_tiles(decoded, gb, hop="5 minutes", tiebreak="event_id")
+    run_to_completion(tiles, str(tmp_path / "kckpt"), query_name="t_kafka")
+    got = {
+        (r["user_id"], r["tile_start_ms"]): (r["a0__n"], round(r["a1__s"], 6))
+        for r in spark.table("t_kafka").collect()
+    }
+
+    from chronon_spark.plans.windows import to_millis
+    from chronon_spark.streaming.tiles import tile_aggregates
+
+    batch_in = decode_kafka_records(spark.read.parquet(str(src)), SCHEMA)
+    exprs = tile_aggregates(gb, "event_id")
+    want_df = (
+        batch_in.withColumn("__ts_ms", to_millis(F.col("ts")))
+        .groupBy(F.window(F.col("ts"), "5 minutes").alias("tile"), "user_id")
+        .agg(*[c.alias(n) for n, c in exprs.items()])
+        .select("user_id", F.unix_millis("tile.start").alias("tile_start_ms"), "a0__n", "a1__s")
+    )
+    want = {
+        (r["user_id"], r["tile_start_ms"]): (r["a0__n"], round(r["a1__s"], 6))
+        for r in want_df.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_kafka_offset_identity_dedup(spark, events, tmp_path):
+    """At-least-once redelivery: records with the same (topic, partition,
+    offset) collapse to one event — batch path via dedupe_on_offset, stream
+    path via dropDuplicatesWithinWatermark — and provenance columns survive
+    keep_meta=True."""
+    from chronon_spark.streaming.ingest import (
+        KAFKA_RECORD_SCHEMA,
+        decode_kafka_records,
+        dedupe_kafka_stream,
+    )
+
+    src = tmp_path / "kdup"
+    src.mkdir()
+    _kafka_shaped(events, n=200, redeliver=7).coalesce(1).write.mode("overwrite").parquet(str(src))
+    raw_batch = spark.read.parquet(str(src))
+    assert raw_batch.count() == 207
+
+    ded = decode_kafka_records(raw_batch, SCHEMA, keep_meta=True, dedupe_on_offset=True)
+    assert ded.count() == 200
+    assert {"_kafka_topic", "_kafka_partition", "_kafka_offset", "_kafka_timestamp"} <= set(
+        ded.columns
+    )
+    # dedup keeps whole-record identity: the surviving 200 decoded events
+    # equal the original 200
+    got_ids = {r["event_id"] for r in ded.select("event_id").collect()}
+    want_ids = {r["event_id"] for r in events.orderBy("event_id").limit(200).collect()}
+    assert got_ids == want_ids
+
+    # streaming flavor: watermark-bounded dedup state
+    raw = read_event_stream(
+        spark, str(src), schema=KAFKA_RECORD_SCHEMA, source_format="parquet"
+    )
+    decoded = decode_kafka_records(raw, SCHEMA, keep_meta=True)
+    decoded = decoded.withColumn("__event_time", F.col("ts").cast("timestamp"))
+    deduped = dedupe_kafka_stream(decoded, "__event_time", delay="36500 days")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_kdedup")
+        .option("checkpointLocation", str(tmp_path / "kdckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_kdedup")
+    assert out.count() == 200
+    assert {r["event_id"] for r in out.select("event_id").collect()} == want_ids
