@@ -11,6 +11,11 @@ Conf-module contract (only the names a given subcommand needs):
 
     join                  -> ``join`` (api.Join), ``left(spark)``,
                              ``sources(spark) -> {group_by_name: DataFrame}``
+    join-left             -> ``join``, ``left(spark)`` (phase 1: materialize
+                             the skew-filtered left table once)
+    join-final            -> ``join``, ``sources(spark)`` (phase 2: parts +
+                             assembly over the join-left table; errors if
+                             phase 1 hasn't run)
     group-by-backfill     -> ``group_by`` (api.GroupBy), ``source(spark)``
     staging-query-backfill-> ``staging_sql`` (str with {{ start_date }} /
                              {{ end_date }} / {{ latest_date }} /
@@ -39,6 +44,9 @@ Conf-module contract (only the names a given subcommand needs):
                              --out-root --checkpoint-dir
     daily-stats           -> ``frame(spark)`` (day-partitioned features),
                              optional ``name``; args --out-root
+    log-summary           -> ``flattened(spark)`` (day-partitioned flattened
+                             log), optional ``name``; args --out-root
+                             [--sample 0.1]
 
     optional everywhere: ``tiebreak`` (str), ``strategy`` (str)
 
@@ -94,6 +102,60 @@ def cmd_join(spark, conf, args) -> dict:
     )
     return {
         "command": "join",
+        "output_table": _table_id(final),
+        "partitions": final.partitions(),
+        "part_tables": {p: _table_id(t) for p, t in parts.items()},
+    }
+
+
+def cmd_join_left(spark, conf, args) -> dict:
+    """Phase 1 of the split backfill (reference Driver.scala:402-425
+    ``join-left`` -> computeLeft): materialize the skew-filtered left query
+    table once, so part/final runs share one left scan."""
+    from chronon_spark.operators.join import materialize_join_left
+
+    table = materialize_join_left(
+        spark, conf.left(spark), conf.join, args.out_root,
+        args.start_ds, args.end_ds, step_days=args.step_days,
+    )
+    return {
+        "command": "join-left",
+        "output_table": _table_id(table),
+        "partitions": table.partitions(),
+    }
+
+
+def cmd_join_final(spark, conf, args) -> dict:
+    """Phase 2 (reference Driver.scala:426-449 ``join-final`` ->
+    computeFinal): read the ``join-left`` table and run join parts + final
+    assembly against it. Fails with a structured error if phase 1 has not
+    covered the requested range."""
+    from chronon_spark.operators.join import materialize_join
+    from chronon_spark.sources.tableio import resolve_table
+
+    join = conf.join
+    left_table = resolve_table(spark, args.out_root, f"{join.name}_left")
+    have = set(left_table.partitions())
+    if not have:
+        return {
+            "command": "join-final",
+            "errors": [
+                {
+                    "code": "MISSING_LEFT_TABLE",
+                    "message": f"run join-left first: {_table_id(left_table)} has no partitions",
+                }
+            ],
+        }
+    left = left_table.read_range(spark, args.start_ds, args.end_ds).drop("ds")
+    final, parts = materialize_join(
+        spark, left, conf.sources(spark), join, args.out_root,
+        args.start_ds, args.end_ds,
+        tiebreak=_opt(conf, "tiebreak"),
+        strategy=_opt(conf, "strategy", "auto"),
+        step_days=args.step_days,
+    )
+    return {
+        "command": "join-final",
         "output_table": _table_id(final),
         "partitions": final.partitions(),
         "part_tables": {p: _table_id(t) for p, t in parts.items()},
@@ -441,8 +503,52 @@ def cmd_metadata_export(spark, conf, args) -> dict:
     return out
 
 
+def cmd_log_summary(spark, conf, args) -> dict:
+    """Daily summary statistics over the FLATTENED LOG table, sampled
+    (reference Driver.scala:615-633 ``log-summary`` wrapping
+    stats/SummaryJob.loggingRun): same stat set as daily-stats, computed on
+    a ``--sample`` fraction of the logged rows — the logged stream is
+    usually far bigger than any backfill output, sampling keeps the summary
+    job cheap at scale."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.sources.tableio import insert_overwrite_partitions, resolve_table
+
+    frame = conf.flattened(spark)
+    if args.sample < 1.0:
+        frame = frame.sample(fraction=args.sample, seed=42)
+    numeric = [
+        f.name
+        for f in frame.schema.fields
+        if f.dataType.typeName() in ("integer", "long", "double", "float", "short")
+        and f.name != "ds"
+    ]
+    aggs = [F.count(F.lit(1)).alias("sampled_row_count")]
+    for c in numeric:
+        aggs += [
+            F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}_null_rate"),
+            F.round(F.avg(c), 6).alias(f"{c}_mean"),
+            F.round(F.percentile_approx(c, 0.5), 6).alias(f"{c}_p50"),
+            F.round(F.percentile_approx(c, 0.9), 6).alias(f"{c}_p90"),
+        ]
+    stats = frame.groupBy("ds").agg(*aggs).withColumn(
+        "sample_fraction", F.lit(float(args.sample))
+    )
+    name = _opt(conf, "name", "logs") + "_log_summary"
+    table = resolve_table(spark, args.out_root, name)
+    insert_overwrite_partitions(stats, table)
+    return {
+        "command": "log-summary",
+        "output_table": _table_id(table),
+        "partitions": table.partitions(),
+        "sample": args.sample,
+    }
+
+
 COMMANDS = {
     "join": (cmd_join, True),
+    "join-left": (cmd_join_left, True),
+    "join-final": (cmd_join_final, True),
     "group-by-backfill": (cmd_group_by_backfill, True),
     "staging-query-backfill": (cmd_staging_query_backfill, True),
     "analyze": (cmd_analyze, False),
@@ -456,6 +562,7 @@ COMMANDS = {
     "metadata-export": (cmd_metadata_export, False),
     "group-by-streaming": (cmd_group_by_streaming, False),
     "daily-stats": (cmd_daily_stats, False),
+    "log-summary": (cmd_log_summary, False),
 }
 
 
@@ -469,6 +576,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "fetch": ["--upload-root", "--out-root", "--batch-end-ds"],
         "group-by-streaming": ["--out-root", "--checkpoint-dir"],
         "daily-stats": ["--out-root"],
+        "log-summary": ["--out-root"],
     }
     for name, (_, needs_range) in COMMANDS.items():
         sp = sub.add_parser(name)
@@ -480,6 +588,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             sp.add_argument("--step-days", type=int, default=30)
         for flag in extra.get(name, []):
             sp.add_argument(flag, required=True)
+        if name == "log-summary":
+            sp.add_argument("--sample", type=float, default=0.1)
     args = p.parse_args(argv)
 
     conf = _load_conf(args.conf)

@@ -423,6 +423,62 @@ def join_semantic_hash(join: Join) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def left_semantic_hash(join: Join) -> str:
+    """Hash of only the definition fields that shape the materialized LEFT
+    table (name, time column, skew exclusion) — part/derivation changes must
+    NOT invalidate it, that is the point of splitting the phases."""
+    import hashlib
+
+    payload = "|".join(
+        [
+            join.name,
+            join.time_column,
+            *sorted(f"skew:{c}={sorted(map(str, v))}" for c, v in join.skew_keys.items()),
+        ]
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def materialize_join_left(
+    spark,
+    left: DataFrame,
+    join: Join,
+    out_root: str,
+    start_ds: str,
+    end_ds: str,
+    step_days: int = 30,
+):
+    """Phase 1 of the split join backfill — the reference's ``computeLeft``
+    (Driver.scala:402-425 ``join-left``; JoinBase left-table materialization):
+    persist the skew-filtered, day-stamped left query rows to their own
+    resumable table ``{out_root}/{join.name}_left`` so repeated part/final
+    runs (phase 2, ``materialize_join`` / ``join-final``) share one left
+    scan instead of re-reading the raw source each time.
+
+    The table's semantic hash covers only left-shaping fields
+    (``left_semantic_hash``), so editing parts or derivations re-runs phase
+    2 without touching phase 1's partitions.
+    """
+    from chronon_spark.operators.skew import filter_skew_keys
+    from chronon_spark.sources.tableio import backfill, resolve_table
+
+    if join.skew_keys:
+        left = filter_skew_keys(left, join.skew_keys)
+    tc = join.time_column
+    left_ds = left.withColumn("ds", F.date_format(F.col(tc), "yyyy-MM-dd"))
+    table = resolve_table(spark, out_root, f"{join.name}_left")
+    backfill(
+        spark,
+        table,
+        lambda s, lo, hi: left_ds.where(F.col("ds").between(lo, hi)),
+        start_ds,
+        end_ds,
+        semantic_hash=left_semantic_hash(join),
+        step_days=step_days,
+    )
+    return table
+
+
 def materialize_join(
     spark,
     left: DataFrame,

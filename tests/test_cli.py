@@ -621,3 +621,116 @@ def frame(spark):
     assert one["row_count"] == want_n
     assert abs(one["value_mean"] - want_mean) < 1e-9
     assert one["value_null_rate"] == 0.0
+
+
+def test_cli_join_left_then_final(spark, tmp_path, capsys, day_range):
+    """Split-phase backfill (reference join-left -> computeLeft, join-final
+    -> computeFinal): the left table materializes once, join-final runs the
+    parts + assembly over it, and the result equals the one-shot `join`
+    subcommand on the same conf."""
+    conf = tmp_path / "join_conf.py"
+    conf.write_text(JOIN_CONF)
+    lo, hi = day_range
+    root = str(tmp_path / "split")
+
+    # final before left -> structured error, rc 1
+    rc, res = _run(
+        spark,
+        ["join-final", "--conf", str(conf), "--out-root", root,
+         "--start-ds", lo, "--end-ds", hi],
+        capsys,
+    )
+    assert rc == 1 and res["errors"][0]["code"] == "MISSING_LEFT_TABLE"
+
+    rc, res = _run(
+        spark,
+        ["join-left", "--conf", str(conf), "--out-root", root,
+         "--start-ds", lo, "--end-ds", hi],
+        capsys,
+    )
+    assert rc == 0 and res["partitions"]
+    left_tbl = res["output_table"]
+    left_rows = spark.read.option("basePath", left_tbl).parquet(left_tbl)
+    # phase 1 wrote exactly the skew-filtered left rows, day-stamped
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want_left = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .withColumn("ds", F.date_format("ts", "yyyy-MM-dd"))
+        .where(F.col("ds").between(lo, hi))
+    )
+    assert left_rows.count() == want_left.count()
+
+    # re-running join-left resumes (no chunks recomputed -> same partitions)
+    rc, res2 = _run(
+        spark,
+        ["join-left", "--conf", str(conf), "--out-root", root,
+         "--start-ds", lo, "--end-ds", hi],
+        capsys,
+    )
+    assert rc == 0 and res2["partitions"] == res["partitions"]
+
+    rc, resf = _run(
+        spark,
+        ["join-final", "--conf", str(conf), "--out-root", root,
+         "--start-ds", lo, "--end-ds", hi],
+        capsys,
+    )
+    assert rc == 0 and "cli_part" in resf["part_tables"]
+    got = spark.read.option("basePath", resf["output_table"]).parquet(resf["output_table"])
+
+    # one-shot `join` over the same conf = identical feature rows
+    rc, res1 = _run(
+        spark,
+        ["join", "--conf", str(conf), "--out-root", str(tmp_path / "oneshot"),
+         "--start-ds", lo, "--end-ds", hi],
+        capsys,
+    )
+    assert rc == 0
+    want = spark.read.option("basePath", res1["output_table"]).parquet(res1["output_table"])
+    assert sorted(map(repr, got.select(*sorted(got.columns)).collect())) == sorted(
+        map(repr, want.select(*sorted(want.columns)).collect())
+    )
+
+
+def test_cli_log_summary(spark, tmp_path, capsys):
+    """log-summary == daily-stats over the flattened log frame, but sampled;
+    at --sample 1.0 the stats match a direct computation exactly."""
+    conf = tmp_path / "logsum_conf.py"
+    conf.write_text(f"""
+from pyspark.sql import functions as F
+name = "cli_logs"
+
+def flattened(spark):
+    ev = spark.read.parquet("{SF_DIR}/events.parquet")
+    return ev.withColumn("ds", F.date_format("ts", "yyyy-MM-dd"))
+""")
+    rc, res = _run(
+        spark,
+        ["log-summary", "--conf", str(conf), "--out-root", str(tmp_path / "ls"),
+         "--sample", "1.0"],
+        capsys,
+    )
+    assert rc == 0 and res["sample"] == 1.0 and len(res["partitions"]) > 5
+    got = spark.read.option("basePath", res["output_table"]).parquet(res["output_table"])
+    one = got.orderBy("ds").first()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").where(
+        F.date_format("ts", "yyyy-MM-dd") == one["ds"]
+    )
+    assert one["sampled_row_count"] == ev.count()
+    assert one["sample_fraction"] == 1.0
+    want_mean = ev.select(F.round(F.avg("value"), 6)).first()[0]
+    assert abs(one["value_mean"] - want_mean) < 1e-9
+
+    # sampled run: fewer rows counted, partitions still day-complete
+    rc, res2 = _run(
+        spark,
+        ["log-summary", "--conf", str(conf), "--out-root", str(tmp_path / "ls2"),
+         "--sample", "0.2"],
+        capsys,
+    )
+    assert rc == 0
+    got2 = spark.read.option("basePath", res2["output_table"]).parquet(res2["output_table"])
+    tot = got2.select(F.sum("sampled_row_count")).first()[0]
+    full = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert 0 < tot < full
