@@ -61,8 +61,12 @@ def run_job(cores: int) -> dict:
         capture_output=True, text=True, env=env, timeout=7200,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-    if not lines:
-        raise RuntimeError(f"scale job failed at {cores} cores:\n{out.stderr[-2000:]}")
+    if out.returncode != 0 or not lines:
+        # a job that dies AFTER printing a partial line must not be accepted
+        raise RuntimeError(
+            f"scale job failed at {cores} cores (rc={out.returncode}):\n"
+            f"{out.stderr[-2000:]}"
+        )
     return json.loads(lines[-1])
 
 

@@ -1,64 +1,36 @@
 """Phase-aware SHORT-input scaling runner (north-rule eff(2->8) evidence).
 
-Same job/binary as bench_scaling.py, but sized to the SHORT input (30M turns
-— the smallest size whose 8-core leg is compute-dominated, see
-BENCH/BASELINE.md minimum-workload lesson) and instrumented against the
-host's throughput phases: each leg is bracketed by pure-CPU calibration
-probes at BOTH parallelism levels, runs are repeated, and the report keeps
-every leg with its bracket so a reader can judge contamination. Appends a
-dated section to BENCH/BASELINE.md rather than overwriting the history.
+Same job/binary as bench_scaling.py (whose ensure_input/run_job it reuses via
+module-global overrides), but sized to the SHORT input (30M turns — the
+smallest size whose 8-core leg is compute-dominated, see BENCH/BASELINE.md
+minimum-workload lesson) and instrumented against the host's throughput
+phases: each leg is bracketed by pure-CPU calibration probes at BOTH
+parallelism levels, runs are repeated, and only reps whose brackets agree
+(phase-consistent) qualify for the headline efficiency — legs with
+disagreeing brackets are still reported, labeled. Appends a dated section to
+BENCH/BASELINE.md rather than overwriting the history.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import subprocess
-import sys
-import time
 from datetime import datetime, timezone
 
 import bench_scaling as B
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-SCALE_DIR = os.environ.get("SCALE_INPUT_DIR", "/tmp/chronon_scale_short")
-N_CONVS = 500_000
-AVG_TURNS = 60
 REPS = int(os.environ.get("SCALE_REPS", "2"))
+# a rep is phase-consistent when its four 8-core calib readings (pre/post x
+# both legs) stay within this max/min ratio — brackets that swing more than
+# this straddled a host phase change and the rep's eff is untrusted
+BRACKET_TOL = float(os.environ.get("SCALE_BRACKET_TOL", "1.4"))
 
-
-def ensure_input() -> None:
-    if os.path.exists(os.path.join(SCALE_DIR, "_SUCCESS")):
-        return
-    from chronon_spark import get_spark
-    from chronon_spark.sources.transcripts import generate_transcripts
-
-    spark = get_spark("scale_gen", master="local[32]")
-    t = generate_transcripts(
-        spark,
-        n_conversations=N_CONVS,
-        avg_turns=AVG_TURNS,
-        n_days=30,
-        hot_conversations=3,
-        hot_multiplier=1000,
-    )
-    t.repartition(64).write.mode("overwrite").parquet(SCALE_DIR)
-    spark.stop()
-
-
-def run_job(cores: int) -> dict:
-    env = dict(os.environ)
-    env["SCALE_INPUT_DIR"] = SCALE_DIR
-    env["SPARK_GRAFT_CPUS"] = str(cores)
-    env["SPARK_MASTER"] = f"local[{cores}]"
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench_scale_job.py")],
-        capture_output=True, text=True, env=env, timeout=7200,
-    )
-    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-    if not lines:
-        raise RuntimeError(f"scale job failed at {cores} cores:\n{out.stderr[-2000:]}")
-    return json.loads(lines[-1])
+# run the same generator/job at SHORT size by overriding bench_scaling's
+# module globals instead of forking its functions
+B.SCALE_DIR = os.environ.get("SCALE_INPUT_DIR", "/tmp/chronon_scale_short")
+B.N_CONVS = 500_000
+B.AVG_TURNS = 60
 
 
 def bracket() -> dict:
@@ -66,34 +38,41 @@ def bracket() -> dict:
 
 
 def main() -> None:
-    ensure_input()
-    print(json.dumps({"note": "warmup", **run_job(8)}), flush=True)
+    B.ensure_input()
+    print(json.dumps({"note": "warmup", **B.run_job(8)}), flush=True)
     legs = []
     for rep in range(REPS):
         for cores in (2, 8):
             pre = bracket()
-            r = run_job(cores)
+            r = B.run_job(cores)
             post = bracket()
             leg = {"rep": rep, "cores": cores, **r, "calib_pre": pre, "calib_post": post}
             legs.append(leg)
             print(json.dumps(leg), flush=True)
 
-    # pair WITHIN a rep: legs of one rep run back-to-back, so they share the
-    # host phase; pairing best-of across reps mixes phases and (because low-
-    # parallelism legs gain disproportionately in fast phases) deflates eff
-    rep_effs = {}
+    # pair WITHIN a rep (legs run back-to-back, the closest this host gets to
+    # "same cluster conditions at two sizes"); best-of pairing across reps
+    # mixes phases and — because low-parallelism legs gain disproportionately
+    # in fast phases — deflates eff. A rep only QUALIFIES when its calib
+    # brackets held through both legs.
+    rep_effs, qualified = {}, {}
     for rep in range(REPS):
-        t = {l["cores"]: l["rows_per_sec"] for l in legs if l["rep"] == rep}
+        rl = [l for l in legs if l["rep"] == rep]
+        t = {l["cores"]: l["rows_per_sec"] for l in rl}
         rep_effs[rep] = round(t[8] / (4 * t[2]), 3)
+        c8s = [l["calib_pre"]["c8"] for l in rl] + [l["calib_post"]["c8"] for l in rl]
+        qualified[rep] = max(c8s) / max(min(c8s), 1e-9) <= BRACKET_TOL
     best = {c: max(l["rows_per_sec"] for l in legs if l["cores"] == c) for c in (2, 8)}
-    eff = max(rep_effs.values())
+    clean = [rep_effs[r] for r in rep_effs if qualified[r]]
+    eff = max(clean) if clean else None
+
     stamp = datetime.now(timezone.utc).isoformat()
     lines = [
         "",
-        f"## 3c. Clean-phase SHORT re-run ({stamp})",
+        f"## Appendix: phase-aware SHORT scaling re-run ({stamp})",
         "",
-        f"Same binary/job as §3a (bench_scale_job.py, SHORT input: "
-        f"{N_CONVS*AVG_TURNS + 3*AVG_TURNS*1000:,} turns at {SCALE_DIR}), "
+        f"Same binary/job as section 3a (bench_scale_job.py, SHORT input: "
+        f"{B.N_CONVS*B.AVG_TURNS + 3*B.AVG_TURNS*1000:,} turns at {B.SCALE_DIR}), "
         f"{REPS} reps, every leg bracketed by pure-CPU probes at both core "
         "counts (Mops/s):",
         "",
@@ -108,14 +87,23 @@ def main() -> None:
         )
     lines += [
         "",
-        f"Within-rep eff(2->8): {json.dumps(rep_effs)} -> best phase-"
-        f"consistent pair **{eff}** (best throughputs: local[2] {best[2]:,}, "
-        f"local[8] {best[8]:,} rows/s).",
+        "Within-rep eff(2->8): "
+        + ", ".join(
+            f"rep {r}: {rep_effs[r]}"
+            + ("" if qualified[r] else " (DISQUALIFIED: bracket swing > "
+               f"{BRACKET_TOL}x — phase changed mid-rep)")
+            for r in rep_effs
+        )
+        + (f" -> best phase-consistent **{eff}**" if eff is not None
+           else " -> NO phase-consistent rep this run; prior evidence stands"),
+        f"(best raw throughputs: local[2] {best[2]:,}, local[8] {best[8]:,} rows/s)",
         "",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write("\n".join(lines))
-    print(json.dumps({"best": best, "rep_effs": rep_effs, "eff_2_8": eff}))
+    print(json.dumps(
+        {"best": best, "rep_effs": rep_effs, "qualified": qualified, "eff_2_8": eff}
+    ))
 
 
 if __name__ == "__main__":

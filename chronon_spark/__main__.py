@@ -133,6 +133,9 @@ def cmd_join_final(spark, conf, args) -> dict:
     from chronon_spark.operators.join import materialize_join
     from chronon_spark.sources.tableio import resolve_table
 
+    from chronon_spark.operators.join import left_semantic_hash
+    from chronon_spark.sources.tableio import ds_range
+
     join = conf.join
     left_table = resolve_table(spark, args.out_root, f"{join.name}_left")
     have = set(left_table.partitions())
@@ -146,6 +149,46 @@ def cmd_join_final(spark, conf, args) -> dict:
                 }
             ],
         }
+    # phase-order safety: every requested day must be covered by phase 1
+    # (partition present, or lineage present for legitimately-empty days),
+    # under the CURRENT left definition — a stale or partial left table
+    # would silently truncate/skew the final output
+    want_hash = left_semantic_hash(join)
+    errors = []
+    stale = sorted(
+        d
+        for d in have
+        if (left_table.lineage(d) or {}).get("semantic_hash") != want_hash
+    )
+    if stale:
+        errors.append(
+            {
+                "code": "STALE_LEFT_TABLE",
+                "message": (
+                    f"left definition changed (skew keys / time column): re-run "
+                    f"join-left; stale partitions: {stale[:5]}"
+                    + ("..." if len(stale) > 5 else "")
+                ),
+            }
+        )
+    missing = [
+        d
+        for d in ds_range(args.start_ds, args.end_ds)
+        if d not in have and left_table.lineage(d) is None
+    ]
+    if missing:
+        errors.append(
+            {
+                "code": "INCOMPLETE_LEFT_TABLE",
+                "message": (
+                    f"join-left has not covered {missing[:5]}"
+                    + ("..." if len(missing) > 5 else "")
+                    + " — re-run join-left over the requested range"
+                ),
+            }
+        )
+    if errors:
+        return {"command": "join-final", "errors": errors}
     left = left_table.read_range(spark, args.start_ds, args.end_ds).drop("ds")
     final, parts = materialize_join(
         spark, left, conf.sources(spark), join, args.out_root,
@@ -431,23 +474,19 @@ def cmd_group_by_streaming(spark, conf, args) -> dict:
     }
 
 
-def cmd_daily_stats(spark, conf, args) -> dict:
-    """Per-day summary statistics of a features table (reference
-    Driver.scala daily-stats wrapping stats/StatsCompute): row count plus
-    null rate / mean / approx p50 / p90 for every numeric column, one row
-    per ds, persisted day-partitioned."""
+def _daily_stat_aggs(frame, count_alias: str):
+    """The shared per-day stat set (row count + null rate / mean / approx
+    p50 / p90 per numeric column) used by both daily-stats and log-summary
+    — one definition so the two reports cannot drift."""
     from pyspark.sql import functions as F
 
-    from chronon_spark.sources.tableio import insert_overwrite_partitions, resolve_table
-
-    frame = conf.frame(spark)
     numeric = [
         f.name
         for f in frame.schema.fields
         if f.dataType.typeName() in ("integer", "long", "double", "float", "short")
         and f.name != "ds"
     ]
-    aggs = [F.count(F.lit(1)).alias("row_count")]
+    aggs = [F.count(F.lit(1)).alias(count_alias)]
     for c in numeric:
         aggs += [
             F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}_null_rate"),
@@ -455,6 +494,18 @@ def cmd_daily_stats(spark, conf, args) -> dict:
             F.round(F.percentile_approx(c, 0.5), 6).alias(f"{c}_p50"),
             F.round(F.percentile_approx(c, 0.9), 6).alias(f"{c}_p90"),
         ]
+    return aggs, numeric
+
+
+def cmd_daily_stats(spark, conf, args) -> dict:
+    """Per-day summary statistics of a features table (reference
+    Driver.scala daily-stats wrapping stats/StatsCompute): row count plus
+    null rate / mean / approx p50 / p90 for every numeric column, one row
+    per ds, persisted day-partitioned."""
+    from chronon_spark.sources.tableio import insert_overwrite_partitions, resolve_table
+
+    frame = conf.frame(spark)
+    aggs, numeric = _daily_stat_aggs(frame, "row_count")
     stats = frame.groupBy("ds").agg(*aggs)
     name = _opt(conf, "name", "features") + "_daily_stats"
     table = resolve_table(spark, args.out_root, name)
@@ -517,20 +568,7 @@ def cmd_log_summary(spark, conf, args) -> dict:
     frame = conf.flattened(spark)
     if args.sample < 1.0:
         frame = frame.sample(fraction=args.sample, seed=42)
-    numeric = [
-        f.name
-        for f in frame.schema.fields
-        if f.dataType.typeName() in ("integer", "long", "double", "float", "short")
-        and f.name != "ds"
-    ]
-    aggs = [F.count(F.lit(1)).alias("sampled_row_count")]
-    for c in numeric:
-        aggs += [
-            F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}_null_rate"),
-            F.round(F.avg(c), 6).alias(f"{c}_mean"),
-            F.round(F.percentile_approx(c, 0.5), 6).alias(f"{c}_p50"),
-            F.round(F.percentile_approx(c, 0.9), 6).alias(f"{c}_p90"),
-        ]
+    aggs, _ = _daily_stat_aggs(frame, "sampled_row_count")
     stats = frame.groupBy("ds").agg(*aggs).withColumn(
         "sample_fraction", F.lit(float(args.sample))
     )

@@ -423,6 +423,17 @@ def join_semantic_hash(join: Join) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def _stamp_ds(left: DataFrame, tc: str) -> DataFrame:
+    """Day-stamp a frame from its time column, honoring the long-epoch-millis
+    contract: a bigint fed straight to date_format is cast to timestamp as
+    SECONDS, yielding year-57000 day strings that match no partition."""
+    from chronon_spark.plans.windows import ts_to_millis
+
+    return left.withColumn(
+        "ds", F.date_format(F.timestamp_millis(ts_to_millis(left, tc)), "yyyy-MM-dd")
+    )
+
+
 def left_semantic_hash(join: Join) -> str:
     """Hash of only the definition fields that shape the materialized LEFT
     table (name, time column, skew exclusion) — part/derivation changes must
@@ -465,7 +476,7 @@ def materialize_join_left(
     if join.skew_keys:
         left = filter_skew_keys(left, join.skew_keys)
     tc = join.time_column
-    left_ds = left.withColumn("ds", F.date_format(F.col(tc), "yyyy-MM-dd"))
+    left_ds = _stamp_ds(left, tc)
     table = resolve_table(spark, out_root, f"{join.name}_left")
     backfill(
         spark,
@@ -516,7 +527,7 @@ def materialize_join(
         left = filter_skew_keys(left, join.skew_keys)
     run_setups(left, join.setups)
     tc = join.time_column
-    left_ds = left.withColumn("ds", F.date_format(F.col(tc), "yyyy-MM-dd"))
+    left_ds = _stamp_ds(left, tc)
 
     part_tables: dict[str, object] = {}
     for part in join.join_parts:

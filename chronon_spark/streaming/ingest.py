@@ -100,6 +100,11 @@ def decode_kafka_records(
     ``dedupe_kafka_stream``).
     """
     if dedupe_on_offset:
+        if raw.isStreaming:
+            raise ValueError(
+                "dedupe_on_offset is batch-only (unbounded dedup state on a "
+                "stream); use dedupe_kafka_stream (watermark-bounded) instead"
+            )
         raw = raw.dropDuplicates(["topic", "partition", "offset"])
     meta_names = (
         ["_kafka_topic", "_kafka_partition", "_kafka_offset", "_kafka_timestamp"]

@@ -734,3 +734,56 @@ def flattened(spark):
     tot = got2.select(F.sum("sampled_row_count")).first()[0]
     full = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert 0 < tot < full
+
+
+def test_cli_join_final_incomplete_and_stale_left(spark, tmp_path, capsys, day_range):
+    """join-final refuses a left table that does not cover the requested
+    range (INCOMPLETE_LEFT_TABLE) or was built under a different left
+    definition (STALE_LEFT_TABLE) — silent truncation is the failure mode
+    both guard against."""
+    import datetime as _dt
+
+    conf = tmp_path / "join_conf.py"
+    conf.write_text(JOIN_CONF)
+    lo, hi = day_range
+    root = str(tmp_path / "guard")
+
+    rc, res = _run(
+        spark,
+        ["join-left", "--conf", str(conf), "--out-root", root,
+         "--start-ds", lo, "--end-ds", hi],
+        capsys,
+    )
+    assert rc == 0
+
+    # ask join-final for one day MORE than join-left covered
+    hi_plus = (
+        _dt.date.fromisoformat(hi) + _dt.timedelta(days=1)
+    ).isoformat()
+    rc, res = _run(
+        spark,
+        ["join-final", "--conf", str(conf), "--out-root", root,
+         "--start-ds", lo, "--end-ds", hi_plus],
+        capsys,
+    )
+    assert rc == 1
+    assert res["errors"][0]["code"] == "INCOMPLETE_LEFT_TABLE"
+    assert hi_plus in res["errors"][0]["message"]
+
+    # change the left definition (add a skew exclusion) without re-running
+    # join-left -> stale
+    stale_conf = tmp_path / "join_conf_stale.py"
+    stale_conf.write_text(
+        JOIN_CONF.replace(
+            'join = Join(name="cli_join", left_keys=["user_id"], join_parts=[JoinPart(group_by=_gb)])',
+            'join = Join(name="cli_join", left_keys=["user_id"], join_parts=[JoinPart(group_by=_gb)], skew_keys={"user_id": [1]})',
+        )
+    )
+    rc, res = _run(
+        spark,
+        ["join-final", "--conf", str(stale_conf), "--out-root", root,
+         "--start-ds", lo, "--end-ds", hi],
+        capsys,
+    )
+    assert rc == 1
+    assert any(e["code"] == "STALE_LEFT_TABLE" for e in res["errors"])

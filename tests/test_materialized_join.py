@@ -143,3 +143,34 @@ def test_part_checkpoint_invalidates_on_skew_key_change(spark, events, tmp_path)
     hot_rows = out.where(F.col("user_id") == hot)
     assert hot_rows.count() > 0
     assert hot_rows.where(F.col("g_value_count_7d").isNotNull()).count() > 0
+
+
+def test_join_left_long_millis_time_column(spark, events, tmp_path):
+    """materialize_join_left must honor the long-epoch-millis ts contract:
+    a bigint fed straight to date_format is cast as SECONDS (year-57000 day
+    strings) and every partition would come out empty."""
+    from chronon_spark.operators.join import materialize_join_left
+
+    gb = GroupBy(
+        name="ml_gb",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(1, TimeUnit.DAYS),))],
+    )
+    join = Join(name="mlj", left_keys=["user_id"], join_parts=[JoinPart(group_by=gb)])
+    left_ms = events.select(
+        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts")
+    )
+    lo = events.select(F.date_format(F.min("ts"), "yyyy-MM-dd")).first()[0]
+    hi = events.select(
+        F.date_format(F.date_add(F.min("ts"), 2), "yyyy-MM-dd")
+    ).first()[0]
+    table = materialize_join_left(
+        spark, left_ms, join, str(tmp_path / "ml"), lo, hi
+    )
+    parts = table.partitions()
+    assert parts and parts[0] == lo, f"bad partitions {parts}"
+    got = table.read_range(spark, lo, hi)
+    want = left_ms.where(
+        F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd").between(lo, hi)
+    )
+    assert got.count() == want.count() > 0

@@ -317,3 +317,23 @@ def test_kafka_offset_identity_dedup(spark, events, tmp_path):
     out = spark.table("t_kdedup")
     assert out.count() == 200
     assert {r["event_id"] for r in out.select("event_id").collect()} == want_ids
+
+
+def test_kafka_offset_dedup_rejects_streaming_frame(spark, events, tmp_path):
+    """dedupe_on_offset is batch-only (unbounded state on a stream) — the
+    guard must fire at build time, not OOM a long-running job."""
+    import pytest
+
+    from chronon_spark.streaming.ingest import (
+        KAFKA_RECORD_SCHEMA,
+        decode_kafka_records,
+    )
+
+    src = tmp_path / "kguard"
+    src.mkdir()
+    _kafka_shaped(events, n=20, redeliver=0).coalesce(1).write.mode("overwrite").parquet(str(src))
+    raw = read_event_stream(
+        spark, str(src), schema=KAFKA_RECORD_SCHEMA, source_format="parquet"
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        decode_kafka_records(raw, SCHEMA, dedupe_on_offset=True)
