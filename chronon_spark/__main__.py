@@ -39,6 +39,9 @@ Conf-module contract (only the names a given subcommand needs):
                              --upload-root --out-root --batch-end-ds
     metadata-export       -> ``group_by`` and/or ``join`` (semantic hashes,
                              output schema — what resume keys on)
+    metadata-upload       -> same conf; publishes the export payload to the
+                             ``{out_root}/_metadata`` registry (KV-put
+                             analog, latest-wins per name); args --out-root
     group-by-streaming    -> ``group_by``, ``stream(spark)`` (a readStream
                              frame), optional ``hop``/``watermark``; args
                              --out-root --checkpoint-dir
@@ -389,10 +392,14 @@ def cmd_group_by_upload(spark, conf, args) -> dict:
         insert_overwrite_partitions(
             frame.withColumn("ds", F.lit(args.batch_end_ds)), t
         )
+        # upload provenance: fetch refuses to lambda-merge IRs computed
+        # under a different GroupBy definition (serving-time hash check)
+        t.write_lineage(args.batch_end_ds, {"semantic_hash": gb.semantic_hash()})
         tables[suffix] = _table_id(t)
     return {
         "command": "group-by-upload",
         "batch_end_ds": args.batch_end_ds,
+        "semantic_hash": gb.semantic_hash(),
         "tables": tables,
     }
 
@@ -410,15 +417,36 @@ def cmd_fetch(spark, conf, args) -> dict:
 
     join = conf.join
     batch = {}
+    stale = []
     for part in join.join_parts:
         gb = part.group_by
         frames = []
         for suffix in ("upload_collapsed", "upload_tail"):
             t = resolve_table(spark, args.upload_root, f"{gb.name}_{suffix}")
+            # serving-time safety: the uploaded IRs must have been computed
+            # under THIS GroupBy definition — lambda-merging stale IRs with a
+            # fresh stream silently serves wrong features (the reference's
+            # fetcher gets the same guarantee from the KV-uploaded conf)
+            lin = (t.lineage(args.batch_end_ds) or {}).get("semantic_hash")
+            if lin != gb.semantic_hash():
+                stale.append(
+                    {
+                        "code": "STALE_UPLOAD",
+                        "message": (
+                            f"{_table_id(t)}@{args.batch_end_ds}: uploaded hash "
+                            f"{lin} != current definition {gb.semantic_hash()} "
+                            f"for GroupBy '{gb.name}' — re-run group-by-upload"
+                        ),
+                    }
+                )
+                continue
             frames.append(
                 t.read(spark).where(F.col("ds") == args.batch_end_ds).drop("ds")
             )
-        batch[gb.name] = (frames[0], frames[1])
+        if len(frames) == 2:
+            batch[gb.name] = (frames[0], frames[1])
+    if stale:
+        return {"command": "fetch", "errors": stale}
     out = fetch_join(
         conf.requests(spark), batch, conf.streams(spark), join,
         args.batch_end_ds, tiebreak=_opt(conf, "tiebreak"),
@@ -522,7 +550,12 @@ def cmd_metadata_export(spark, conf, args) -> dict:
     """Definition metadata + semantic hashes (reference Driver.scala
     ``metadata-export``): exactly what the incremental-resume machinery keys
     on, exported for inspection and change diffing."""
-    out: dict = {"command": "metadata-export"}
+    return {"command": "metadata-export", **_metadata_payload(spark, conf)}
+
+
+def _metadata_payload(spark, conf) -> dict:
+    """Shared payload builder for metadata-export/metadata-upload."""
+    out: dict = {}
     if hasattr(conf, "group_by"):
         gb = conf.group_by
         out["group_by"] = {
@@ -552,6 +585,41 @@ def cmd_metadata_export(spark, conf, args) -> dict:
             ],
         }
     return out
+
+
+def cmd_metadata_upload(spark, conf, args) -> dict:
+    """Publish definition metadata to the serving registry (reference
+    Driver.scala:851-888 ``metadata-upload`` -> MetadataUploader putConf):
+    one KV-style row per entity (kind, name, semantic_hash, payload JSON,
+    upload time) in ``{out_root}/_metadata``, latest-upload-wins per name.
+    Fetchers and ops tooling resolve definitions (and the hash the serving
+    check verifies) from this table instead of shipping conf files."""
+    import datetime as _dt
+    import os
+
+    payload = _metadata_payload(spark, conf)
+    if not payload:
+        return {
+            "command": "metadata-upload",
+            "errors": [
+                {"code": "EMPTY_CONF", "message": "conf exposes neither group_by nor join"}
+            ],
+        }
+    now = _dt.datetime.now(_dt.timezone.utc).isoformat()
+    registry = os.path.join(args.out_root, "_metadata")
+    os.makedirs(registry, exist_ok=True)
+    # KV-put analog: one JSON document per (kind, name), latest upload wins
+    # by overwrite — the registry is tiny definition metadata, file-per-key
+    # is the simple durable shape (and trivially mirrors to a real KV store)
+    entries = []
+    for kind, meta in payload.items():
+        doc = {**meta, "kind": kind, "uploaded_at": now}
+        with open(os.path.join(registry, f"{kind}__{meta['name']}.json"), "w") as f:
+            json.dump(doc, f, sort_keys=True)
+        entries.append(
+            {"kind": kind, "name": meta["name"], "semantic_hash": meta["semantic_hash"]}
+        )
+    return {"command": "metadata-upload", "registry": registry, "entries": entries}
 
 
 def cmd_log_summary(spark, conf, args) -> dict:
@@ -598,6 +666,7 @@ COMMANDS = {
     "group-by-upload": (cmd_group_by_upload, False),
     "fetch": (cmd_fetch, False),
     "metadata-export": (cmd_metadata_export, False),
+    "metadata-upload": (cmd_metadata_upload, False),
     "group-by-streaming": (cmd_group_by_streaming, False),
     "daily-stats": (cmd_daily_stats, False),
     "log-summary": (cmd_log_summary, False),
@@ -615,6 +684,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "group-by-streaming": ["--out-root", "--checkpoint-dir"],
         "daily-stats": ["--out-root"],
         "log-summary": ["--out-root"],
+        "metadata-upload": ["--out-root"],
     }
     for name, (_, needs_range) in COMMANDS.items():
         sp = sub.add_parser(name)

@@ -787,3 +787,80 @@ def test_cli_join_final_incomplete_and_stale_left(spark, tmp_path, capsys, day_r
     )
     assert rc == 1
     assert any(e["code"] == "STALE_LEFT_TABLE" for e in res["errors"])
+
+
+def test_cli_metadata_upload_registry_and_latest_wins(spark, tmp_path, capsys):
+    """metadata-upload publishes one JSON document per (kind, name) to the
+    {out_root}/_metadata registry; re-uploading after a definition change
+    overwrites that name's document (latest-wins KV-put)."""
+    import json as _json
+
+    conf = tmp_path / "mu_conf.py"
+    conf.write_text(GB_CONF)
+    root = str(tmp_path / "reg")
+    rc, res = _run(
+        spark,
+        ["metadata-upload", "--conf", str(conf), "--out-root", root],
+        capsys,
+    )
+    assert rc == 0 and res["entries"][0]["name"] == "cli_gb"
+    doc_path = os.path.join(res["registry"], "group_by__cli_gb.json")
+    with open(doc_path) as f:
+        doc1 = _json.load(f)
+    assert doc1["semantic_hash"] == res["entries"][0]["semantic_hash"]
+    assert doc1["output_columns"]
+
+    # change the definition -> re-upload -> document replaced, hash moves
+    conf2 = tmp_path / "mu_conf2.py"
+    conf2.write_text(GB_CONF.replace("Window(1, TimeUnit.DAYS)", "Window(7, TimeUnit.DAYS)"))
+    rc, res2 = _run(
+        spark,
+        ["metadata-upload", "--conf", str(conf2), "--out-root", root],
+        capsys,
+    )
+    assert rc == 0
+    with open(doc_path) as f:
+        doc2 = _json.load(f)
+    assert doc2["semantic_hash"] != doc1["semantic_hash"]
+    assert doc2["semantic_hash"] == res2["entries"][0]["semantic_hash"]
+
+
+def test_cli_fetch_rejects_stale_upload(spark, tmp_path, capsys):
+    """Serving-time hash check: fetch must refuse to lambda-merge IR tables
+    uploaded under a DIFFERENT GroupBy definition (silently serving stale
+    features is the failure mode)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    days = [
+        r["d"]
+        for r in ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct().orderBy("d").limit(4).collect()
+    ]
+    batch_end, serve = days[2], days[3]
+    conf = tmp_path / "sf_conf.py"
+    conf.write_text(
+        FETCH_CONF.replace("__BATCH_END__", batch_end).replace("__SERVE__", serve)
+    )
+    rc, _ = _run(
+        spark,
+        ["group-by-upload", "--conf", str(conf),
+         "--out-root", str(tmp_path / "sups"), "--batch-end-ds", batch_end],
+        capsys,
+    )
+    assert rc == 0
+
+    # definition changes AFTER the upload (1d window -> 7d)
+    stale_conf = tmp_path / "sf_conf2.py"
+    stale_conf.write_text(
+        FETCH_CONF.replace("__BATCH_END__", batch_end)
+        .replace("__SERVE__", serve)
+        .replace("Window(1, TimeUnit.DAYS)", "Window(7, TimeUnit.DAYS)")
+    )
+    rc, res = _run(
+        spark,
+        ["fetch", "--conf", str(stale_conf),
+         "--upload-root", str(tmp_path / "sups"),
+         "--out-root", str(tmp_path / "sfout"), "--batch-end-ds", batch_end],
+        capsys,
+    )
+    assert rc == 1
+    assert all(e["code"] == "STALE_UPLOAD" for e in res["errors"]) and res["errors"]
