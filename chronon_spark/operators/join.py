@@ -171,7 +171,10 @@ def _merge_groups(
     part — the reference's shared per-part intermediate-table reuse
     (JoinBase.scala:196-213) taken one step further. Order of first
     appearance is preserved."""
+    from dataclasses import replace
+
     groups: dict[tuple, list[JoinPart]] = {}
+    atom_reg: dict[tuple, dict[str, object]] = {}  # group -> {out col: atom}
     order: list[tuple] = []
     for i, part in enumerate(join.join_parts):
         gb = part.group_by
@@ -183,11 +186,36 @@ def _merge_groups(
             # engine — never merged into an event-tile pass
             and not isinstance(sources[gb.name], (tuple, list, dict))
         )
-        key = (
-            (id(sources[gb.name]), tuple(part.left_keys()), tuple(gb.keys), gb.time_column)
-            if mergeable
-            else ("solo", i)
-        )
+        if not mergeable:
+            key = ("solo", i)
+        else:
+            base = (
+                id(sources[gb.name]), tuple(part.left_keys()), tuple(gb.keys),
+                gb.time_column,
+            )
+            # single-(window, bucket) atoms, keyed by the OUTPUT COLUMN they
+            # render: two parts may declare aggregations that collide on a
+            # name while differing in sketch knobs the name does not encode
+            # (lg_k / accuracy / mg_cap / percentiles) — those must NOT share
+            # a pass (one column cannot carry two definitions), so such a
+            # part falls through to the next variant of the group
+            part_atoms = {
+                a.output_name(w, b): replace(
+                    a,
+                    windows=(w,) if w is not None else None,
+                    buckets=(b,) if b is not None else None,
+                )
+                for a in gb.aggregations
+                for w, b in a.unpacked()
+            }
+            v = 0
+            while True:
+                key = (*base, v)
+                reg = atom_reg.setdefault(key, {})
+                if all(reg.get(n) in (None, at) for n, at in part_atoms.items()):
+                    reg.update(part_atoms)
+                    break
+                v += 1
         if key not in groups:
             groups[key] = []
             order.append(key)
@@ -206,17 +234,32 @@ def _compute_merged_parts(
     """One temporal_events pass serving several join parts (same source,
     same key mapping): aggregations are deduplicated across parts, computed
     once, and fanned back out to each part's prefixed column names."""
+    from dataclasses import replace
+
     first = parts[0]
     gb0 = first.group_by
     lkeys = first.left_keys()
-    # dedupe identical aggregations across parts (frozen dataclass equality)
+    # dedupe at OUTPUT-COLUMN granularity: parts may declare overlapping but
+    # non-identical aggregations (e.g. MIN(value) over (2h,) in one part and
+    # over (2h, 1d) in another) — whole-Aggregation dedup would render
+    # value_min_2h twice and make the merged frame ambiguous. _merge_groups
+    # guarantees no same-name atoms with different definitions reach here.
     merged_aggs: list = []
-    seen: dict = {}
+    seen_cols: set[str] = set()
     for p in parts:
         for a in p.group_by.aggregations:
-            if a not in seen:
-                seen[a] = a
-                merged_aggs.append(a)
+            for w, b in a.unpacked():
+                col = a.output_name(w, b)
+                if col in seen_cols:
+                    continue
+                seen_cols.add(col)
+                merged_aggs.append(
+                    replace(
+                        a,
+                        windows=(w,) if w is not None else None,
+                        buckets=(b,) if b is not None else None,
+                    )
+                )
     merged_gb = G.GroupBy(
         name=gb0.name,
         keys=gb0.keys,
