@@ -290,3 +290,81 @@ def test_upload_rejects_unaligned_windows(spark, events, split):
     )
     with pytest.raises(ValueError, match="horizon"):
         upload_batch_irs(batch, gb_ok, batch_end_ds, horizon_ms=7 * 60_000)
+
+
+@pytest.mark.parametrize("seed", [3, 77])
+def test_random_config_fetch_equals_full_log(spark, seed):
+    """Randomized serving sweep: random hop-mergeable GroupBys over a bursty
+    synthetic stream (duplicate timestamps, nulls, hop-boundary clusters) —
+    upload + lambda fetch must equal temporal_events over the unified log
+    for every configuration, including requests exactly at tile boundaries."""
+    import random
+
+    from test_random_differential import (
+        SWEEP_OPS,
+        WINDOW_POOL,
+        _assert_rows_close,
+        _freeze,
+        _random_events,
+    )
+
+    rng = random.Random(seed)
+    ev = _random_events(spark, rng).cache()
+    # upload-legal random GroupBy: scalar hop-mergeable ops, hop-aligned
+    # windows (the WINDOW_POOL is hop-aligned by construction)
+    aggs = []
+    for op, needs_k, col in rng.sample(SWEEP_OPS, k=rng.randint(3, 5)):
+        wins = rng.sample([w for w in WINDOW_POOL if w is not None], k=rng.randint(1, 2))
+        if rng.random() < 0.25:
+            wins = None  # lifetime: collapsed-only slot
+        aggs.append(
+            Aggregation(
+                op, col,
+                windows=tuple(wins) if wins else None,
+                k=rng.randint(2, 4) if needs_k else None,
+            )
+        )
+    gb = GroupBy(name=f"sv{seed}", keys=["k"], aggregations=aggs)
+
+    days = [
+        r["d"]
+        for r in ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct().orderBy("d").collect()
+    ]
+    batch_end_ds, serve_day = days[-3], days[-2]
+    import datetime as dt
+
+    assert (
+        dt.date.fromisoformat(serve_day) - dt.date.fromisoformat(batch_end_ds)
+    ).days == 1, "need a contiguous serve day"
+    d = F.date_format("ts", "yyyy-MM-dd")
+    batch = ev.where(d <= batch_end_ds)
+    stream = ev.where(d == serve_day)
+    requests = (
+        ev.where(d == serve_day).sample(0.5, seed=seed).select("k", "ts")
+        # plus requests exactly at hop boundaries inside the horizon
+        .unionByName(
+            ev.where(d == serve_day).sample(0.2, seed=seed + 1).select(
+                "k", F.to_timestamp(F.date_trunc("hour", "ts")).alias("ts")
+            )
+        )
+        .distinct()
+    )
+    if requests.count() == 0:
+        pytest.skip("no serve-day rows at this seed")
+
+    collapsed, tiles = upload_batch_irs(batch, gb, batch_end_ds, tiebreak="event_id")
+    got_df = fetch_features(
+        requests, collapsed, tiles, stream, gb, batch_end_ds, tiebreak="event_id"
+    )
+    want_df = temporal_events(requests, ev, gb, tiebreak="event_id")
+    cols = ["k", "ts", *gb.output_columns()]
+    key = lambda r: (str(r[0]), str(r[1]))  # noqa: E731
+    got = sorted(
+        (tuple(_freeze(v) for v in r) for r in got_df.select(*cols).collect()), key=key
+    )
+    want = sorted(
+        (tuple(_freeze(v) for v in r) for r in want_df.select(*cols).collect()), key=key
+    )
+    _assert_rows_close(got, want, f"seed={seed}: fetch vs full-log")
+    ev.unpersist()
