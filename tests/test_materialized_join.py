@@ -174,3 +174,65 @@ def test_join_left_long_millis_time_column(spark, events, tmp_path):
         F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd").between(lo, hi)
     )
     assert got.count() == want.count() > 0
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed,step_days", [(13, 1), (29, 3)])
+def test_random_config_chunked_backfill_matches_compute_join(
+    spark, tmp_path, seed, step_days
+):
+    """Randomized chunked-backfill sweep: materialize_join at small step_days
+    (many chunk boundaries; each chunk narrows its events scan to
+    [lo - max_window, hi)) must equal the in-memory compute_join for random
+    window sets — including lifetime aggregations, where narrowing must be
+    disabled (max_window_millis None) or history would be silently lost."""
+    import random
+
+    from test_random_differential import (
+        _assert_rows_close,
+        _freeze,
+        _random_events,
+        _random_gb,
+    )
+
+    rng = random.Random(seed)
+    ev = _random_events(spark, rng).cache()
+    parts, sources = [], {}
+    for i in range(2):
+        gb = _random_gb(rng)
+        gb.name = f"cb{i}"
+        parts.append(JoinPart(group_by=gb, key_mapping={"uid": "k"}))
+        sources[gb.name] = ev
+    j = Join(name=f"cbj{seed}", left_keys=["uid"], join_parts=parts, time_column="ts")
+    left = ev.sample(0.1, seed=seed).select(F.col("k").alias("uid"), "ts").distinct()
+
+    days = [
+        r["d"]
+        for r in ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct().orderBy("d").collect()
+    ]
+    lo, hi = days[2], days[-2]  # start mid-history: windows reach back before lo
+
+    from chronon_spark.operators.join import materialize_join
+
+    final, _pt = materialize_join(
+        spark, left, sources, j, str(tmp_path / "cb"), lo, hi,
+        tiebreak="event_id", step_days=step_days,
+    )
+    got_df = final.read(spark).drop("ds")
+    want_df = compute_join(left, sources, j, tiebreak="event_id").where(
+        F.date_format("ts", "yyyy-MM-dd").between(lo, hi)
+    )
+    cols = sorted(want_df.columns)
+    key = lambda r: (str(r[cols.index("uid")]), str(r[cols.index("ts")]))  # noqa: E731
+    got = sorted(
+        (tuple(_freeze(v) for v in r) for r in got_df.select(*cols).collect()), key=key
+    )
+    want = sorted(
+        (tuple(_freeze(v) for v in r) for r in want_df.select(*cols).collect()), key=key
+    )
+    assert len(want) > 0
+    _assert_rows_close(got, want, f"seed={seed} step={step_days}: chunked vs memory")
+    ev.unpersist()
