@@ -69,3 +69,54 @@ def test_snapshot_events_empty_source_returns_empty(spark):
     out = snapshot_events(ev, gb)
     assert out.count() == 0
     assert set(out.columns) == {"user", "v_sum_7d", "ds"}
+
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.mark.parametrize("seed", [17, 51])
+def test_random_config_snapshot_equals_temporal_at_midnight(spark, seed):
+    """Cross-engine differential: for every (key, ds) row the snapshot
+    engine emits, the TEMPORAL engine queried at the next midnight (features
+    as of end-of-ds, strict <) must produce identical values — the two
+    engines implement one contract (reference GroupByTest.scala:57-121
+    snapshot oracle) through different plans."""
+    import random
+
+    from test_random_differential import (
+        _assert_rows_close,
+        _freeze,
+        _random_events,
+        _random_gb,
+    )
+
+    from chronon_spark.operators.groupby import snapshot_events, temporal_events
+
+    rng = random.Random(seed)
+    ev = _random_events(spark, rng).cache()
+    gb = _random_gb(rng)
+
+    snap = snapshot_events(ev, gb, tiebreak="event_id").cache()
+    assert snap.count() > 0
+    # query each emitted (key, ds) at the NEXT midnight: end-of-ds state
+    q = snap.select(
+        "k",
+        F.to_timestamp(F.date_add(F.to_date("ds"), 1)).alias("ts"),
+        "ds",
+    )
+    want_df = temporal_events(
+        q.select("k", "ts").distinct(), ev, gb, tiebreak="event_id", strategy="exact"
+    ).join(q, ["k", "ts"]).drop("ts")
+
+    cols = ["k", "ds", *gb.output_columns()]
+    key = lambda r: (str(r[0]), str(r[1]))  # noqa: E731
+    got = sorted(
+        (tuple(_freeze(v) for v in r) for r in snap.select(*cols).collect()), key=key
+    )
+    want = sorted(
+        (tuple(_freeze(v) for v in r) for r in want_df.select(*cols).collect()), key=key
+    )
+    _assert_rows_close(got, want, f"seed={seed}: snapshot vs temporal@midnight")
+    snap.unpersist()
+    ev.unpersist()
