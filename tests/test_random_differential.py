@@ -93,8 +93,10 @@ def _random_events(spark, rng: random.Random):
 
 
 def _freeze(v):
-    if isinstance(v, float):
-        return round(v, 6)
+    """Hashable/orderable row cells. Floats stay RAW: rounding before the
+    tolerant compare quantizes a 1e-9 summation-order difference into
+    exactly 1e-6 (two adjacent 6dp grid points), which sits on isclose's
+    boundary and flakes with shuffle-fetch merge order."""
     if isinstance(v, list):
         return tuple(_freeze(x) for x in v)
     if isinstance(v, dict):
