@@ -68,10 +68,12 @@ def _random_gb(rng: random.Random) -> GroupBy:
     return GroupBy(name=f"g{rng.randint(0, 9999)}", keys=["k"], aggregations=aggs)
 
 
-def _random_events(spark, rng: random.Random):
+def _random_events(spark, rng: random.Random, base_ms: int = 1_700_000_000_000):
     """Bursty synthetic stream: few hot keys, duplicate timestamps, nulls,
-    events clustered at hop boundaries."""
-    base_ms = 1_700_000_000_000  # fixed epoch anchor (determinism)
+    events clustered at hop boundaries. ``base_ms`` defaults to a fixed
+    2023 anchor; pass a NEGATIVE anchor to exercise the pre-1970 regime the
+    label engine's negated-time axis lives in (floor/pmod arithmetic on
+    negative instants)."""
     rows = []
     eid = 0
     for _ in range(1200):
@@ -161,6 +163,42 @@ def test_random_config_estimators_agree(spark, seed):
     }
     _assert_rows_close(rows["hops"], rows["exact"], f"seed={seed}: hops vs exact")
     _assert_rows_close(rows["sliding"], rows["exact"], f"seed={seed}: sliding vs exact")
+    ev.unpersist()
+
+
+@pytest.mark.parametrize("seed", [61])
+def test_random_config_estimators_agree_negative_epoch(spark, seed):
+    """Same three-estimator agreement, but anchored BEFORE 1970: negative
+    epoch millis are the regime label_join's negated-time axis runs in — the
+    tile identity floor(q, hop) - w must hold there too (pmod true floor,
+    not C-style truncation, which rounds toward zero for negatives)."""
+    rng = random.Random(seed)
+    ev = _random_events(spark, rng, base_ms=-1_000_000_000_000).cache()
+    gb = _random_gb(rng)
+    q = (
+        ev.sample(0.15, seed=seed).select("k", "ts")
+        .unionByName(
+            ev.sample(0.05, seed=seed + 1).select(
+                "k", F.to_timestamp(F.date_trunc("hour", "ts")).alias("ts")
+            )
+        )
+        .distinct()
+    )
+    frames = {
+        s: temporal_events(q, ev, gb, tiebreak="event_id", strategy=s)
+        for s in ("exact", "hops", "sliding")
+    }
+    cols = sorted(frames["exact"].columns)
+    kidx, tidx = cols.index("k"), cols.index("ts")
+    rows = {
+        s: sorted(
+            (tuple(_freeze(v) for v in r) for r in df.select(*cols).collect()),
+            key=lambda r: (str(r[kidx]), str(r[tidx])),
+        )
+        for s, df in frames.items()
+    }
+    _assert_rows_close(rows["hops"], rows["exact"], f"seed={seed} neg: hops vs exact")
+    _assert_rows_close(rows["sliding"], rows["exact"], f"seed={seed} neg: sliding vs exact")
     ev.unpersist()
 
 
