@@ -23,6 +23,7 @@ from chronon_spark.api import (  # noqa: F401
     GroupBy,
     Join,
     JoinPart,
+    LabelPart,
     Op,
     Query,
     TimeUnit,

@@ -245,6 +245,19 @@ class JoinPart:
 
 
 @dataclass
+class LabelPart:
+    """One label GroupBy attached to a Join's label side (reference
+    api/thrift/api.thrift:348-357 LabelPart.labels — a LIST of parts — with
+    leftStartOffset/leftEndOffset refresh-window days). ``horizon`` is the
+    forward-looking window labels aggregate over; ``prefix`` namespaces the
+    label columns when several parts attach."""
+
+    group_by: GroupBy
+    horizon: Window
+    prefix: str = "label"
+
+
+@dataclass
 class Query:
     """Row-level scan spec (reference api/thrift/api.thrift:7-17; SQL
     rendering QueryUtils.scala:23-56): ``selects`` maps output name -> Spark

@@ -199,6 +199,78 @@ def label_join(
     return features.join(out, [*label_gb.keys, time_column], "left")
 
 
+def label_join_parts(
+    features: DataFrame,
+    sources,  # dict[str, DataFrame] keyed by label GroupBy name
+    parts,  # list[api.LabelPart]
+    time_column: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Attach SEVERAL label parts (reference LabelPart.labels is a LIST,
+    api/thrift/api.thrift:348-357): each part's forward-horizon labels are
+    computed independently over its own label-event source and joined onto
+    the feature rows under its prefix. Prefixed output namespaces must not
+    collide (two parts over GroupBys with identical output columns need
+    distinct prefixes)."""
+    seen_cols: dict[str, str] = {}
+    for p in parts:
+        for c in p.group_by.output_columns():
+            full = f"{p.prefix}_{c}"
+            if full in seen_cols:
+                raise ValueError(
+                    f"label parts '{seen_cols[full]}' and '{p.group_by.name}' "
+                    f"both render column {full}; give one a distinct prefix"
+                )
+            seen_cols[full] = p.group_by.name
+    out = features
+    for p in parts:
+        out = label_join(
+            out,
+            sources[p.group_by.name],
+            p.group_by,
+            p.horizon,
+            time_column=time_column,
+            tiebreak=tiebreak,
+            prefix=p.prefix,
+        )
+    return out
+
+
+def refresh_window(
+    features: DataFrame,
+    label_ds: str,
+    left_start_offset: int | None,
+    left_end_offset: int | None,
+    time_column: str = "ts",
+) -> DataFrame:
+    """Restrict a label run to the feature days it should (re)label
+    (reference LabelPart.leftStartOffset/leftEndOffset): on a run at
+    ``label_ds``, only feature rows with day in
+    ``[label_ds - left_start_offset, label_ds - left_end_offset]`` are
+    labeled — e.g. left_end_offset=3 means the most recent labeled feature
+    day is 3 days before label_ds (its horizon has matured). None bounds are
+    open."""
+    from chronon_spark.operators.join import _stamp_ds
+
+    if left_start_offset is None and left_end_offset is None:
+        return features
+    stamped = _stamp_ds(features, time_column)
+    cond = F.lit(True)
+    if left_start_offset is not None:
+        cond = cond & (
+            F.col("ds") >= F.date_format(
+                F.date_sub(F.to_date(F.lit(label_ds)), left_start_offset), "yyyy-MM-dd"
+            )
+        )
+    if left_end_offset is not None:
+        cond = cond & (
+            F.col("ds") <= F.date_format(
+                F.date_sub(F.to_date(F.lit(label_ds)), left_end_offset), "yyyy-MM-dd"
+            )
+        )
+    return stamped.where(cond).drop("ds")
+
+
 def materialize_label_join(
     spark,
     name: str,
@@ -211,6 +283,8 @@ def materialize_label_join(
     time_column: str = "ts",
     tiebreak: str | None = None,
     prefix: str = "label",
+    left_start_offset: int | None = None,
+    left_end_offset: int | None = None,
 ):
     """Table-level label orchestration (reference LabelJoin.scala:33-284 +
     view DDL JoinUtils.scala:174-261): each run computes the labels visible
@@ -227,8 +301,14 @@ def materialize_label_join(
     """
     from chronon_spark.sources.tableio import insert_overwrite_partitions, resolve_table
 
+    # refresh window (LabelPart.leftStartOffset/leftEndOffset): a run at
+    # label_ds only (re)labels the feature days whose labels it should
+    # refresh; other days' versions are untouched
+    to_label = refresh_window(
+        features, label_ds, left_start_offset, left_end_offset, time_column
+    )
     labeled = label_join(
-        features, label_events, label_gb, horizon, time_column, tiebreak, prefix
+        to_label, label_events, label_gb, horizon, time_column, tiebreak, prefix
     )
     base_cols = set(features.columns)
     label_cols = [

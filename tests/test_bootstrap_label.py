@@ -191,3 +191,81 @@ def test_label_join_long_millis_ts(spark):
     out = label_join(feats, labels, gb, horizon=Window(7, TimeUnit.DAYS))
     row = out.first()
     assert row["label_v_sum_7d"] == 5.0
+
+
+def test_label_join_parts_multi(spark, events):
+    """Several label parts (reference LabelPart.labels list): each part's
+    columns equal applying it solo; colliding prefixed namespaces raise."""
+    from chronon_spark.api import LabelPart
+    from chronon_spark.operators.bootstrap import label_join_parts
+
+    gb_cnt = GroupBy(name="lc", keys=["user_id"],
+                     aggregations=[Aggregation(Op.COUNT, "value")])
+    gb_sum = GroupBy(name="ls", keys=["user_id"],
+                     aggregations=[Aggregation(Op.SUM, "value")])
+    feats = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts").distinct().limit(40)
+    )
+    parts = [
+        LabelPart(group_by=gb_cnt, horizon=Window(1, TimeUnit.DAYS), prefix="l1"),
+        LabelPart(group_by=gb_sum, horizon=Window(2, TimeUnit.DAYS), prefix="l2"),
+    ]
+    srcs = {"lc": events, "ls": events}
+    out = label_join_parts(feats, srcs, parts, tiebreak="event_id")
+    assert out.count() == feats.count()
+    assert {"l1_value_count_1d", "l2_value_sum_2d"} <= set(out.columns)
+
+    for p, col in ((parts[0], "l1_value_count_1d"), (parts[1], "l2_value_sum_2d")):
+        solo = label_join(
+            feats, events, p.group_by, p.horizon, tiebreak="event_id", prefix=p.prefix
+        )
+        got = {(r[0], r[1], r[2]) for r in out.select("user_id", "ts", col).collect()}
+        want = {(r[0], r[1], r[2]) for r in solo.select("user_id", "ts", col).collect()}
+        assert got == want, col
+
+    # same GroupBy twice under ONE prefix -> column collision must raise
+    import pytest as _pt
+
+    clash = [
+        LabelPart(group_by=gb_cnt, horizon=Window(1, TimeUnit.DAYS), prefix="x"),
+        LabelPart(group_by=gb_cnt, horizon=Window(1, TimeUnit.DAYS), prefix="x"),
+    ]
+    with _pt.raises(ValueError, match="distinct prefix"):
+        label_join_parts(feats, srcs, clash, tiebreak="event_id")
+
+
+def test_label_refresh_offsets(spark, events, tmp_path):
+    """leftStartOffset/leftEndOffset: a run at label_ds only (re)labels
+    feature days in [label_ds - start, label_ds - end]."""
+    import datetime as dt
+
+    from chronon_spark.operators.bootstrap import materialize_label_join
+
+    gb = GroupBy(name="lr", keys=["user_id"],
+                 aggregations=[Aggregation(Op.COUNT, "value")])
+    feats = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts").distinct()
+    )
+    days = [
+        r["d"]
+        for r in feats.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct().orderBy("d").collect()
+    ]
+    label_ds = days[6]
+    # refresh only feature days [label_ds-4, label_ds-2]
+    table, _v1, _v2 = materialize_label_join(
+        spark, "lr", feats, events, gb, Window(1, TimeUnit.DAYS), label_ds,
+        str(tmp_path / "lro"), tiebreak="event_id",
+        left_start_offset=4, left_end_offset=2,
+    )
+    got_days = {
+        r["d"]
+        for r in table.read(spark)
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("d")).distinct().collect()
+    }
+    d0 = dt.date.fromisoformat(label_ds)
+    lo = (d0 - dt.timedelta(days=4)).isoformat()
+    hi = (d0 - dt.timedelta(days=2)).isoformat()
+    assert got_days == {d for d in days if lo <= d <= hi}
