@@ -24,7 +24,9 @@ Conf-module contract (only the names a given subcommand needs):
     analyze               -> ``group_by``, ``source(spark)``
     label-join            -> ``features(spark)``, ``label_events(spark)``,
                              ``label_group_by`` (api.GroupBy), ``horizon``
-                             (api.Window); args --out-root --label-ds
+                             (api.Window), optional ``left_start_offset``/
+                             ``left_end_offset`` (refresh-window days);
+                             args --out-root --label-ds
     log-flattener         -> ``logs(spark)``, ``schemas`` (hash ->
                              (key_ddl, value_ddl)), optional ``join_name``
     consistency-metrics-compute -> ``flattened(spark)``, ``offline(spark)``,
@@ -302,6 +304,9 @@ def cmd_label_join(spark, conf, args) -> dict:
         args.out_root,
         time_column=_opt(conf, "time_column", "ts"),
         tiebreak=_opt(conf, "tiebreak"),
+        # LabelPart refresh window (optional conf fields; None = open bound)
+        left_start_offset=_opt(conf, "left_start_offset"),
+        left_end_offset=_opt(conf, "left_end_offset"),
     )
     return {
         "command": "label-join",
