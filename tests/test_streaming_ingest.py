@@ -337,3 +337,60 @@ def test_kafka_offset_dedup_rejects_streaming_frame(spark, events, tmp_path):
     )
     with pytest.raises(ValueError, match="batch-only"):
         decode_kafka_records(raw, SCHEMA, dedupe_on_offset=True)
+
+
+def test_random_config_stream_tiles_equal_batch(spark, tmp_path):
+    """Randomized lambda-compatibility sweep: for a random hop-mergeable
+    GroupBy over the bursty synthetic stream, a REAL streaming execution's
+    tiles must equal the batch tile computation slot-for-slot."""
+    import random
+
+    from test_random_differential import (
+        SWEEP_OPS,
+        _assert_rows_close,
+        _freeze,
+        _random_events,
+    )
+
+    from chronon_spark.plans.windows import to_millis
+    from chronon_spark.streaming.tiles import tile_aggregates
+
+    rng = random.Random(31)
+    ev = _random_events(spark, rng)
+    src = tmp_path / "rstream"
+    src.mkdir()
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    aggs = [
+        Aggregation(op, col, k=rng.randint(2, 4) if needs_k else None)
+        for op, needs_k, col in rng.sample(SWEEP_OPS, k=4)
+    ]
+    gb = GroupBy(name="rs", keys=["k"], aggregations=aggs)
+
+    raw = read_event_stream(
+        spark, str(src),
+        schema="k string, value double, etype string, event_id long, ts timestamp",
+        source_format="parquet",
+    )
+    tiles = streaming_tiles(raw, gb, hop="1 hour", tiebreak="event_id")
+    run_to_completion(tiles, str(tmp_path / "rsckpt"), query_name="t_rsweep")
+    got_df = spark.table("t_rsweep")
+
+    batch_in = spark.read.parquet(str(src))
+    exprs = tile_aggregates(gb, "event_id")
+    want_df = (
+        batch_in.withColumn("__ts_ms", to_millis(F.col("ts")))
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("tile"), "k")
+        .agg(*[c.alias(n) for n, c in exprs.items()])
+        .select("k", F.unix_millis("tile.start").alias("tile_start_ms"), *exprs.keys())
+    )
+    cols = ["k", "tile_start_ms", *exprs.keys()]
+    key = lambda r: (str(r[0]), str(r[1]))  # noqa: E731
+    got = sorted(
+        (tuple(_freeze(v) for v in r) for r in got_df.select(*cols).collect()), key=key
+    )
+    want = sorted(
+        (tuple(_freeze(v) for v in r) for r in want_df.select(*cols).collect()), key=key
+    )
+    assert len(want) > 0
+    _assert_rows_close(got, want, "random stream tiles vs batch")
