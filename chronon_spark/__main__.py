@@ -433,6 +433,23 @@ def cmd_fetch(spark, conf, args) -> dict:
             # fresh stream silently serves wrong features (the reference's
             # fetcher gets the same guarantee from the KV-uploaded conf)
             lin = (t.lineage(args.batch_end_ds) or {}).get("semantic_hash")
+            if lin is None:
+                # pre-lineage upload tables (written by an older
+                # group-by-upload, or by upload_batch_irs directly) carry no
+                # hash to verify — distinct code + remedy, rather than a
+                # misleading "hash None" staleness claim
+                stale.append(
+                    {
+                        "code": "MISSING_UPLOAD_LINEAGE",
+                        "message": (
+                            f"{_table_id(t)}@{args.batch_end_ds} has no upload "
+                            f"lineage for GroupBy '{gb.name}': re-run "
+                            "group-by-upload (current versions stamp the "
+                            "definition hash the serving check verifies)"
+                        ),
+                    }
+                )
+                continue
             if lin != gb.semantic_hash():
                 stale.append(
                     {
@@ -619,7 +636,11 @@ def cmd_metadata_upload(spark, conf, args) -> dict:
     entries = []
     for kind, meta in payload.items():
         doc = {**meta, "kind": kind, "uploaded_at": now}
-        with open(os.path.join(registry, f"{kind}__{meta['name']}.json"), "w") as f:
+        # definition names are arbitrary strings: sanitize like
+        # tableio.resolve_table so a name with '/' or '..' cannot escape
+        # (or crash out of) the registry directory
+        safe = "".join(c if c.isalnum() or c == "_" else "_" for c in meta["name"])
+        with open(os.path.join(registry, f"{kind}__{safe}.json"), "w") as f:
             json.dump(doc, f, sort_keys=True)
         entries.append(
             {"kind": kind, "name": meta["name"], "semantic_hash": meta["semantic_hash"]}

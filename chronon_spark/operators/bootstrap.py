@@ -210,18 +210,22 @@ def label_join_parts(
     api/thrift/api.thrift:348-357): each part's forward-horizon labels are
     computed independently over its own label-event source and joined onto
     the feature rows under its prefix. Prefixed output namespaces must not
-    collide (two parts over GroupBys with identical output columns need
-    distinct prefixes)."""
+    collide — checked against the columns label_join actually RENDERS
+    (each aggregation's window set is rewritten to the part's horizon), not
+    the declared windows; GroupBy-level derivations may rename further and
+    are the caller's responsibility."""
     seen_cols: dict[str, str] = {}
     for p in parts:
-        for c in p.group_by.output_columns():
-            full = f"{p.prefix}_{c}"
-            if full in seen_cols:
-                raise ValueError(
-                    f"label parts '{seen_cols[full]}' and '{p.group_by.name}' "
-                    f"both render column {full}; give one a distinct prefix"
-                )
-            seen_cols[full] = p.group_by.name
+        for a in p.group_by.aggregations:
+            for b in a.buckets or (None,):
+                full = f"{p.prefix}_{a.output_name(p.horizon, b)}"
+                if full in seen_cols:
+                    raise ValueError(
+                        f"label parts '{seen_cols[full]}' and "
+                        f"'{p.group_by.name}' both render column {full}; "
+                        "give one a distinct prefix"
+                    )
+                seen_cols[full] = p.group_by.name
     out = features
     for p in parts:
         out = label_join(
@@ -249,26 +253,30 @@ def refresh_window(
     ``[label_ds - left_start_offset, label_ds - left_end_offset]`` are
     labeled — e.g. left_end_offset=3 means the most recent labeled feature
     day is 3 days before label_ds (its horizon has matured). None bounds are
-    open."""
-    from chronon_spark.operators.join import _stamp_ds
+    open. The day is derived from the TIME column under a private name, so
+    a caller-supplied ``ds`` column passes through untouched."""
+    from chronon_spark.plans.windows import ts_to_millis
 
     if left_start_offset is None and left_end_offset is None:
         return features
-    stamped = _stamp_ds(features, time_column)
+    day = F.date_format(
+        F.timestamp_millis(ts_to_millis(features, time_column)), "yyyy-MM-dd"
+    )
+    stamped = features.withColumn("__refresh_ds", day)
     cond = F.lit(True)
     if left_start_offset is not None:
         cond = cond & (
-            F.col("ds") >= F.date_format(
+            F.col("__refresh_ds") >= F.date_format(
                 F.date_sub(F.to_date(F.lit(label_ds)), left_start_offset), "yyyy-MM-dd"
             )
         )
     if left_end_offset is not None:
         cond = cond & (
-            F.col("ds") <= F.date_format(
+            F.col("__refresh_ds") <= F.date_format(
                 F.date_sub(F.to_date(F.lit(label_ds)), left_end_offset), "yyyy-MM-dd"
             )
         )
-    return stamped.where(cond).drop("ds")
+    return stamped.where(cond).drop("__refresh_ds")
 
 
 def materialize_label_join(

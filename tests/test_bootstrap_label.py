@@ -234,6 +234,31 @@ def test_label_join_parts_multi(spark, events):
     with _pt.raises(ValueError, match="distinct prefix"):
         label_join_parts(feats, srcs, clash, tiebreak="event_id")
 
+    # the check runs on RENDERED columns (window set is rewritten to the
+    # horizon): different DECLARED windows + same horizon still collide ...
+    gb_w1 = GroupBy(name="w1", keys=["user_id"],
+                    aggregations=[Aggregation(Op.SUM, "value",
+                                              windows=(Window(1, TimeUnit.DAYS),))])
+    gb_w7 = GroupBy(name="w7", keys=["user_id"],
+                    aggregations=[Aggregation(Op.SUM, "value",
+                                              windows=(Window(7, TimeUnit.DAYS),))])
+    rendered_clash = [
+        LabelPart(group_by=gb_w1, horizon=Window(2, TimeUnit.DAYS), prefix="y"),
+        LabelPart(group_by=gb_w7, horizon=Window(2, TimeUnit.DAYS), prefix="y"),
+    ]
+    with _pt.raises(ValueError, match="distinct prefix"):
+        label_join_parts(feats, {"w1": events, "w7": events}, rendered_clash,
+                         tiebreak="event_id")
+
+    # ... while identical declared aggs at DIFFERENT horizons render distinct
+    # columns and must be accepted
+    ok_parts = [
+        LabelPart(group_by=gb_cnt, horizon=Window(1, TimeUnit.DAYS), prefix="z"),
+        LabelPart(group_by=gb_cnt, horizon=Window(2, TimeUnit.DAYS), prefix="z"),
+    ]
+    out2 = label_join_parts(feats, srcs, ok_parts, tiebreak="event_id")
+    assert {"z_value_count_1d", "z_value_count_2d"} <= set(out2.columns)
+
 
 def test_label_refresh_offsets(spark, events, tmp_path):
     """leftStartOffset/leftEndOffset: a run at label_ds only (re)labels

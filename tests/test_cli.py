@@ -864,3 +864,44 @@ def test_cli_fetch_rejects_stale_upload(spark, tmp_path, capsys):
     )
     assert rc == 1
     assert all(e["code"] == "STALE_UPLOAD" for e in res["errors"]) and res["errors"]
+
+
+def test_cli_fetch_missing_upload_lineage(spark, tmp_path, capsys):
+    """Upload tables without a lineage stamp (pre-lineage writers) get a
+    distinct MISSING_UPLOAD_LINEAGE code + remedy, not a misleading
+    'hash None' staleness claim."""
+    import shutil
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    days = [
+        r["d"]
+        for r in ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct().orderBy("d").limit(4).collect()
+    ]
+    batch_end, serve = days[2], days[3]
+    conf = tmp_path / "ml_conf.py"
+    conf.write_text(
+        FETCH_CONF.replace("__BATCH_END__", batch_end).replace("__SERVE__", serve)
+    )
+    root = tmp_path / "mlups"
+    rc, _ = _run(
+        spark,
+        ["group-by-upload", "--conf", str(conf),
+         "--out-root", str(root), "--batch-end-ds", batch_end],
+        capsys,
+    )
+    assert rc == 0
+    # simulate a pre-lineage upload table
+    for d in root.iterdir():
+        lin = d / "_lineage"
+        if lin.is_dir():
+            shutil.rmtree(lin)
+    rc, res = _run(
+        spark,
+        ["fetch", "--conf", str(conf), "--upload-root", str(root),
+         "--out-root", str(tmp_path / "mlout"), "--batch-end-ds", batch_end],
+        capsys,
+    )
+    assert rc == 1
+    assert all(e["code"] == "MISSING_UPLOAD_LINEAGE" for e in res["errors"])
+    assert "re-run" in res["errors"][0]["message"]

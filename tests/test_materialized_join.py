@@ -3,6 +3,7 @@ with the in-memory orchestrator, and partition-checkpoint resume."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from chronon_spark.api import Aggregation, GroupBy, Join, JoinPart, Op, TimeUnit, Window
@@ -174,9 +175,6 @@ def test_join_left_long_millis_time_column(spark, events, tmp_path):
         F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd").between(lo, hi)
     )
     assert got.count() == want.count() > 0
-
-
-import pytest
 
 
 @pytest.mark.parametrize("seed,step_days", [(13, 1), (29, 3)])

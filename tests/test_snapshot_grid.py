@@ -3,6 +3,7 @@ not the full key x day grid (the scale fix for 10^6-key x 365-day runs)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from chronon_spark.api import Accuracy, Aggregation, GroupBy, Op, TimeUnit, Window
@@ -69,10 +70,6 @@ def test_snapshot_events_empty_source_returns_empty(spark):
     out = snapshot_events(ev, gb)
     assert out.count() == 0
     assert set(out.columns) == {"user", "v_sum_7d", "ds"}
-
-
-import pytest
-from pyspark.sql import functions as F
 
 
 @pytest.mark.parametrize("seed", [17, 51])
