@@ -348,3 +348,46 @@ def test_conflicting_sketch_knobs_split_groups(spark):
     )
     assert out.count() == left.count()
     ev.unpersist()
+
+
+def test_bucketed_aggs_across_merged_parts(spark, events):
+    """Bucketed (map-valued) aggregations survive the merged-part pass: the
+    shared map column fans out identically to both prefixes and equals the
+    solo join (map columns cannot go through distinct/set-ops, so compare
+    via sorted JSON entries)."""
+    from chronon_spark.api import Join, JoinPart
+    from chronon_spark.operators.join import compute_join
+
+    ga = GroupBy(
+        name="bka", keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value",
+                                  windows=(Window(1, TimeUnit.DAYS),),
+                                  buckets=("event_type",))],
+    )
+    gb = GroupBy(
+        name="bkb", keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(Window(1, TimeUnit.DAYS),),
+                        buckets=("event_type",)),
+            Aggregation(Op.SUM, "value", windows=(Window(1, TimeUnit.DAYS),)),
+        ],
+    )
+    left = events.where(F.col("event_type") == "purchase").select("user_id", "ts").limit(300)
+    j = Join(name="bkj", left_keys=["user_id"],
+             join_parts=[JoinPart(group_by=ga), JoinPart(group_by=gb)])
+    out = compute_join(left, {"bka": events, "bkb": events}, j, tiebreak="event_id")
+    solo = compute_join(
+        left, {"bka": events},
+        Join(name="bks", left_keys=["user_id"], join_parts=[JoinPart(group_by=ga)]),
+        tiebreak="event_id",
+    )
+    col = "bka_value_count_1d_by_event_type"
+    mstr = lambda c: F.to_json(F.map_entries(F.col(c)))  # noqa: E731
+    a = sorted(str(r) for r in out.select("user_id", "ts", mstr(col)).collect())
+    b = sorted(str(r) for r in solo.select("user_id", "ts", mstr(col)).collect())
+    assert a == b and len(a) > 0
+    diff = out.select(
+        (F.to_json(F.map_entries(col)) ==
+         F.to_json(F.map_entries("bkb_value_count_1d_by_event_type"))).alias("same")
+    ).where(~F.coalesce(F.col("same"), F.lit(True))).count()
+    assert diff == 0
