@@ -129,6 +129,28 @@ def label_join(
     and run the standard strict-past temporal engine — `-ev < -q  <=>
     ev > q`, and the trailing window becomes the leading horizon. Reuses all
     leakage discipline (now guaranteeing labels see ONLY the future)."""
+    # fail fast with actionable messages — the negated-axis engine's own
+    # errors for these misconfigurations are cryptic AnalysisExceptions
+    if horizon is None or horizon.millis <= 0:
+        raise ValueError(
+            f"label horizon must be a positive Window; got {horizon!r}"
+        )
+    missing = [c for c in (*label_gb.keys, time_column) if c not in features.columns]
+    if missing:
+        raise ValueError(
+            f"features frame is missing label key/time columns {missing} "
+            f"(has: {features.columns})"
+        )
+    ev_missing = [
+        c
+        for c in (*label_gb.keys, label_gb.time_column)
+        if c not in label_events.columns
+    ]
+    if ev_missing:
+        raise ValueError(
+            f"label_events frame is missing columns {ev_missing} "
+            f"(has: {label_events.columns})"
+        )
     # negated REAL timestamps (pre-1970 instants) so all millis arithmetic in
     # the engine (to_millis, pmod tail rounding) stays exact
     # schema-aware conversion: a LONG epoch-millis ts run through a bare

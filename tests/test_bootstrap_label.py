@@ -294,3 +294,20 @@ def test_label_refresh_offsets(spark, events, tmp_path):
     lo = (d0 - dt.timedelta(days=4)).isoformat()
     hi = (d0 - dt.timedelta(days=2)).isoformat()
     assert got_days == {d for d in days if lo <= d <= hi}
+
+
+def test_label_join_fail_fast_validation(spark, events):
+    """Misconfigured label joins raise actionable ValueErrors at build time,
+    not cryptic engine AnalysisExceptions."""
+    import pytest as _pt
+
+    gb = GroupBy(name="lv", keys=["user_id"],
+                 aggregations=[Aggregation(Op.COUNT, "value")])
+    feats = events.select("user_id", "ts").limit(10)
+
+    with _pt.raises(ValueError, match="positive Window"):
+        label_join(feats, events, gb, horizon=None)
+    with _pt.raises(ValueError, match="missing label key/time"):
+        label_join(feats.drop("user_id"), events, gb, Window(1, TimeUnit.DAYS))
+    with _pt.raises(ValueError, match="label_events frame is missing"):
+        label_join(feats, events.drop("value").drop("user_id"), gb, Window(1, TimeUnit.DAYS))
