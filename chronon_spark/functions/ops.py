@@ -122,6 +122,24 @@ HOP_MERGEABLE_OPS = {
     Op.APPROX_UNIQUE_COUNT,
 }
 
+#: ops the SERVING upload/fetch path can split into mergeable IRs: the hop
+#: set plus APPROX_PERCENTILE via a KMV (bottom-k-by-hash) value sample —
+#: a uniform event sample that merges by union-then-keep-k-smallest, the
+#: same mergeability the reference gets from its KLL sketch
+#: (SimpleAggregators.scala:654-694). Offline auto-routing keeps using the
+#: exact estimator for APPROX_PERCENTILE; this set gates serving only.
+SERVING_MERGEABLE_OPS = HOP_MERGEABLE_OPS | {Op.APPROX_PERCENTILE}
+
+#: default KMV sample size (quantile rank error ~ sqrt(p(1-p)/k)); the
+#: Aggregation.accuracy knob overrides, hard-capped so a requested-lossless
+#: accuracy=Int.MaxValue cannot make per-key IR state unbounded at scale
+DEFAULT_KMV_SAMPLE = 2048
+MAX_KMV_SAMPLE = 1 << 22
+
+
+def kmv_cap(agg: Aggregation) -> int:
+    return int(min(agg.accuracy or DEFAULT_KMV_SAMPLE, MAX_KMV_SAMPLE))
+
 
 def partial_cols(agg: Aggregation, value: Column, ts: Column, tiebreak: Column | None, slot: str) -> dict[str, Column]:
     """Per-tile partial aggregate columns for one op. Keys are IR slot names."""
@@ -170,6 +188,23 @@ def partial_cols(agg: Aggregation, value: Column, ts: Column, tiebreak: Column |
         return {f"{slot}__set": F.collect_set(value)}
     if op == Op.APPROX_UNIQUE_COUNT:
         return {f"{slot}__hll": F.hll_sketch_agg(value)}
+    if op == Op.APPROX_PERCENTILE:
+        # KMV sample: hash every EVENT (value, ts, tiebreak — not value
+        # alone, duplicates must stay weighted), keep the k smallest by
+        # hash. array_sort on struct<h,v> orders by h first.
+        h = F.xxhash64(value, ts, tiebreak if tiebreak is not None else F.lit(0))
+        # keep the value's NATIVE type: percentile_approx returns its input
+        # type (int column -> int quantiles), and the serving path must match
+        # the offline engine's schema exactly
+        pair = F.when(
+            value.isNotNull() & ts.isNotNull(),
+            F.struct(h.alias("h"), value.alias("v")),
+        )
+        return {
+            f"{slot}__kmv": F.slice(
+                F.array_sort(F.collect_list(pair)), 1, kmv_cap(agg)
+            )
+        }
     raise ValueError(f"{op} has no mergeable partial form (use exact estimator)")
 
 
@@ -261,4 +296,13 @@ def partial_merge_cols(agg: Aggregation, slot: str) -> dict[str, Column]:
         return {f"{slot}__set": F.array_distinct(F.flatten(F.collect_list(c("set"))))}
     if op == Op.APPROX_UNIQUE_COUNT:
         return {f"{slot}__hll": F.hll_union_agg(c("hll"))}
+    if op == Op.APPROX_PERCENTILE:
+        # KMV merge = union then keep the k smallest hashes: still a uniform
+        # sample of the union (the bottom-k of a union is the bottom-k of
+        # the concatenated bottom-k's)
+        return {
+            f"{slot}__kmv": F.slice(
+                F.array_sort(F.flatten(F.collect_list(c("kmv")))), 1, kmv_cap(agg)
+            )
+        }
     raise ValueError(f"{op} has no mergeable partial form")

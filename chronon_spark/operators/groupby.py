@@ -427,6 +427,30 @@ def _merge_with_masked_cols(a: Aggregation, slot: str, mask: Column) -> Column:
         return F.size(F.array_distinct(F.flatten(F.collect_list(c("set"))))).cast("long")
     if op == Op.APPROX_UNIQUE_COUNT:
         return F.hll_sketch_estimate(F.hll_union_agg(c("hll")))
+    if op == Op.APPROX_PERCENTILE:
+        # merge KMV samples (union, keep k smallest hashes), then the
+        # discrete quantile of the sampled values: rank ceil(p*n), matching
+        # percentile_approx's smallest-value-at-rank semantics — at a
+        # lossless cap (accuracy >= group size) this IS the exact discrete
+        # quantile
+        from chronon_spark.functions.ops import kmv_cap
+
+        flat = F.slice(
+            F.array_sort(F.flatten(F.collect_list(c("kmv")))), 1, kmv_cap(a)
+        )
+        vals = F.array_sort(F.transform(flat, lambda s: s["v"]))
+        n = F.size(vals)
+        ps = list(a.percentiles or (0.5,))
+        q_ = F.array(
+            *[
+                F.element_at(
+                    vals,
+                    F.greatest(F.lit(1), F.ceil(F.lit(float(p)) * n)).cast("int"),
+                )
+                for p in ps
+            ]
+        )
+        return F.when(n > 0, q_)
     raise ValueError(f"{op} not hop-mergeable")
 
 

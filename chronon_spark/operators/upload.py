@@ -64,9 +64,9 @@ def _batch_end_ms(batch_end_ds: str) -> int:
 def _pairs(gb: GroupBy, horizon_ms: int | None = None):
     out = []
     for a in gb.aggregations:
-        if a.buckets or a.operation not in O.HOP_MERGEABLE_OPS:
+        if a.buckets or a.operation not in O.SERVING_MERGEABLE_OPS:
             raise ValueError(
-                f"upload supports scalar hop-mergeable aggregations; got "
+                f"upload supports scalar mergeable aggregations; got "
                 f"{a.operation.value} (buckets={a.buckets})"
             )
         for w, _ in a.unpacked():

@@ -368,3 +368,73 @@ def test_random_config_fetch_equals_full_log(spark, seed):
     )
     _assert_rows_close(got, want, f"seed={seed}: fetch vs full-log")
     ev.unpersist()
+
+
+def test_serving_percentile_lossless_equals_exact(spark, events, split):
+    """APPROX_PERCENTILE rides the serving path via a KMV (bottom-k-by-hash)
+    sample IR. At a lossless cap (accuracy >= any group size) the sample is
+    the whole group, so upload + lambda fetch must equal the exact discrete
+    quantiles from the full-log temporal engine."""
+    batch, stream, requests, batch_end_ds = split
+    gb = GroupBy(
+        name="pq",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.APPROX_PERCENTILE, "value",
+                        windows=(W7D,), percentiles=(0.25, 0.5, 0.9),
+                        accuracy=2**31 - 1),
+            Aggregation(Op.APPROX_PERCENTILE, "value",
+                        percentiles=(0.5,), accuracy=2**31 - 1),  # lifetime
+            # integer input: the KMV IR must keep the NATIVE type
+            # (percentile_approx returns int quantiles for int columns)
+            Aggregation(Op.APPROX_PERCENTILE, "event_id",
+                        percentiles=(0.5,), accuracy=2**31 - 1, windows=(W1D,)),
+            Aggregation(Op.COUNT, "value", windows=(W1D,)),
+        ],
+    )
+    collapsed, tiles = upload_batch_irs(batch, gb, batch_end_ds, tiebreak="event_id")
+    got = fetch_features(
+        requests, collapsed, tiles, stream, gb, batch_end_ds, tiebreak="event_id"
+    )
+    want = temporal_events(requests, events, gb, tiebreak="event_id")
+    cols = ["user_id", "ts", *gb.output_columns()]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() == requests.count()
+
+
+def test_serving_percentile_bounded_ir_and_sane_estimate(spark, events, split):
+    """At a small accuracy the KMV IR is hard-bounded (<= accuracy rows per
+    (key, region)) and the sampled median lands inside the exact p25..p75
+    band — rank error ~ sqrt(0.25/64) ~ 6%, far inside the band."""
+    batch, stream, requests, batch_end_ds = split
+    gb = GroupBy(
+        name="pqs",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.APPROX_PERCENTILE, "value", percentiles=(0.5,), accuracy=64)
+        ],
+    )
+    collapsed, tiles = upload_batch_irs(batch, gb, batch_end_ds, tiebreak="event_id")
+    sizes = collapsed.select(F.size("p0__kmv").alias("s")).agg(F.max("s")).first()[0]
+    assert sizes is not None and sizes <= 64
+    got = fetch_features(
+        requests, collapsed, tiles, stream, gb, batch_end_ds, tiebreak="event_id"
+    )
+    exact = temporal_events(
+        requests,
+        events,
+        GroupBy(
+            name="pqx", keys=["user_id"],
+            aggregations=[
+                Aggregation(Op.PERCENTILE, "value", percentiles=(0.25, 0.75))
+            ],
+        ),
+        tiebreak="event_id",
+    )
+    chk = got.join(exact, ["user_id", "ts"])
+    bad = chk.where(
+        (F.element_at("value_approx_percentile", 1) < F.element_at("value_percentile", 1))
+        | (F.element_at("value_approx_percentile", 1) > F.element_at("value_percentile", 2))
+    ).count()
+    n = chk.count()
+    assert n > 0 and bad <= max(1, int(0.05 * n)), f"{bad}/{n} medians outside p25..p75"
