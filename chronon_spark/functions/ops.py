@@ -120,15 +120,21 @@ HOP_MERGEABLE_OPS = {
     Op.BOTTOM_K,
     Op.UNIQUE_COUNT,
     Op.APPROX_UNIQUE_COUNT,
+    # via a KMV (bottom-k-by-hash) event-sample IR — a uniform sample that
+    # merges by union-then-keep-k-smallest, the mergeability the reference
+    # gets from its KLL sketch (SimpleAggregators.scala:654-694). Under
+    # "auto" this routes hot-key percentile queries through the bounded
+    # cascade tiles instead of the quadratic exact range join; at a
+    # lossless cap (accuracy >= group size) it equals the exact discrete
+    # quantile, so the oracle-gated exact parameterization stays exact.
+    Op.APPROX_PERCENTILE,
 }
 
-#: ops the SERVING upload/fetch path can split into mergeable IRs: the hop
-#: set plus APPROX_PERCENTILE via a KMV (bottom-k-by-hash) value sample —
-#: a uniform event sample that merges by union-then-keep-k-smallest, the
-#: same mergeability the reference gets from its KLL sketch
-#: (SimpleAggregators.scala:654-694). Offline auto-routing keeps using the
-#: exact estimator for APPROX_PERCENTILE; this set gates serving only.
-SERVING_MERGEABLE_OPS = HOP_MERGEABLE_OPS | {Op.APPROX_PERCENTILE}
+#: ops the SERVING upload/fetch path can split into mergeable IRs — same
+#: set; kept as its own name because serving has no exact fallback and the
+#: two gates may diverge again (e.g. ops mergeable offline but too stateful
+#: for a KV row)
+SERVING_MERGEABLE_OPS = frozenset(HOP_MERGEABLE_OPS)
 
 #: default KMV sample size (quantile rank error ~ sqrt(p(1-p)/k)); the
 #: Aggregation.accuracy knob overrides, hard-capped so a requested-lossless

@@ -49,8 +49,9 @@ FINEST = 300_000  # 5-minute head resolution (reference FiveMinuteResolution)
 DAY_MS = 86_400_000
 
 # ops the sliding estimator supports (hop-mergeable minus sketches whose IRs
-# cannot be merged at expression level)
-SLIDING_OPS = O.HOP_MERGEABLE_OPS - {Op.APPROX_UNIQUE_COUNT}
+# cannot be merged as window-function expressions — HLL buffers and KMV
+# sample arrays ride the cascade tile estimator instead)
+SLIDING_OPS = O.HOP_MERGEABLE_OPS - {Op.APPROX_UNIQUE_COUNT, Op.APPROX_PERCENTILE}
 
 
 # ---------------------------------------------------------------------------

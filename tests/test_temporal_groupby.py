@@ -181,3 +181,45 @@ def test_duplicate_left_rows_preserved(spark, events):
     dup = q.unionByName(q)  # duplicated left rows must fan out
     out = temporal_events(dup, events, gb, tiebreak="event_id")
     assert out.count() == dup.count() == 80
+
+
+def test_approx_percentile_rides_cascade_lossless(spark, events):
+    """APPROX_PERCENTILE is hop-mergeable via the KMV sample IR: under
+    "hops"/"auto" it rides the bounded cascade tiles (no quadratic range
+    join at hot keys), and at a lossless cap the tiled result equals the
+    exact estimator's discrete quantiles bit-for-bit."""
+    gb = GroupBy(
+        name="apxc",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.APPROX_PERCENTILE, "value",
+                        windows=(Window(7, TimeUnit.DAYS),),
+                        percentiles=(0.25, 0.5, 0.9), accuracy=2**31 - 1),
+            Aggregation(Op.APPROX_PERCENTILE, "value",
+                        percentiles=(0.5,), accuracy=2**31 - 1),  # lifetime
+        ],
+    )
+    left = events.where(F.col("event_type") == "purchase").select("user_id", "ts").limit(300)
+    frames = {
+        s: temporal_events(left, events, gb, tiebreak="event_id", strategy=s)
+        for s in ("exact", "hops", "auto")
+    }
+    cols = ["user_id", "ts", *gb.output_columns()]
+    rows = {
+        s: sorted((str(r) for r in df.select(*cols).collect()))
+        for s, df in frames.items()
+    }
+    assert rows["hops"] == rows["exact"]
+    assert rows["auto"] == rows["exact"]
+    # and auto really routes percentile to the cascade: the exact pass (the
+    # quadratic range join) must never be invoked for this GroupBy
+    import chronon_spark.operators.groupby as G2
+
+    orig = G2._temporal_pass_exact
+    calls = []
+    G2._temporal_pass_exact = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        temporal_events(left, events, gb, tiebreak="event_id", strategy="auto").count()
+    finally:
+        G2._temporal_pass_exact = orig
+    assert not calls, "percentile fell back to the exact range join under auto"
