@@ -394,3 +394,45 @@ def test_random_config_stream_tiles_equal_batch(spark, tmp_path):
     )
     assert len(want) > 0
     _assert_rows_close(got, want, "random stream tiles vs batch")
+
+
+def test_stream_tiles_support_percentile_kmv(spark, events, tmp_path):
+    """The KMV percentile IR is streamable: hop tiles maintained by a real
+    streaming run equal the batch tile computation, so a fetcher can
+    lambda-merge streamed percentile tiles like any other op."""
+    from chronon_spark.plans.windows import to_millis
+    from chronon_spark.streaming.tiles import tile_aggregates
+
+    src = tmp_path / "pqsrc"
+    src.mkdir()
+    ev = events.orderBy("event_id").limit(400)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    gb = GroupBy(
+        name="spq", keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.APPROX_PERCENTILE, "value",
+                        percentiles=(0.5,), accuracy=2**31 - 1)
+        ],
+    )
+    raw = read_event_stream(
+        spark, str(src),
+        schema="user_id long, event_id long, event_type string, value double, ts timestamp",
+        source_format="parquet",
+    )
+    tiles = streaming_tiles(raw, gb, hop="1 hour", tiebreak="event_id")
+    run_to_completion(tiles, str(tmp_path / "pqckpt"), query_name="t_pq")
+    got_df = spark.table("t_pq")
+
+    batch_in = spark.read.parquet(str(src))
+    exprs = tile_aggregates(gb, "event_id")
+    want_df = (
+        batch_in.withColumn("__ts_ms", to_millis(F.col("ts")))
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("tile"), "user_id")
+        .agg(*[c.alias(n) for n, c in exprs.items()])
+        .select("user_id", F.unix_millis("tile.start").alias("tile_start_ms"), *exprs.keys())
+    )
+    key = ["user_id", "tile_start_ms"]
+    got = sorted(str(r) for r in got_df.select(*key, "a0__kmv").collect())
+    want = sorted(str(r) for r in want_df.select(*key, "a0__kmv").collect())
+    assert got == want and len(got) > 0
