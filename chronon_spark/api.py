@@ -112,10 +112,16 @@ class Aggregation:
     k: int | None = None
     percentiles: tuple[float, ...] | None = None
     lg_k: int = 8  # approx_unique_count sketch size knob (rsd mapping)
-    # APPROX_PERCENTILE only: sketch accuracy (reference KLL `k` arg,
-    # SimpleAggregators.scala:654-694). None = engine default (10000).
-    # At Int.MaxValue the sketch is lossless and the op returns the exact
-    # discrete quantile element — the oracle-gating parameterization.
+    # APPROX_PERCENTILE only: the error/memory budget (reference KLL `k`,
+    # SimpleAggregators.scala:654-694). None = engine default (10000). Its
+    # exact interpretation is per-route — percentile_approx accuracy
+    # (relative rank error ~1/accuracy) on the exact estimator; KMV sample
+    # size (rank error ~0.5/sqrt(accuracy)) on the tiled/serving routes —
+    # error decreases in the knob on both. At accuracy >= the group size the
+    # sample is the whole group and the op returns the exact discrete
+    # quantile — the oracle-gating parameterization; tiled/serving routes
+    # hard-cap stored samples at ~4.2M events (ops.MAX_KMV_SAMPLE), above
+    # which they are a uniform sample rather than bit-lossless.
     accuracy: int | None = None
     # APPROX_HISTOGRAM_K only: Misra-Gries cap on per-(keys, tile) IR rows in
     # the tiled plan (reference ItemsSketch size, SimpleAggregators.scala:

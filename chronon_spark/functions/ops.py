@@ -136,15 +136,25 @@ HOP_MERGEABLE_OPS = {
 #: for a KV row)
 SERVING_MERGEABLE_OPS = frozenset(HOP_MERGEABLE_OPS)
 
-#: default KMV sample size (quantile rank error ~ sqrt(p(1-p)/k)); the
-#: Aggregation.accuracy knob overrides, hard-capped so a requested-lossless
-#: accuracy=Int.MaxValue cannot make per-key IR state unbounded at scale
-DEFAULT_KMV_SAMPLE = 2048
+#: default KMV sample size (quantile rank error ~ sqrt(p(1-p)/k), so 10k ->
+#: ~0.5% rank error) — deliberately the same number as percentile_approx's
+#: default accuracy so the one knob governs both routes; hard-capped so a
+#: requested-lossless accuracy=Int.MaxValue cannot make per-key STORED IR
+#: state unbounded at scale (above the cap the tiled/serving routes are a
+#: 4.2M-event sample, no longer bit-lossless — api.Aggregation.accuracy
+#: documents this)
+DEFAULT_KMV_SAMPLE = 10_000
 MAX_KMV_SAMPLE = 1 << 22
 
 
 def kmv_cap(agg: Aggregation) -> int:
-    return int(min(agg.accuracy or DEFAULT_KMV_SAMPLE, MAX_KMV_SAMPLE))
+    acc = DEFAULT_KMV_SAMPLE if agg.accuracy is None else agg.accuracy
+    if acc < 1:
+        # match percentile_approx's validation so the exact and tiled routes
+        # reject bad configs identically (slice(-n) would otherwise die deep
+        # in execution with an opaque error)
+        raise ValueError(f"APPROX_PERCENTILE accuracy must be positive; got {acc}")
+    return int(min(acc, MAX_KMV_SAMPLE))
 
 
 def partial_cols(agg: Aggregation, value: Column, ts: Column, tiebreak: Column | None, slot: str) -> dict[str, Column]:

@@ -433,10 +433,8 @@ def _merge_with_masked_cols(a: Aggregation, slot: str, mask: Column) -> Column:
         # percentile_approx's smallest-value-at-rank semantics — at a
         # lossless cap (accuracy >= group size) this IS the exact discrete
         # quantile
-        from chronon_spark.functions.ops import kmv_cap
-
         flat = F.slice(
-            F.array_sort(F.flatten(F.collect_list(c("kmv")))), 1, kmv_cap(a)
+            F.array_sort(F.flatten(F.collect_list(c("kmv")))), 1, O.kmv_cap(a)
         )
         vals = F.array_sort(F.transform(flat, lambda s: s["v"]))
         n = F.size(vals)

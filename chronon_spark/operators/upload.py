@@ -139,8 +139,22 @@ def upload_batch_irs(
         val = F.when(mask, F.col(a.input_column))
         ts = F.when(mask, F.col(ETS))
         collapsed_exprs.update(O.partial_cols(a, val, ts, F.when(mask, tb), f"p{i}"))
-    collapsed = ev.groupBy(*gb.keys).agg(
-        *[c.alias(n) for n, c in collapsed_exprs.items()]
+    # two-phase: partial per (keys, day), then merge per key. A single-phase
+    # aggregation materializes a whole collapsed region in ONE transient
+    # buffer for list-shaped IRs (collect_list runs before the cap/slice),
+    # which OOMs on a 100M-event hot key; per-day buffers are bounded by
+    # daily volume and the merge buffer by days x capped-IR size. Valid for
+    # every serving op because the IRs are monoids (merge of per-day
+    # partials == the direct partial; the fetch differential tests cover
+    # each op kind through this path).
+    daily = ev.withColumn("__day", W.round_down(F.col(ETS), DAY_MS)).groupBy(
+        *gb.keys, "__day"
+    ).agg(*[c.alias(n) for n, c in collapsed_exprs.items()])
+    merge_exprs: dict = {}
+    for i, (a, _w) in enumerate(pairs):
+        merge_exprs.update(O.partial_merge_cols(a, f"p{i}"))
+    collapsed = daily.groupBy(*gb.keys).agg(
+        *[c.alias(n) for n, c in merge_exprs.items()]
     )
 
     # tail bands grouped by resolution; every pair's IR columns present in

@@ -438,3 +438,20 @@ def test_serving_percentile_bounded_ir_and_sane_estimate(spark, events, split):
     ).count()
     n = chk.count()
     assert n > 0 and bad <= max(1, int(0.05 * n)), f"{bad}/{n} medians outside p25..p75"
+
+
+def test_percentile_accuracy_validation_matches_exact_route(spark, events):
+    """Bad accuracy is rejected identically on both routes: percentile_approx
+    fails fast, and the KMV route must too (a negative slice length would
+    otherwise die deep in execution)."""
+    import pytest as _pt
+
+    from chronon_spark.functions.ops import DEFAULT_KMV_SAMPLE, kmv_cap
+
+    bad = Aggregation(Op.APPROX_PERCENTILE, "value", accuracy=-5)
+    with _pt.raises(ValueError, match="must be positive"):
+        kmv_cap(bad)
+    zero = Aggregation(Op.APPROX_PERCENTILE, "value", accuracy=0)
+    with _pt.raises(ValueError, match="must be positive"):
+        kmv_cap(zero)
+    assert kmv_cap(Aggregation(Op.APPROX_PERCENTILE, "value")) == DEFAULT_KMV_SAMPLE
