@@ -130,7 +130,7 @@ def _assert_rows_close(got, want, label: str):
         assert _close(ra, rb), f"{label}: row {i} differs: {ra} != {rb}"
 
 
-@pytest.mark.parametrize("seed", [11, 42, 1337])
+@pytest.mark.parametrize("seed", [11, 42, 1337, 2024, 777])
 def test_random_config_estimators_agree(spark, seed):
     rng = random.Random(seed)
     ev = _random_events(spark, rng).cache()
