@@ -1826,13 +1826,64 @@ GROUP BY q.user_id, q.ts_ms
 
 
 def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH (rows-only driver check;
-    pytest verifies recall against brute force)."""
+    """Approximate ANN via random-hyperplane LSH. Plane components derive
+    from md5 bits (similarity._plane_component), so the full pipeline —
+    16 sign bits, 4x4-bit band buckets, candidate union, exact cosine
+    re-rank — is replicated bit-for-bit by the SQL oracle (pytest
+    additionally verifies recall against brute force)."""
     from chronon_spark.operators.similarity import lsh_knn
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 50)
     return lsh_knn(emb, queries, k=3)
+
+
+SQL_LSH_KNN = """
+WITH planes AS (
+  SELECT p, i,
+         (CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR), ':',
+                                              CAST(i AS VARCHAR), ':7')), 1, 15))
+               AS BIGINT) % 20011) / 10005.0 - 1.0 AS comp
+  FROM range(16) t1(p), range(64) t2(i)
+), ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), dots AS (
+  SELECT ev.vec_id, pl.p, sum(ev.x * pl.comp) AS dot
+  FROM ev JOIN planes pl ON pl.i = ev.i
+  GROUP BY ev.vec_id, pl.p
+), sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN power(2, p) ELSE 0 END) AS BIGINT) AS rh_sig
+  FROM dots GROUP BY vec_id
+), banded AS (
+  SELECT vec_id, rh_sig % 16 AS b0, (rh_sig // 16) % 16 AS b1,
+         (rh_sig // 256) % 16 AS b2, (rh_sig // 4096) % 16 AS b3
+  FROM sig
+), norms AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+  FROM banded q JOIN banded v
+    ON (q.b0 = v.b0 OR q.b1 = v.b1 OR q.b2 = v.b2 OR q.b3 = v.b3)
+  WHERE q.vec_id < 50 AND q.vec_id <> v.vec_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_sum(list_transform(list_zip(nq.embedding, nv.embedding),
+                    pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+               / (nq.nrm * nv.nrm), 6) AS sim
+  FROM cand c
+  JOIN norms nq ON nq.vec_id = c.query_id
+  JOIN norms nv ON nv.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 3
+"""
 
 
 QUERIES.update(
@@ -1873,8 +1924,9 @@ ORACLES.update(
         "frame_sample": SQL_FRAME_SAMPLE,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "upload_fetch": SQL_UPLOAD_FETCH,
-        # lsh_knn: intentionally no oracle (random-hyperplane hash has no
-        # SQL twin; pytest verifies recall against brute force)
+        # lsh_knn gained a full oracle in round 4: md5-derived hyperplane
+        # components are bit-identical in DuckDB (was xxhash64 / no twin)
+        "lsh_knn": SQL_LSH_KNN,
     }
 )
 

@@ -96,8 +96,16 @@ def brute_force_knn(
 
 
 def _plane_component(plane: Column, dim: Column, seed: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1]."""
-    h = F.xxhash64(plane, dim, F.lit(seed))
+    """Deterministic pseudo-random hyperplane component in [-1, 1].
+
+    Components derive from md5 bits (first 15 hex chars -> non-negative
+    60-bit long) rather than xxhash64: md5 is bit-identical in Spark and
+    DuckDB, so a SQL oracle reproduces every signature — the same trick
+    simhash uses (operators/dedup.py). Ref: quality of the hyperplane
+    family only needs pairwise-independent uniform components."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", plane, dim, F.lit(seed))), 1, 15), 16, 10
+    ).cast("long")
     return (F.pmod(h, F.lit(20011)).cast("double") / 10005.0) - 1.0
 
 
