@@ -122,6 +122,11 @@ class Aggregation:
     # quantile — the oracle-gating parameterization; tiled/serving routes
     # hard-cap stored samples at ~4.2M events (ops.MAX_KMV_SAMPLE), above
     # which they are a uniform sample rather than bit-lossless.
+    # On APPROX_UNIQUE_COUNT, a non-None accuracy switches every route
+    # (exact/cascade/serving) from the HLL sketch to a KMV bottom-k
+    # distinct-hash sample of that size: exact whenever accuracy >= the
+    # distinct count (the oracle-gating parameterization), classic
+    # (k-1)/u_k estimate above it. lg_k governs only the HLL route.
     accuracy: int | None = None
     # APPROX_HISTOGRAM_K only: Misra-Gries cap on per-(keys, tile) IR rows in
     # the tiled plan (reference ItemsSketch size, SimpleAggregators.scala:
@@ -203,6 +208,13 @@ class GroupBy:
             {
                 "name": self.name,
                 "keys": self.keys,
+                # engine IR version: bumped whenever estimator ROUTING
+                # changes results for an unchanged definition (e.g. round 3
+                # moved default-accuracy APPROX_PERCENTILE under 'auto' from
+                # percentile_approx onto the KMV sample), so resumed tables
+                # never mix two systematically different estimators across
+                # ds partitions — stale ones archive instead
+                "engine_ir": 2,
                 "accuracy": self.accuracy.value,
                 "time_column": self.time_column,
                 "derivations": self.derivations,

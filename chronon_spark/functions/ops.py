@@ -59,6 +59,14 @@ def direct_agg(
     if op == Op.UNIQUE_COUNT:
         return F.count_distinct(value)
     if op == Op.APPROX_UNIQUE_COUNT:
+        if agg.accuracy is not None:
+            # KMV bottom-k distinct route (same knob contract as
+            # APPROX_PERCENTILE): exact whenever cap >= distinct count —
+            # the oracle-gating parameterization. All estimator routes
+            # (exact/cascade/serving) share this IR so resumed tables never
+            # mix estimators.
+            cap = kmv_cap(agg)
+            return kmv_distinct_estimate(_kmv_distinct_hashes(value, cap), cap)
         # reference uses a CPC sketch (lgK default 8); HLL++ here — values are
         # tolerance-comparable, not bit-identical (SURVEY.md §2.1).
         rsd = max(0.005, 1.04 / (2.0 ** (agg.lg_k / 2.0)))
@@ -153,8 +161,30 @@ def kmv_cap(agg: Aggregation) -> int:
         # match percentile_approx's validation so the exact and tiled routes
         # reject bad configs identically (slice(-n) would otherwise die deep
         # in execution with an opaque error)
-        raise ValueError(f"APPROX_PERCENTILE accuracy must be positive; got {acc}")
+        raise ValueError(f"{agg.operation} accuracy must be positive; got {acc}")
     return int(min(acc, MAX_KMV_SAMPLE))
+
+
+def _kmv_distinct_hashes(value: Column, cap: int) -> Column:
+    """Bottom-``cap`` distinct-hash KMV IR for one tile: the set of the cap
+    smallest xxhash64 values (nulls dropped). Merges by
+    union-distinct-then-keep-cap-smallest."""
+    h = F.when(value.isNotNull(), F.xxhash64(value))
+    return F.slice(F.array_sort(F.collect_set(h)), 1, cap)
+
+
+def kmv_distinct_estimate(sorted_hashes: Column, cap: int) -> Column:
+    """Finalize a bottom-k distinct-hash KMV IR. Below the cap the sample IS
+    the distinct hash set, so the size is the exact distinct count (modulo
+    64-bit collisions) — the lossless parameterization the oracle gate uses.
+    At the cap, the classic KMV estimate (cap-1)/u_k with u_k the cap-th
+    smallest hash mapped onto (0,1) over the unsigned 64-bit domain
+    (Bar-Yossef et al. "Counting distinct elements in a data stream",
+    RANDOM'02; reference CPC sketch role: SimpleAggregators.scala:602-652)."""
+    n = F.size(sorted_hashes)
+    u = (F.element_at(sorted_hashes, cap).cast("double") + 9.223372036854776e18) / 1.8446744073709552e19
+    est = F.round(F.lit(float(cap - 1)) / u).cast("long")
+    return F.when(n < cap, n.cast("long")).otherwise(est)
 
 
 def partial_cols(agg: Aggregation, value: Column, ts: Column, tiebreak: Column | None, slot: str) -> dict[str, Column]:
@@ -203,6 +233,8 @@ def partial_cols(agg: Aggregation, value: Column, ts: Column, tiebreak: Column |
     if op == Op.UNIQUE_COUNT:
         return {f"{slot}__set": F.collect_set(value)}
     if op == Op.APPROX_UNIQUE_COUNT:
+        if agg.accuracy is not None:
+            return {f"{slot}__kdh": _kmv_distinct_hashes(value, kmv_cap(agg))}
         return {f"{slot}__hll": F.hll_sketch_agg(value)}
     if op == Op.APPROX_PERCENTILE:
         # KMV sample: hash every EVENT (value, ts, tiebreak — not value
@@ -311,6 +343,16 @@ def partial_merge_cols(agg: Aggregation, slot: str) -> dict[str, Column]:
     if op == Op.UNIQUE_COUNT:
         return {f"{slot}__set": F.array_distinct(F.flatten(F.collect_list(c("set"))))}
     if op == Op.APPROX_UNIQUE_COUNT:
+        if agg.accuracy is not None:
+            # bottom-k of a union-distinct == bottom-k of the concatenated
+            # bottom-k's deduped — still a KMV sample of the union
+            return {
+                f"{slot}__kdh": F.slice(
+                    F.array_sort(F.array_distinct(F.flatten(F.collect_list(c("kdh"))))),
+                    1,
+                    kmv_cap(agg),
+                )
+            }
         return {f"{slot}__hll": F.hll_union_agg(c("hll"))}
     if op == Op.APPROX_PERCENTILE:
         # KMV merge = union then keep the k smallest hashes: still a uniform

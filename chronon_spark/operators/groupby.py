@@ -426,6 +426,14 @@ def _merge_with_masked_cols(a: Aggregation, slot: str, mask: Column) -> Column:
     if op == Op.UNIQUE_COUNT:
         return F.size(F.array_distinct(F.flatten(F.collect_list(c("set"))))).cast("long")
     if op == Op.APPROX_UNIQUE_COUNT:
+        if a.accuracy is not None:
+            cap = O.kmv_cap(a)
+            flat = F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list(c("kdh"))))),
+                1,
+                cap,
+            )
+            return O.kmv_distinct_estimate(flat, cap)
         return F.hll_sketch_estimate(F.hll_union_agg(c("hll")))
     if op == Op.APPROX_PERCENTILE:
         # merge KMV samples (union, keep k smallest hashes), then the
