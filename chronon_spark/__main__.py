@@ -160,10 +160,15 @@ def cmd_join_final(spark, conf, args) -> dict:
     # would silently truncate/skew the final output
     want_hash = left_semantic_hash(join)
     errors = []
+    # only the REQUESTED range gates this run: a stale partition outside
+    # [start_ds, end_ds] belongs to some other range's re-materialization
+    # and must not block a range that was itself fully refreshed
+    wanted = set(ds_range(args.start_ds, args.end_ds))
     stale = sorted(
         d
         for d in have
-        if (left_table.lineage(d) or {}).get("semantic_hash") != want_hash
+        if d in wanted
+        and (left_table.lineage(d) or {}).get("semantic_hash") != want_hash
     )
     if stale:
         errors.append(
@@ -627,6 +632,23 @@ def cmd_metadata_upload(spark, conf, args) -> dict:
                 {"code": "EMPTY_CONF", "message": "conf exposes neither group_by nor join"}
             ],
         }
+    if args.out_root.startswith("catalog:"):
+        # every other subcommand routes 'catalog:<db>' through resolve_table;
+        # the registry is plain JSON files, so a catalog root would silently
+        # become a literal local './catalog:db/_metadata' directory — reject
+        # with direction instead
+        return {
+            "command": "metadata-upload",
+            "errors": [
+                {
+                    "code": "CATALOG_OUT_ROOT",
+                    "message": (
+                        "metadata-upload writes a file registry and does not "
+                        "support 'catalog:' out-roots; pass a filesystem path"
+                    ),
+                }
+            ],
+        }
     now = _dt.datetime.now(_dt.timezone.utc).isoformat()
     registry = os.path.join(args.out_root, "_metadata")
     os.makedirs(registry, exist_ok=True)
@@ -638,12 +660,21 @@ def cmd_metadata_upload(spark, conf, args) -> dict:
         doc = {**meta, "kind": kind, "uploaded_at": now}
         # definition names are arbitrary strings: sanitize like
         # tableio.resolve_table so a name with '/' or '..' cannot escape
-        # (or crash out of) the registry directory
+        # (or crash out of) the registry directory; a short hash of the RAW
+        # name keeps distinct names ('a/b' vs 'a.b' vs 'a_b') from colliding
+        # onto one sanitized document under latest-wins
         safe = "".join(c if c.isalnum() or c == "_" else "_" for c in meta["name"])
-        with open(os.path.join(registry, f"{kind}__{safe}.json"), "w") as f:
+        sha8 = hashlib.sha256(meta["name"].encode()).hexdigest()[:8]
+        fname = f"{kind}__{safe}__{sha8}.json"
+        with open(os.path.join(registry, fname), "w") as f:
             json.dump(doc, f, sort_keys=True)
         entries.append(
-            {"kind": kind, "name": meta["name"], "semantic_hash": meta["semantic_hash"]}
+            {
+                "kind": kind,
+                "name": meta["name"],
+                "semantic_hash": meta["semantic_hash"],
+                "doc": fname,
+            }
         )
     return {"command": "metadata-upload", "registry": registry, "entries": entries}
 

@@ -272,15 +272,30 @@ def refresh_window(
     """Restrict a label run to the feature days it should (re)label
     (reference LabelPart.leftStartOffset/leftEndOffset): on a run at
     ``label_ds``, only feature rows with day in
-    ``[label_ds - left_start_offset, label_ds - left_end_offset]`` are
-    labeled — e.g. left_end_offset=3 means the most recent labeled feature
-    day is 3 days before label_ds (its horizon has matured). None bounds are
-    open. The day is derived from the TIME column under a private name, so
-    a caller-supplied ``ds`` column passes through untouched."""
+    ``[label_ds - (left_start_offset - 1), label_ds - (left_end_offset - 1)]``
+    are labeled. Offsets are INCLUSIVE day counts, matching the reference
+    implementation (LabelJoin.scala:52-54: ``label_ds = 04-03`` with
+    ``left_start_offset = left_end_offset = 3`` refreshes exactly 04-01 —
+    note the reference thrift comment at api.thrift:354 says "3 days prior",
+    which its own Scala contradicts; we follow the executable Scala). None
+    bounds are open. Inverted offsets (start < end ⇒ empty window) raise,
+    mirroring the reference's constructor assert. The day is derived from
+    the TIME column under a private name, so a caller-supplied ``ds``
+    column passes through untouched."""
     from chronon_spark.plans.windows import ts_to_millis
 
     if left_start_offset is None and left_end_offset is None:
         return features
+    if (
+        left_start_offset is not None
+        and left_end_offset is not None
+        and left_start_offset < left_end_offset
+    ):
+        raise ValueError(
+            f"refresh window start offset {left_start_offset} must be >= end "
+            f"offset {left_end_offset} (offsets count back from label_ds; an "
+            "inverted pair would label zero feature days)"
+        )
     day = F.date_format(
         F.timestamp_millis(ts_to_millis(features, time_column)), "yyyy-MM-dd"
     )
@@ -289,13 +304,13 @@ def refresh_window(
     if left_start_offset is not None:
         cond = cond & (
             F.col("__refresh_ds") >= F.date_format(
-                F.date_sub(F.to_date(F.lit(label_ds)), left_start_offset), "yyyy-MM-dd"
+                F.date_sub(F.to_date(F.lit(label_ds)), left_start_offset - 1), "yyyy-MM-dd"
             )
         )
     if left_end_offset is not None:
         cond = cond & (
             F.col("__refresh_ds") <= F.date_format(
-                F.date_sub(F.to_date(F.lit(label_ds)), left_end_offset), "yyyy-MM-dd"
+                F.date_sub(F.to_date(F.lit(label_ds)), left_end_offset - 1), "yyyy-MM-dd"
             )
         )
     return stamped.where(cond).drop("__refresh_ds")

@@ -262,7 +262,9 @@ def test_label_join_parts_multi(spark, events):
 
 def test_label_refresh_offsets(spark, events, tmp_path):
     """leftStartOffset/leftEndOffset: a run at label_ds only (re)labels
-    feature days in [label_ds - start, label_ds - end]."""
+    feature days in [label_ds - (start-1), label_ds - (end-1)] — offsets
+    are INCLUSIVE day counts (reference LabelJoin.scala:52-54: offset 3 at
+    label_ds 04-03 refreshes 04-01); inverted offsets fail fast."""
     import datetime as dt
 
     from chronon_spark.operators.bootstrap import materialize_label_join
@@ -279,7 +281,7 @@ def test_label_refresh_offsets(spark, events, tmp_path):
         .distinct().orderBy("d").collect()
     ]
     label_ds = days[6]
-    # refresh only feature days [label_ds-4, label_ds-2]
+    # inclusive offsets: refresh feature days [label_ds-3, label_ds-1]
     table, _v1, _v2 = materialize_label_join(
         spark, "lr", feats, events, gb, Window(1, TimeUnit.DAYS), label_ds,
         str(tmp_path / "lro"), tiebreak="event_id",
@@ -291,9 +293,27 @@ def test_label_refresh_offsets(spark, events, tmp_path):
         .select(F.date_format("ts", "yyyy-MM-dd").alias("d")).distinct().collect()
     }
     d0 = dt.date.fromisoformat(label_ds)
-    lo = (d0 - dt.timedelta(days=4)).isoformat()
-    hi = (d0 - dt.timedelta(days=2)).isoformat()
+    lo = (d0 - dt.timedelta(days=3)).isoformat()
+    hi = (d0 - dt.timedelta(days=1)).isoformat()
     assert got_days == {d for d in days if lo <= d <= hi}
+
+    # the reference's single-day shape: start == end == 3 at 04-03 -> 04-01
+    from chronon_spark.operators.bootstrap import refresh_window
+
+    one = refresh_window(feats, label_ds, 3, 3)
+    got_one = {
+        r["d"]
+        for r in one.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct().collect()
+    }
+    want = (d0 - dt.timedelta(days=2)).isoformat()
+    assert got_one == ({want} if want in days else set())
+
+    # inverted offsets would silently label zero days: fail fast instead
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="must be >= end offset"):
+        refresh_window(feats, label_ds, 2, 4)
 
 
 def test_label_join_fail_fast_validation(spark, events):

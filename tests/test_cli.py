@@ -788,6 +788,39 @@ def test_cli_join_final_incomplete_and_stale_left(spark, tmp_path, capsys, day_r
     assert rc == 1
     assert any(e["code"] == "STALE_LEFT_TABLE" for e in res["errors"])
 
+    # the staleness scan is RANGE-SCOPED: re-materialize a sub-range under
+    # the new definition and join-final over exactly that sub-range must
+    # succeed even though partitions OUTSIDE it are still stale
+    import datetime as _dt2
+
+    mid = (_dt2.date.fromisoformat(lo) + _dt2.timedelta(days=1)).isoformat()
+    if mid <= hi:
+        rc, res = _run(
+            spark,
+            ["join-left", "--conf", str(stale_conf), "--out-root", root,
+             "--start-ds", mid, "--end-ds", hi],
+            capsys,
+        )
+        assert rc == 0
+        rc, res = _run(
+            spark,
+            ["join-final", "--conf", str(stale_conf), "--out-root", root,
+             "--start-ds", mid, "--end-ds", hi],
+            capsys,
+        )
+        assert rc == 0, res.get("errors")
+        # and the full range still fails: the sub-range join-left archived
+        # every stale partition (backfill's hash invalidation) but only
+        # recomputed [mid, hi], so the lo day is now ABSENT -> incomplete
+        rc, res = _run(
+            spark,
+            ["join-final", "--conf", str(stale_conf), "--out-root", root,
+             "--start-ds", lo, "--end-ds", hi],
+            capsys,
+        )
+        assert rc == 1
+        assert any(e["code"] == "INCOMPLETE_LEFT_TABLE" for e in res["errors"])
+
 
 def test_cli_metadata_upload_registry_and_latest_wins(spark, tmp_path, capsys):
     """metadata-upload publishes one JSON document per (kind, name) to the
@@ -804,7 +837,10 @@ def test_cli_metadata_upload_registry_and_latest_wins(spark, tmp_path, capsys):
         capsys,
     )
     assert rc == 0 and res["entries"][0]["name"] == "cli_gb"
-    doc_path = os.path.join(res["registry"], "group_by__cli_gb.json")
+    # filename carries a short hash of the RAW name, so 'a/b', 'a.b' and
+    # 'a_b' can never collide onto one sanitized latest-wins document
+    assert res["entries"][0]["doc"].startswith("group_by__cli_gb__")
+    doc_path = os.path.join(res["registry"], res["entries"][0]["doc"])
     with open(doc_path) as f:
         doc1 = _json.load(f)
     assert doc1["semantic_hash"] == res["entries"][0]["semantic_hash"]
@@ -823,6 +859,26 @@ def test_cli_metadata_upload_registry_and_latest_wins(spark, tmp_path, capsys):
         doc2 = _json.load(f)
     assert doc2["semantic_hash"] != doc1["semantic_hash"]
     assert doc2["semantic_hash"] == res2["entries"][0]["semantic_hash"]
+
+    # distinct raw names that sanitize identically get distinct documents
+    import hashlib as _hl
+
+    for raw in ("cli/gb", "cli.gb"):
+        safe = "".join(c if c.isalnum() or c == "_" else "_" for c in raw)
+        assert safe == "cli_gb"
+        sha8 = _hl.sha256(raw.encode()).hexdigest()[:8]
+        assert f"group_by__cli_gb__{sha8}.json" != res["entries"][0]["doc"]
+
+    # catalog out-roots would become a literal './catalog:db' directory:
+    # rejected with an actionable error instead
+    rc3, res3 = _run(
+        spark,
+        ["metadata-upload", "--conf", str(conf), "--out-root", "catalog:md_db"],
+        capsys,
+    )
+    assert rc3 == 1
+    assert res3["errors"][0]["code"] == "CATALOG_OUT_ROOT"
+    assert not os.path.exists("catalog:md_db")
 
 
 def test_cli_fetch_rejects_stale_upload(spark, tmp_path, capsys):
