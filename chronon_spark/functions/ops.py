@@ -187,6 +187,27 @@ def kmv_distinct_estimate(sorted_hashes: Column, cap: int) -> Column:
     return F.when(n < cap, n.cast("long")).otherwise(est)
 
 
+def empty_state(agg: Aggregation, bucket: str | None, dtype) -> Column | None:
+    """The value ``direct_agg`` renders for a group with ZERO qualifying
+    events (the aggregate over an all-null masked column), or None when that
+    value is NULL — used by the SNAPSHOT equi-join path to fill (key, day)
+    cells absent from the coverage grid so it matches the temporal engine
+    exactly (reference GroupBy.scala:155-160 emits no fully-null snapshot
+    rows; the join must restore the non-null empties). ``dtype`` is the
+    output column's Spark type (typed empty arrays for the *_K ops)."""
+    if bucket is not None:
+        # bucketed/map passes are not row-complete: the temporal engine
+        # itself yields NULL for a query with no qualifying events
+        return None
+    op = agg.operation
+    if op in (Op.COUNT, Op.UNIQUE_COUNT, Op.APPROX_UNIQUE_COUNT):
+        return F.lit(0).cast(dtype)
+    if op in (Op.FIRST_K, Op.LAST_K, Op.TOP_K, Op.BOTTOM_K):
+        return F.array().cast(dtype)
+    # SUM/AVG/VAR/SKEW/KURT/MIN/MAX/FIRST/LAST/percentiles/map ops: NULL
+    return None
+
+
 def partial_cols(agg: Aggregation, value: Column, ts: Column, tiebreak: Column | None, slot: str) -> dict[str, Column]:
     """Per-tile partial aggregate columns for one op. Keys are IR slot names."""
     op = agg.operation

@@ -39,6 +39,105 @@ def coalesced_join(
     return out.select(*ordered)
 
 
+def snapshot_serve_ds(df: DataFrame, time_column: str) -> "F.Column":
+    """UTC day label of the PREVIOUS day of each row's timestamp — the daily
+    snapshot partition the row reads (partition ds holds end-of-ds state;
+    reference JoinBase.scala:70-130 ts_ds + 1 shift). Uses the same
+    epoch-millis day arithmetic as snapshot_events' grid so the labels join
+    exactly; pmod keeps pre-1970 instants on the correct day."""
+    from chronon_spark.plans.windows import ts_to_millis
+
+    DAY_MS = 86_400_000
+    ms = ts_to_millis(df, time_column)
+    mid = ms - F.pmod(ms, F.lit(DAY_MS))
+    return F.date_format(F.timestamp_millis(mid - F.lit(DAY_MS)), "yyyy-MM-dd")
+
+
+def snapshot_equijoin(
+    q: DataFrame, snap: DataFrame, gb, left_time_column: str
+) -> DataFrame:
+    """Equi-join a query frame (gb key names + the left time column) against
+    a daily-snapshot frame keyed (keys, ds): each row reads the PREVIOUS
+    day's partition. (key, day) cells absent from the coverage grid take
+    each aggregation's empty state (functions/ops.empty_state) — the grid
+    omits fully-empty cells (reference GroupBy.scala:155-160), but a left
+    row over such a cell must still render COUNT 0 / empty *_K arrays, the
+    values the temporal engine produces at that midnight."""
+    from chronon_spark.functions import ops as O
+
+    snap2 = snap.withColumnRenamed("ds", "__serve_ds").withColumn(
+        "__hit", F.lit(True)
+    )
+    out = (
+        q.withColumn("__serve_ds", snapshot_serve_ds(q, left_time_column))
+        .join(snap2, [*gb.keys, "__serve_ds"], "left")
+        .drop("__serve_ds")
+    )
+    schema = {f.name: f.dataType for f in out.schema.fields}
+    for a in gb.aggregations:
+        for w, b in a.unpacked():
+            col = a.output_name(w, b)
+            fill = O.empty_state(a, b, schema[col])
+            if fill is not None:
+                out = out.withColumn(
+                    col, F.when(F.col("__hit").isNull(), fill).otherwise(F.col(col))
+                )
+    return out.drop("__hit")
+
+
+def _snapshot_part_features(
+    q: DataFrame,
+    events: DataFrame,
+    gb,
+    left_time_column: str,
+    tiebreak: str | None,
+    strategy: str,
+    snapshot_frame: DataFrame | None = None,
+) -> DataFrame:
+    """SNAPSHOT-accuracy features for a query frame.
+
+    With ``snapshot_frame`` (a pre-materialized daily-snapshot table slice,
+    keys + feature columns + ds, computed WITHOUT derivations): a pure
+    equi-join + empty-state fill — no per-run aggregation at all. This is
+    the reference's design (JoinBase.scala:70-130 equi-joins the GroupBy's
+    snapshot output at ts_ds + 1) and what lets materialize_join resume and
+    share snapshot aggregates across parts, chunks and runs.
+
+    Without it (one-shot compute_join path): the previous-midnight values
+    are computed directly at the DISTINCT (key, midnight) query points
+    through the temporal engine — for a single run that touches strictly
+    fewer cells than the full coverage grid, so the grid is only
+    materialized when a table makes the reuse real."""
+    if snapshot_frame is not None:
+        G.run_setups(q, gb.setups)  # derivations below may need session UDFs
+        feat = snapshot_equijoin(q, snapshot_frame, gb, left_time_column)
+        return G._apply_derivations(feat, gb, keep=[*gb.keys, left_time_column])
+    q_mid = q.withColumn("__orig_ts", F.col(left_time_column)).withColumn(
+        left_time_column,
+        F.to_timestamp(F.date_trunc("day", F.col(left_time_column))),
+    )
+    # the midnight query runs through the TEMPORAL engine — the accuracy
+    # difference is entirely in the query timestamp shift
+    gb_t = G.GroupBy(
+        name=gb.name,
+        keys=gb.keys,
+        aggregations=gb.aggregations,
+        accuracy=Accuracy.TEMPORAL,
+        time_column=gb.time_column,
+        derivations=gb.derivations,
+        setups=gb.setups,
+    )
+    feat = G.temporal_events(
+        q_mid.select(*gb.keys, left_time_column, "__orig_ts").dropDuplicates(),
+        events,
+        gb_t,
+        left_time_column=left_time_column,
+        tiebreak=tiebreak,
+        strategy=strategy,
+    )
+    return feat.withColumn(left_time_column, F.col("__orig_ts")).drop("__orig_ts")
+
+
 def compute_join_part(
     left: DataFrame,
     events: DataFrame,
@@ -46,6 +145,7 @@ def compute_join_part(
     left_time_column: str = "ts",
     tiebreak: str | None = None,
     strategy: str = "auto",
+    snapshot_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Features for one join part, keyed by the LEFT column names, with the
     part's `{prefix}_{group_by}_` column prefix applied."""
@@ -117,40 +217,22 @@ def compute_join_part(
             q, events, gb, left_time_column=left_time_column, tiebreak=tiebreak, strategy=strategy
         )
     else:
-        # SNAPSHOT accuracy: features as of the previous midnight — join key
-        # is (keys, date(ts)) against the daily snapshot shifted +1 day
-        # (reference JoinBase.scala:70-130). Implemented by querying at the
-        # left row's midnight rather than its exact ts.
-        q_mid = q.withColumn(
-            "__orig_ts", F.col(left_time_column)
-        ).withColumn(
-            left_time_column,
-            F.to_timestamp(F.date_trunc("day", F.col(left_time_column))),
+        # SNAPSHOT accuracy: features as of the previous midnight — the
+        # (keys, date(ts)) equi-join against the +1-day-shifted daily
+        # snapshot (reference JoinBase.scala:70-130), via the materialized
+        # snapshot table when one is provided (materialize_join)
+        feat = _snapshot_part_features(
+            q, events, gb, left_time_column, tiebreak, strategy, snapshot_frame
         )
-        # the midnight query itself runs through the TEMPORAL engine — the
-        # accuracy difference is entirely in the query timestamp shift
-        gb_t = G.GroupBy(
-            name=gb.name,
-            keys=gb.keys,
-            aggregations=gb.aggregations,
-            accuracy=Accuracy.TEMPORAL,
-            time_column=gb.time_column,
-            derivations=gb.derivations,
-            setups=gb.setups,
-        )
-        feat = G.temporal_events(
-            q_mid.select(*gb.keys, left_time_column, "__orig_ts").dropDuplicates(),
-            events,
-            gb_t,
-            left_time_column=left_time_column,
-            tiebreak=tiebreak,
-            strategy=strategy,
-        )
-        feat = feat.withColumn(left_time_column, F.col("__orig_ts")).drop("__orig_ts")
     prefix = part.full_prefix()
-    renames = {c: f"{prefix}_{c}" for c in gb.output_columns()}
-    for old, new in renames.items():
-        feat = feat.withColumnRenamed(old, new)
+    # prefix EVERY value column — including derivation outputs, whose names
+    # are not in output_columns() (reference Extensions.scala valueColumns
+    # covers derived columns; unprefixed derived names would collide across
+    # parts sharing a derivation name)
+    ident = {*gb.keys, left_time_column}
+    for c in feat.columns:
+        if c not in ident:
+            feat = feat.withColumnRenamed(c, f"{prefix}_{c}")
     # flip key names back to the left's column names
     for lk, rk in zip(lkeys, gb.keys):
         if lk != rk:
@@ -572,22 +654,19 @@ def materialize_join(
     tc = join.time_column
     left_ds = _stamp_ds(left, tc)
 
+    import datetime as _dt
+    import hashlib as _hl
+
+    def _shift_ds(ds: str, days: int) -> str:
+        return (_dt.date.fromisoformat(ds) + _dt.timedelta(days=days)).isoformat()
+
     part_tables: dict[str, object] = {}
+    snapshot_tables: dict[str, object] = {}
     for part in join.join_parts:
         prefix = part.full_prefix()
         table = resolve_table(spark, out_root, f"{join.name}_{prefix}")
         mapped_skew = _part_skew_keys(part, join.skew_keys)
         events = _skew_filter_source(sources[part.group_by.name], mapped_skew)
-
-        def compute_range(s, lo, hi, part=part, events=events):
-            sliver = left_ds.where(F.col("ds").between(lo, hi))
-            q = sliver.select(*part.left_keys(), tc, "ds").dropDuplicates(
-                [*part.left_keys(), tc]
-            )
-            ev = narrow_events(events, part.group_by, lo, hi)
-            return compute_join_part(
-                q.drop("ds"), ev, part, tc, tiebreak, strategy
-            ).join(q.select(*part.left_keys(), tc, "ds"), [*part.left_keys(), tc])
 
         # the part checkpoint must invalidate when its skew exclusion
         # changes — rows computed under a different exclusion are stale
@@ -597,6 +676,82 @@ def materialize_join(
                 f"{c}={sorted(map(str, v))}" for c, v in mapped_skew.items()
             )
             part_hash = f"{part_hash}|skew:{skew_tag}"
+
+        gb = part.group_by
+        snap_table = None
+        if (
+            gb.accuracy == Accuracy.SNAPSHOT
+            and gb.aggregations is not None
+            and not isinstance(events, (tuple, list, dict))
+        ):
+            # SNAPSHOT parts read a materialized daily-snapshot table keyed
+            # (keys, ds) — ONE resumable snapshot backfill per (GroupBy
+            # definition, skew exclusion) serves every part, chunk and run
+            # over it (reference JoinBase.scala:70-130 equi-joins the
+            # GroupBy's snapshot output; round-3 re-ran the temporal engine
+            # at distinct (key, midnight) per run instead). The table name
+            # carries the definition hash so two joins in one out_root with
+            # different skew exclusions never ping-pong-archive each other.
+            # derivations are row-wise projections applied at join time;
+            # the stored table holds the BASE aggregates, so its identity
+            # (name AND stored semantic hash) comes from a derivation-free
+            # definition — one table serves parts that differ only in
+            # derivations, and a derivation-only edit never archives it
+            gb_base = G.GroupBy(
+                name=gb.name,
+                keys=gb.keys,
+                aggregations=gb.aggregations,
+                accuracy=Accuracy.SNAPSHOT,
+                time_column=gb.time_column,
+            )
+            snap_hash = gb_base.semantic_hash()
+            if mapped_skew:
+                skew_tag = ";".join(
+                    f"{c}={sorted(map(str, v))}" for c, v in mapped_skew.items()
+                )
+                snap_hash = f"{snap_hash}|skew:{skew_tag}"
+            sid = _hl.sha256(snap_hash.encode()).hexdigest()[:8]
+            snap_name = f"snapshot__{gb.name}__{sid}"
+            snap_table = snapshot_tables.get(snap_name)
+            if snap_table is None:
+                snap_table = resolve_table(spark, out_root, snap_name)
+
+                def snap_range(s, lo, hi, gb_base=gb_base, events=events):
+                    ev = narrow_events(events, gb_base, lo, hi)
+                    return G.snapshot_events(
+                        ev, gb_base, start_ds=lo, end_ds=hi, tiebreak=tiebreak
+                    )
+
+                # left rows on day d read snapshot ds = d - 1
+                backfill(
+                    spark,
+                    snap_table,
+                    snap_range,
+                    _shift_ds(start_ds, -1),
+                    _shift_ds(end_ds, -1),
+                    semantic_hash=snap_hash,
+                    step_days=step_days,
+                )
+                snapshot_tables[snap_name] = snap_table
+
+        def compute_range(s, lo, hi, part=part, events=events, snap_table=snap_table):
+            sliver = left_ds.where(F.col("ds").between(lo, hi))
+            q = sliver.select(*part.left_keys(), tc, "ds").dropDuplicates(
+                [*part.left_keys(), tc]
+            )
+            ev = narrow_events(events, part.group_by, lo, hi)
+            # a snapshot table with ZERO written partitions has no parquet
+            # schema to read — fall back to the (trivially cheap) midnight
+            # path over the already-narrowed empty events
+            snap = (
+                snap_table.read_range(s, _shift_ds(lo, -1), _shift_ds(hi, -1))
+                if snap_table is not None and snap_table.partitions()
+                else None
+            )
+            return compute_join_part(
+                q.drop("ds"), ev, part, tc, tiebreak, strategy, snapshot_frame=snap
+            ).join(q.select(*part.left_keys(), tc, "ds"), [*part.left_keys(), tc])
+
         backfill(
             spark,
             table,
