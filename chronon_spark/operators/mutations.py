@@ -94,6 +94,62 @@ def _signed_agg(a: Aggregation, w, value: Column, ets: Column, qts: Column, sign
     )
 
 
+def _bucket_maps(
+    contribs: DataFrame, gb: GroupBy, keys: list[str], bcol: str, aggs: list[Aggregation]
+) -> DataFrame:
+    """Bucketed (map-output) signed aggregates for one bucket column:
+    groupBy(keys, qts, bucket) signed pass, then Map[bucket -> value]
+    assembly per (aggregation, window) — the CDC analog of the event
+    engine's _bucket_pass (reference BucketedColumnAggregator over the
+    SawtoothMutationAggregator's deletable IRs).
+
+    A bucket entry is kept iff its signed PRESENCE is positive — ≥1 alive
+    (non-reversed, mutation-visible) row with a non-null bucket inside the
+    GroupBy's shared presence window (the largest window across all
+    aggregations; plans/sliding._presence_window, the same rule the exact
+    and tiled event passes use). A fully-reversed bucket therefore drops
+    out of the map, exactly as it would never have appeared had the rows
+    never existed."""
+    from chronon_spark.plans.sliding import _presence_window
+
+    w_pres = _presence_window(gb)
+    qts, ets = F.col(QTS), F.col(ETS)
+    if w_pres is None:
+        pres_mask = F.lit(True)
+    else:
+        pres_mask = (ets < qts) & (ets >= W.sawtooth_tail(qts, w_pres))
+    inner_exprs, outs = [], []
+    for a in aggs:
+        for w, b in a.unpacked():
+            if b != bcol:
+                continue
+            nm = a.output_name(w, bcol)
+            inner_exprs.append(
+                _signed_agg(
+                    a, w, F.col(a.input_column), ets, qts, F.col(SGN)
+                ).alias(f"__v_{nm}")
+            )
+            outs.append(nm)
+    inner = (
+        contribs.where(F.col(bcol).isNotNull())
+        .groupBy(*keys, QTS, bcol)
+        .agg(*inner_exprs, F.sum(F.when(pres_mask, F.col(SGN))).alias("__pres"))
+        .where(F.col("__pres") > 0)
+    )
+    return inner.groupBy(*keys, QTS).agg(
+        *[
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(bcol).alias("k"), F.col(f"__v_{nm}").alias("v"))
+                    )
+                )
+            ).alias(nm)
+            for nm in outs
+        ]
+    )
+
+
 def temporal_entities(
     queries: DataFrame,
     snapshots: DataFrame,
@@ -116,9 +172,12 @@ def temporal_entities(
                     (true = before-image / delete); partitioned by the
                     mutation's day in ``ds_column``.
 
-    Returns the query rows + one feature column per (aggregation, window).
-    Duplicate query rows are preserved (aggregate on distinct (keys, ts),
-    fan back out — same contract as temporal_events).
+    Returns the query rows + one feature column per (aggregation, window)
+    — Map[bucket -> value] columns for bucketed aggregations (entry kept
+    iff the bucket has alive presence in the GroupBy's shared presence
+    window; see _bucket_maps). Duplicate query rows are preserved
+    (aggregate on distinct (keys, ts), fan back out — same contract as
+    temporal_events).
 
     ``n_salts`` > 1 splits each (key, day) join cell across that many tasks
     (contribution rows hashed into salt groups, queries replicated): a hot
@@ -137,6 +196,11 @@ def temporal_entities(
 
     run_setups(queries, gb.setups)
     keys = gb.keys
+    direct = [a for a in gb.aggregations if not a.buckets]
+    bucketed: dict[str, list[Aggregation]] = {}
+    for a in gb.aggregations:
+        for b in a.buckets or ():
+            bucketed.setdefault(b, []).append(a)
     ltc = left_time_column or gb.time_column
     left_n = queries.withColumn(QTS, W.ts_to_millis(queries, ltc))
     q = (
@@ -145,7 +209,7 @@ def temporal_entities(
         .withColumn(QDAY, F.col(QTS) - F.pmod(F.col(QTS), F.lit(DAY_MS)))
     )
 
-    inputs = sorted({a.input_column for a in gb.aggregations})
+    inputs = sorted({a.input_column for a in gb.aggregations} | set(bucketed))
     day_of_ds = W.to_millis(F.to_timestamp(F.col(ds_column)))
 
     # snapshot partition d covers state up to midnight of d+1 == the query's
@@ -203,14 +267,25 @@ def temporal_entities(
     contribs = snap_j.unionByName(mut_j)
 
     exprs = []
-    for a in gb.aggregations:
+    for a in direct:
         for w, _ in a.unpacked():
             exprs.append(
                 _signed_agg(
                     a, w, F.col(a.input_column), F.col(ETS), F.col(QTS), F.col(SGN)
                 ).alias(a.output_name(w, None))
             )
-    feat = q.join(contribs, [*keys, QTS], "left_outer").groupBy(*keys, QTS).agg(*exprs)
+    if exprs:
+        feat = (
+            q.join(contribs, [*keys, QTS], "left_outer")
+            .groupBy(*keys, QTS)
+            .agg(*exprs)
+        )
+    else:
+        feat = q.select(*keys, QTS)
+    for bcol, baggs in bucketed.items():
+        feat = feat.join(
+            _bucket_maps(contribs, gb, keys, bcol, baggs), [*keys, QTS], "left"
+        )
     out = left_n.join(feat, [*keys, QTS], "left").drop(QTS)
     if gb.derivations:
         from chronon_spark.operators.groupby import apply_derivations

@@ -470,3 +470,192 @@ def mut_rows_keyed(versions):
         if d is not None:
             out.append((k, v, e, d))
     return out
+
+
+# ---------------------------------------------------------------------------
+# bucketed (map-output) aggregations through the CDC engine: hand-crafted
+# boundary cases + a seeded random lifecycle sweep vs an alive-set oracle.
+# Reference: BucketedColumnAggregator over the deletable IRs.
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_cdc_basics(spark):
+    day = 86_400_000
+    d10 = 1704844800000  # 2024-01-10 UTC midnight
+    d11 = d10 + day
+    # end-of-Jan-10 state: key 'a' holds cart rows in two buckets
+    snap = spark.createDataFrame(
+        [
+            ("a", 10.0, "web", d10 + 3_600_000, "2024-01-10"),
+            ("a", 20.0, "app", d10 + 7_200_000, "2024-01-10"),
+            ("a", 5.0, "app", d10 + 7_200_000, "2024-01-10"),
+        ],
+        "k string, v double, ch string, ets long, ds string",
+    ).select("k", "v", "ch", F.timestamp_millis("ets").alias("ts"), "ds")
+    # Jan-11: reverse BOTH app rows (bucket must vanish), insert a null-bucket
+    # row (must never appear as a map key)
+    mut = spark.createDataFrame(
+        [
+            ("a", 20.0, "app", d10 + 7_200_000, d11 + 3_600_000, True, "2024-01-11"),
+            ("a", 5.0, "app", d10 + 7_200_000, d11 + 3_600_000, True, "2024-01-11"),
+            ("a", 9.0, None, d11 + 1_800_000, d11 + 1_800_000, False, "2024-01-11"),
+        ],
+        "k string, v double, ch string, ets long, mts long, is_before boolean, ds string",
+    ).select(
+        "k", "v", "ch",
+        F.timestamp_millis("ets").alias("ts"),
+        F.timestamp_millis("mts").alias("mutation_ts"),
+        "is_before", "ds",
+    )
+    gb = GroupBy(
+        name="bm",
+        keys=["k"],
+        aggregations=[
+            Aggregation(Op.SUM, "v", windows=(Window(7, TimeUnit.DAYS),), buckets=("ch",)),
+            Aggregation(Op.COUNT, "v", windows=(Window(7, TimeUnit.DAYS),)),
+        ],
+    )
+    q = spark.createDataFrame(
+        [("a", d11 + 3_600_000), ("a", d11 + 3_600_001)], "k string, qts long"
+    ).select("k", F.timestamp_millis("qts").alias("ts"), "qts")
+    out = {r["qts"]: r.asDict() for r in
+           temporal_entities(q, snap, mut, gb, left_time_column="ts").collect()}
+    # at exactly the reversal mts: mutation unseen (strict <) -> both buckets
+    before = out[d11 + 3_600_000]
+    assert before["v_sum_7d_by_ch"] == {"app": 25.0, "web": 10.0}
+    assert before["v_count_7d"] == 4  # null-bucket insert still counts directly
+    # 1ms later: app fully reversed -> entry gone; null bucket never a key
+    after = out[d11 + 3_600_001]
+    assert after["v_sum_7d_by_ch"] == {"web": 10.0}
+    assert after["v_count_7d"] == 2
+
+
+@pytest.mark.parametrize("seed", [13, 47, 101])
+def test_random_bucketed_cdc_matches_naive_oracle(spark, seed):
+    """Random insert/update/delete lifecycles with a bucket attribute (some
+    null): bucketed map outputs from the signed CDC engine == a pure-Python
+    alive-set oracle. Covers presence-window entry retention (windowed-only
+    GroupBys) AND lifetime presence (seed-dependent), mixed with direct
+    aggregations."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    base = 1_700_006_400_000
+    day = 86_400_000
+    buckets = ["p", "q", "r", None]
+
+    # (key, value, bucket, ets, birth_mts, death_mts|None)
+    versions = []
+    for k in ("a", "b", "c"):
+        for _ in range(rng.randint(8, 16)):
+            ets = base + rng.randint(0, 10 * day)
+            bkt = rng.choice(buckets)
+            cur_birth, cur_val = ets, round(rng.uniform(-10, 10), 2)
+            while rng.random() < 0.4:
+                upd = cur_birth + rng.randint(1, 3 * day)
+                versions.append((k, cur_val, bkt, ets, cur_birth, upd))
+                cur_val, cur_birth = round(rng.uniform(-10, 10), 2), upd
+            death = cur_birth + rng.randint(1, 3 * day) if rng.random() < 0.3 else None
+            versions.append((k, cur_val, bkt, ets, cur_birth, death))
+
+    births = [(k, v, bk, e, b, False) for k, v, bk, e, b, d in versions]
+    deaths = [(k, v, bk, e, d, True) for k, v, bk, e, b, d in versions if d is not None]
+    mutations = spark.createDataFrame(
+        [(k, v, bk, e, m, rev, _day_str(m)) for k, v, bk, e, m, rev in births + deaths],
+        "user_id string, value double, bkt string, ts long, mutation_ts long, "
+        "is_before boolean, ds string",
+    )
+    lo_day = min(b for *_x, b, _d in versions) // day
+    hi_day = max(m for *_x, m, _rev in births + deaths) // day + 1
+    snap_rows = []
+    for d0 in range(lo_day, hi_day + 1):
+        eod = (d0 + 1) * day
+        for k, v, bk, e, b, dth in versions:
+            if b < eod and (dth is None or dth >= eod):
+                snap_rows.append((k, v, bk, e, _day_str(d0 * day)))
+    snapshots = spark.createDataFrame(
+        snap_rows, "user_id string, value double, bkt string, ts long, ds string"
+    )
+
+    q_rows = set()
+    for _ in range(25):
+        q_rows.add((rng.choice(("a", "b", "c")), base + rng.randint(1, 11 * day)))
+    for k, v, bk, e, b, dth in rng.sample(versions, min(6, len(versions))):
+        q_rows.add((k, b))
+        if dth is not None:
+            q_rows.add((k, dth + 1))
+    queries = spark.createDataFrame(sorted(q_rows), "user_id string, ts long")
+
+    w7, w2 = Window(7, TimeUnit.DAYS), Window(2, TimeUnit.DAYS)
+    lifetime = seed % 2 == 1  # odd seeds exercise the lifetime presence rule
+    aggs = [
+        Aggregation(Op.COUNT, "value", windows=(w7,), buckets=("bkt",)),
+        Aggregation(Op.SUM, "value", windows=(w2,), buckets=("bkt",)),
+        Aggregation(Op.AVERAGE, "value",
+                    windows=None if lifetime else (w2,), buckets=("bkt",)),
+        Aggregation(Op.SUM, "value", windows=(w7,)),  # mixed-in direct agg
+    ]
+    gb = GroupBy(name="rbm", keys=["user_id"], aggregations=aggs)
+    got = temporal_entities(queries, snapshots, mutations, gb, left_time_column="ts")
+
+    def tail(qts, w):
+        hop = w.tail_hop_millis()
+        return ((qts - w.millis) // hop) * hop
+
+    w_pres = None if lifetime else w7  # largest window across the GroupBy
+
+    def naive_maps(k, qts):
+        alive = [
+            (v, bk, e)
+            for kk, v, bk, e, b, dth in versions
+            if kk == k and b < qts and (dth is None or dth >= qts)
+        ]
+        present = {
+            bk for v, bk, e in alive
+            if bk is not None and (w_pres is None or tail(qts, w_pres) <= e < qts)
+        }
+        def vals(bk, w):
+            return [
+                v for v, b2, e in alive
+                if b2 == bk and (w is None or tail(qts, w) <= e < qts)
+            ]
+        cnt7 = {bk: len(vals(bk, w7)) for bk in present}
+        sum2 = {bk: (sum(v2) if (v2 := vals(bk, w2)) else None) for bk in present}
+        avg_w = None if lifetime else w2
+        avg = {
+            bk: (sum(v2) / len(v2) if (v2 := vals(bk, avg_w)) else None)
+            for bk in present
+        }
+        direct = [v for v, bk, e in alive if tail(qts, w7) <= e < qts]
+        return (cnt7 or None, sum2 or None, avg or None,
+                sum(direct) if direct else None)
+
+    avg_col = "value_average_by_bkt" if lifetime else "value_average_2d_by_bkt"
+    out = {
+        (r["user_id"], r["ts"]): (
+            r["value_count_7d_by_bkt"], r["value_sum_2d_by_bkt"],
+            r[avg_col], r["value_sum_7d"],
+        )
+        for r in got.collect()
+    }
+    assert set(out) == q_rows
+
+    def close(a, b):
+        if a is None or b is None:
+            # signed-IR SUM over a fully-reversed window is 0.0 where the
+            # alive-set oracle says absent — same caveat as the direct sweep
+            return (a or 0.0) == 0.0 and (b or 0.0) == 0.0
+        return abs(a - b) < 1e-5
+
+    for (k, qts), (g_cnt, g_sum, g_avg, g_dir) in sorted(out.items()):
+        w_cnt, w_sum, w_avg, w_dir = naive_maps(k, qts)
+        assert (g_cnt or {}) == (w_cnt or {}), f"seed={seed} ({k},{qts}) count map"
+        gs, ws = g_sum or {}, w_sum or {}
+        assert set(gs) == set(ws), f"seed={seed} ({k},{qts}) sum keys"
+        for bk in gs:
+            assert close(gs[bk], ws[bk]), f"seed={seed} ({k},{qts}) sum[{bk}]: {gs[bk]} != {ws[bk]}"
+        ga, wa = g_avg or {}, w_avg or {}
+        assert set(ga) == set(wa), f"seed={seed} ({k},{qts}) avg keys"
+        for bk in ga:
+            assert close(ga[bk], wa[bk]), f"seed={seed} ({k},{qts}) avg[{bk}]: {ga[bk]} != {wa[bk]}"
+        assert close(g_dir, w_dir), f"seed={seed} ({k},{qts}) direct sum"
