@@ -391,3 +391,175 @@ def test_bucketed_aggs_across_merged_parts(spark, events):
          F.to_json(F.map_entries("bkb_value_count_1d_by_event_type"))).alias("same")
     ).where(~F.coalesce(F.col("same"), F.lit(True))).count()
     assert diff == 0
+
+
+# ---------------------------------------------------------------------------
+# label-side horizons: random forward windows + refresh offsets vs a naive
+# pure-Python future-window oracle (reference LabelJoin.scala semantics
+# through the negated-axis engine, operators/bootstrap.py:116-222).
+# ---------------------------------------------------------------------------
+
+LABEL_OPS = [
+    (Op.COUNT, False, "value"),
+    (Op.SUM, False, "value"),
+    (Op.AVERAGE, False, "value"),
+    (Op.MIN, False, "value"),
+    (Op.MAX, False, "value"),
+    (Op.UNIQUE_COUNT, False, "etype"),
+    (Op.FIRST, False, "etype"),
+    (Op.LAST, False, "etype"),
+    (Op.LAST_K, True, "etype"),
+    (Op.TOP_K, True, "value"),
+]
+
+HORIZON_POOL = [
+    Window(30, TimeUnit.MINUTES),
+    Window(90, TimeUnit.MINUTES),
+    Window(2, TimeUnit.HOURS),
+    Window(7, TimeUnit.HOURS),
+    Window(1, TimeUnit.DAYS),
+    Window(4, TimeUnit.DAYS),
+]
+
+
+@pytest.mark.parametrize("seed", [5, 83, 421])
+def test_random_label_horizons_match_naive_oracle(spark, seed):
+    """label_join(random horizon, random op set) == a brute-force oracle of
+    the documented mirrored-sawtooth contract: a label aggregates events
+    with ts strictly AFTER the feature row (head exactness on the negated
+    axis) out to a horizon whose far edge rounds OUTWARD to the horizon's
+    hop grid (tail rounding on the negated axis):
+        include e  iff  e > q  and  -e >= floor((-q - horizon)/hop)*hop.
+    Event timestamps are unique per key so the time-ordered ops are
+    deterministic without a tiebreak."""
+    from chronon_spark.operators.bootstrap import label_join
+
+    rng = random.Random(seed)
+    base = 1_700_000_000_000
+    ev: dict = {}
+    while len(ev) < 600:
+        k = rng.choice(["a", "a", "b", "c"])  # skew on 'a' -> tile router path
+        ms = base + rng.randint(0, 12 * 86_400_000)
+        val = None if rng.random() < 0.06 else round(rng.uniform(-40, 40), 2)
+        et = None if rng.random() < 0.06 else rng.choice(["x", "y", "z"])
+        ev.setdefault((k, ms), (val, et))
+    ev_list = sorted((k, ms, v, e) for (k, ms), (v, e) in ev.items())
+    events = spark.createDataFrame(
+        ev_list, "k string, ts_ms long, value double, etype string"
+    ).select("k", F.timestamp_millis("ts_ms").alias("ts"), "value", "etype")
+
+    horizon = rng.choice(HORIZON_POOL)
+    hop = horizon.tail_hop_millis()
+    picked = rng.sample(LABEL_OPS, k=rng.randint(3, 5))
+    aggs = [
+        Aggregation(
+            op, col,
+            windows=(Window(99, TimeUnit.DAYS),),  # rewritten to horizon
+            k=rng.randint(2, 4) if needs_k else None,
+        )
+        for op, needs_k, col in picked
+    ]
+    gb = GroupBy(name="lab", keys=["k"], aggregations=aggs)
+
+    # feature rows: random instants + boundary probes (exactly at an event
+    # ts -> that event excluded by strict >; 1ms earlier -> included; at the
+    # raw horizon edge) + one duplicate row (must fan out, not multiply)
+    q_set = set()
+    for _ in range(30):
+        q_set.add((rng.choice(["a", "b", "c"]), base + rng.randint(0, 13 * 86_400_000)))
+    for k, ms, _v, _e in rng.sample(ev_list, 8):
+        q_set.update({(k, ms), (k, ms - 1), (k, ms - horizon.millis)})
+    q_rows = sorted(q_set)
+    features = spark.createDataFrame(
+        q_rows + [q_rows[0]], "k string, ts_ms long"
+    ).select("k", F.timestamp_millis("ts_ms").alias("ts"), "ts_ms")
+
+    out = label_join(features, events, gb, horizon)
+    rows = [r.asDict() for r in out.collect()]
+    assert len(rows) == len(q_rows) + 1  # duplicate preserved
+
+    def in_window(q, e):
+        return e > q and -e >= ((-q - horizon.millis) // hop) * hop
+
+    def expected(k, q, a, op, col):
+        evs = [(ms, v, e) for kk, ms, v, e in ev_list if kk == k and in_window(q, ms)]
+        vals = [(ms, (v if col == "value" else e)) for ms, v, e in evs]
+        nn = [(ms, x) for ms, x in vals if x is not None]  # e-ascending
+        xs = [x for _ms, x in nn]
+        if op == Op.COUNT:
+            return len(xs)
+        if op == Op.SUM:
+            return sum(xs) if xs else None
+        if op == Op.AVERAGE:
+            return sum(xs) / len(xs) if xs else None
+        if op == Op.MIN:
+            return min(xs) if xs else None
+        if op == Op.MAX:
+            return max(xs) if xs else None
+        if op == Op.UNIQUE_COUNT:
+            return len(set(xs))
+        if op == Op.FIRST:  # min negated-ts == LATEST real event in horizon
+            return xs[-1] if xs else None
+        if op == Op.LAST:  # max negated-ts == EARLIEST future event
+            return xs[0] if xs else None
+        if op == Op.LAST_K:  # reverse of negated order == e-ascending
+            return xs[: a.k] if xs else None
+        if op == Op.TOP_K:
+            return sorted(xs, reverse=True)[: a.k] if xs else None
+        raise AssertionError(op)
+
+    for r in rows:
+        k, q = r["k"], r["ts_ms"]
+        for a, (op, _nk, col) in zip(aggs, picked):
+            got = r[f"label_{a.output_name(horizon, None)}"]
+            want = expected(k, q, a, op, col)
+            if op in (Op.COUNT, Op.UNIQUE_COUNT):
+                got = got or 0
+            if isinstance(got, list):
+                got = got or None
+            assert _close(got, want), (
+                f"seed={seed} horizon={horizon} ({k},{q}) "
+                f"{op}/{col}: {got!r} != {want!r}"
+            )
+
+
+@pytest.mark.parametrize("seed", [7, 99, 512])
+def test_random_refresh_offsets_match_naive(spark, seed):
+    """refresh_window(random inclusive offsets, incl. open bounds) keeps
+    exactly the feature days a naive calendar filter keeps (reference
+    LabelJoin.scala:52-54: offset o counts back o-1 days from label_ds)."""
+    import datetime as _dt
+
+    from chronon_spark.operators.bootstrap import refresh_window
+
+    rng = random.Random(seed)
+    epoch = _dt.date(1970, 1, 1)
+    anchor = _dt.date(2023, 11, 1)
+    rows = []
+    for i in range(300):
+        d = anchor + _dt.timedelta(days=rng.randint(0, 29))
+        ms = (d - epoch).days * 86_400_000 + rng.randint(0, 86_399_999)
+        rows.append((rng.choice("abc"), ms, i))
+    features = spark.createDataFrame(rows, "k string, ts_ms long, rid long").select(
+        "k", F.timestamp_millis("ts_ms").alias("ts"), "ts_ms", "rid"
+    )
+    label_d = anchor + _dt.timedelta(days=rng.randint(5, 29))
+    end = rng.randint(1, 6)
+    start = end + rng.randint(0, 8)
+    if rng.random() < 0.25:
+        start = None
+    elif rng.random() < 0.25:
+        end = None
+    got = sorted(
+        r["rid"]
+        for r in refresh_window(features, label_d.isoformat(), start, end).collect()
+    )
+    lo = None if start is None else label_d - _dt.timedelta(days=start - 1)
+    hi = None if end is None else label_d - _dt.timedelta(days=end - 1)
+    want = sorted(
+        rid
+        for _k, ms, rid in rows
+        if (lo is None or epoch + _dt.timedelta(days=ms // 86_400_000) >= lo)
+        and (hi is None or epoch + _dt.timedelta(days=ms // 86_400_000) <= hi)
+    )
+    assert got == want and (start is None or end is None or len(want) > 0)
