@@ -89,3 +89,55 @@ def mg_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column-expression forms — for serving IRs, where one (key [, tile]) row
+# carries a whole summary as a bounded map<string,bigint> column (the KV-row
+# shape of the reference's ItemsSketch bytes, GroupByUpload.scala:38-105).
+# ---------------------------------------------------------------------------
+
+_MAP_T = "map<string,bigint>"
+
+
+def summary_map(group: DataFrame, group_cols: list[str], value_col: str, est_col: str = EST) -> DataFrame:
+    """Fold an MG summary's rows into one map<string,bigint> column per
+    group: the shape a KV store row (or an IR slot column) carries."""
+    ent = F.struct(F.col(value_col).cast("string").alias("k"), F.col(est_col).alias("v"))
+    return group.groupBy(*group_cols).agg(
+        F.map_from_entries(F.array_sort(F.collect_list(ent))).alias("__mg_map")
+    )
+
+
+def merge_summary_maps(maps: Column) -> Column:
+    """Entry-wise sum of an ARRAY of MG summary maps (nulls already dropped
+    by collect_list). Each input is <= cap entries, so the transient merged
+    map is bounded by n_maps x cap — the lambda-merge counterpart of
+    ``mg_merge`` as a single JVM-side expression."""
+    empty = F.create_map().cast(_MAP_T)
+    return F.aggregate(
+        maps,
+        empty,
+        lambda acc, m: F.map_zip_with(
+            acc, m, lambda _k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+        ),
+    )
+
+
+def topk_map_expr(m: Column, k: int | None) -> Column:
+    """Finalize a merged histogram map: keep the k most frequent entries
+    ((count desc, value desc) tie order — exactly _assemble_value_maps'
+    truncation), drop non-positive estimates, NULL when empty (matching the
+    offline engine's empty-window semantics). ``k=None`` keeps all entries."""
+    ents = F.filter(F.map_entries(m), lambda e: e["value"] > 0)
+    srt = F.array_sort(
+        ents,
+        lambda a, b: F.when(a["value"] > b["value"], F.lit(-1))
+        .when(a["value"] < b["value"], F.lit(1))
+        .when(a["key"] > b["key"], F.lit(-1))
+        .when(a["key"] < b["key"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    if k:
+        srt = F.slice(srt, 1, k)
+    return F.when(F.size(srt) > 0, F.map_from_entries(srt))

@@ -36,7 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from chronon_spark.api import Accuracy, GroupBy, Window
+from chronon_spark.api import Accuracy, Aggregation, GroupBy, Op, Window
+from chronon_spark.functions import heavy_hitters as HH
 from chronon_spark.functions import ops as O
 from chronon_spark.operators.groupby import (
     ETS,
@@ -61,34 +62,59 @@ def _batch_end_ms(batch_end_ds: str) -> int:
     return day * 1000 + DAY_MS
 
 
+def _check_aligned(w: Window | None, horizon_ms: int | None):
+    # the tail-tile band math assumes hop-aligned windows (and a
+    # horizon the hop divides) — the same invariant the offline
+    # router enforces by falling back to the exact estimator; the
+    # serving path has no fallback, so reject instead of silently
+    # under/over-counting the tail band
+    if w is None:
+        return
+    hop = w.tail_hop_millis()
+    if w.millis % hop != 0:
+        raise ValueError(
+            f"upload requires hop-aligned windows; {w.suffix} is "
+            f"not a multiple of its {hop}ms sawtooth tail hop"
+        )
+    if horizon_ms is not None and horizon_ms % hop != 0:
+        raise ValueError(
+            f"upload horizon {horizon_ms}ms must be a multiple "
+            f"of window {w.suffix}'s {hop}ms tail hop"
+        )
+
+
 def _pairs(gb: GroupBy, horizon_ms: int | None = None):
-    out = []
+    """(scalar_pairs, mg_pairs): scalar pairs carry ops.partial_cols slot
+    IRs; mg pairs are APPROX_HISTOGRAM_K aggregations served as bounded
+    Misra-Gries map<string,bigint> IR columns (one per pair). Slot indices
+    number scalar pairs first, then mg pairs, so IR column names stay stable
+    whichever mix a GroupBy declares."""
+    scalar, mg = [], []
     for a in gb.aggregations:
+        if a.operation == Op.APPROX_HISTOGRAM_K and not a.buckets:
+            # KV rows must be HARD-bounded: require an explicit MG cap (the
+            # reference's ItemsSketch map size, SimpleAggregators.scala:
+            # 458-600). The offline engine tolerates mg_cap=None because its
+            # exact plan distributes the value dimension; a serving IR can't.
+            if not a.mg_cap:
+                raise ValueError(
+                    f"serving APPROX_HISTOGRAM_K('{a.input_column}') requires "
+                    "mg_cap (the Misra-Gries summary bound; estimates are "
+                    "exact whenever mg_cap >= the distinct value count)"
+                )
+            for w, _ in a.unpacked():
+                _check_aligned(w, horizon_ms)
+                mg.append((a, w))
+            continue
         if a.buckets or a.operation not in O.SERVING_MERGEABLE_OPS:
             raise ValueError(
                 f"upload supports scalar mergeable aggregations; got "
                 f"{a.operation.value} (buckets={a.buckets})"
             )
         for w, _ in a.unpacked():
-            # the tail-tile band math assumes hop-aligned windows (and a
-            # horizon the hop divides) — the same invariant the offline
-            # router enforces by falling back to the exact estimator; the
-            # serving path has no fallback, so reject instead of silently
-            # under/over-counting the tail band
-            if w is not None:
-                hop = w.tail_hop_millis()
-                if w.millis % hop != 0:
-                    raise ValueError(
-                        f"upload requires hop-aligned windows; {w.suffix} is "
-                        f"not a multiple of its {hop}ms sawtooth tail hop"
-                    )
-                if horizon_ms is not None and horizon_ms % hop != 0:
-                    raise ValueError(
-                        f"upload horizon {horizon_ms}ms must be a multiple "
-                        f"of window {w.suffix}'s {hop}ms tail hop"
-                    )
-            out.append((a, w))
-    return out
+            _check_aligned(w, horizon_ms)
+            scalar.append((a, w))
+    return scalar, mg
 
 
 def _stable_lo(w: Window | None, batch_end: int, horizon_ms: int) -> int | None:
@@ -129,8 +155,9 @@ def upload_batch_irs(
     ev = _normalize_events(events, gb, tiebreak)
     batch_end = _batch_end_ms(batch_end_ds)
     ev = ev.where(F.col(ETS) < batch_end)
-    pairs = _pairs(gb, horizon_ms)
+    pairs, mg_pairs = _pairs(gb, horizon_ms)
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    mg_slots = [(f"p{len(pairs) + j}__mg", a, w) for j, (a, w) in enumerate(mg_pairs)]
 
     collapsed_exprs = {}
     for i, (a, w) in enumerate(pairs):
@@ -147,21 +174,35 @@ def upload_batch_irs(
     # every serving op because the IRs are monoids (merge of per-day
     # partials == the direct partial; the fetch differential tests cover
     # each op kind through this path).
-    daily = ev.withColumn("__day", W.round_down(F.col(ETS), DAY_MS)).groupBy(
-        *gb.keys, "__day"
-    ).agg(*[c.alias(n) for n, c in collapsed_exprs.items()])
-    merge_exprs: dict = {}
-    for i, (a, _w) in enumerate(pairs):
-        merge_exprs.update(O.partial_merge_cols(a, f"p{i}"))
-    collapsed = daily.groupBy(*gb.keys).agg(
-        *[c.alias(n) for n, c in merge_exprs.items()]
-    )
+    if pairs:
+        daily = ev.withColumn("__day", W.round_down(F.col(ETS), DAY_MS)).groupBy(
+            *gb.keys, "__day"
+        ).agg(*[c.alias(n) for n, c in collapsed_exprs.items()])
+        merge_exprs: dict = {}
+        for i, (a, _w) in enumerate(pairs):
+            merge_exprs.update(O.partial_merge_cols(a, f"p{i}"))
+        collapsed = daily.groupBy(*gb.keys).agg(
+            *[c.alias(n) for n, c in merge_exprs.items()]
+        )
+    else:
+        collapsed = ev.select(*gb.keys).distinct()
+    # MG pairs: one bounded map<string,bigint> IR column per pair. The value
+    # dimension stays DISTRIBUTED until the final per-key fold (groupBy
+    # (keys, value) -> Misra-Gries window compress -> map assembly), so no
+    # step buffers more than cap entries per key — the same discipline as
+    # plans/sliding's tile compression, folded to the KV-row shape.
+    for name, a, w in mg_slots:
+        lo = _stable_lo(w, batch_end, horizon_ms)
+        region = ev if lo is None else ev.where(F.col(ETS) >= F.lit(lo))
+        m = _mg_region_map(region, gb.keys, a, name)
+        collapsed = collapsed.join(m, gb.keys, "left")
 
     # tail bands grouped by resolution; every pair's IR columns present in
     # every band table (nulls where the pair doesn't use that resolution)
     all_cols: dict[str, object] = {}
     for i, (a, _w) in enumerate(pairs):
         all_cols.update(O.partial_cols(a, F.col(a.input_column), F.col(ETS), tb, f"p{i}"))
+    mg_nulls = {name: F.lit(None).cast(HH._MAP_T) for name, _a, _w in mg_slots}
     by_hop: dict[int, list[int]] = {}
     for i, (a, w) in enumerate(pairs):
         if w is not None:
@@ -181,16 +222,66 @@ def upload_batch_irs(
         for n, _c in all_cols.items():
             if n not in t.columns:
                 t = t.withColumn(n, F.lit(None))
-        tile_frames.append(t.withColumn(RES, F.lit(h)).select(*gb.keys, RES, TILE, *all_cols))
+        tile_frames.append(
+            t.withColumn(RES, F.lit(h)).select(
+                *gb.keys, RES, TILE, *all_cols,
+                *[c.alias(n) for n, c in mg_nulls.items()],
+            )
+        )
+    # MG tail tiles ride as their own rows (scalar slots null) — branch
+    # merge at fetch time sums each slot over its non-null contributions,
+    # so mixed-slot rows and dedicated rows are equivalent
+    for name, a, w in mg_slots:
+        if w is None:
+            continue
+        h = w.tail_hop_millis()
+        lo, hi = batch_end - w.millis, _stable_lo(w, batch_end, horizon_ms)
+        if hi <= lo:
+            continue
+        band = ev.where((F.col(ETS) >= lo) & (F.col(ETS) < hi)).withColumn(
+            TILE, W.round_down(F.col(ETS), h)
+        )
+        m = _mg_region_map(band, [*gb.keys, TILE], a, name)
+        tile_frames.append(
+            m.select(
+                *gb.keys,
+                F.lit(h).alias(RES),
+                F.col(TILE),
+                *[F.lit(None).alias(n) for n in all_cols],
+                *[
+                    (F.col(n2) if n2 == name else F.lit(None).cast(HH._MAP_T)).alias(n2)
+                    for n2 in mg_nulls
+                ],
+            )
+        )
     if tile_frames:
         tiles = tile_frames[0]
         for t in tile_frames[1:]:
             tiles = tiles.unionByName(t)
     else:
         tiles = collapsed.limit(0).select(
-            *gb.keys, F.lit(0).alias(RES), F.lit(0).alias(TILE), *all_cols
+            *gb.keys, F.lit(0).alias(RES), F.lit(0).alias(TILE), *all_cols,
+            *[c.alias(n) for n, c in mg_nulls.items()],
         ).limit(0)
     return collapsed, tiles
+
+
+def _mg_region_map(region: DataFrame, group_cols: list[str], a: Aggregation, out_name: str) -> DataFrame:
+    """Misra-Gries map IR over one region: exact distributed value counts,
+    MG-compressed to ``a.mg_cap`` rows per group, folded to one
+    map<string,bigint> per group (estimates exact whenever mg_cap >= the
+    group's distinct count — the lossless parameterization the differential
+    tests gate on)."""
+    vs = F.col(a.input_column).cast("string")
+    counts = (
+        region.where(F.col(a.input_column).isNotNull())
+        .groupBy(*group_cols, vs.alias("__mg_v"))
+        .agg(F.count(F.lit(1)).alias("__mg_n"))
+    )
+    comp = HH.mg_compress(counts, group_cols, "__mg_v", "__mg_n", a.mg_cap)
+    return HH.summary_map(comp, group_cols, "__mg_v").withColumnRenamed(
+        "__mg_map", out_name
+    )
 
 
 def fetch_features(
@@ -212,7 +303,8 @@ def fetch_features(
     lambdaAggregateIr)."""
     assert gb.accuracy == Accuracy.TEMPORAL
     batch_end = _batch_end_ms(batch_end_ds)
-    pairs = _pairs(gb, horizon_ms)
+    pairs, mg_pairs = _pairs(gb, horizon_ms)
+    mg_slots = [(f"p{len(pairs) + j}__mg", a, w) for j, (a, w) in enumerate(mg_pairs)]
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
 
     left_n = requests.withColumn(QTS, W.ts_to_millis(requests, left_time_column))
@@ -221,7 +313,7 @@ def fetch_features(
     all_cols: dict[str, object] = {}
     for i, (a, _w) in enumerate(pairs):
         all_cols.update(O.partial_cols(a, F.col(a.input_column), F.col(ETS), tb, f"p{i}"))
-    ir_names = list(all_cols.keys())
+    ir_names = list(all_cols.keys()) + [name for name, _a, _w in mg_slots]
 
     # branch 0: collapsed IR per key (one row, always included)
     b0 = q.join(collapsed, gb.keys, "left").select(
@@ -244,34 +336,78 @@ def fetch_features(
     )
     se = sev.select(*[F.col(k).alias(f"__e_{k}") for k in gb.keys],
                     *[c for c in sev.columns if c not in gb.keys])
-    head_exprs = {}
-    for i, (a, w) in enumerate(pairs):
-        mask = W.in_window(F.col(ETS), F.col(QTS), w)
-        val = F.when(mask, F.col(a.input_column))
-        ts = F.when(mask, F.col(ETS))
-        head_exprs.update(O.partial_cols(a, val, ts, F.when(mask, tb), f"p{i}"))
-    b2 = (
-        q.join(se, kcond & (F.col(ETS) < F.col(QTS)), "inner")
-        .groupBy(*gb.keys, QTS)
-        .agg(*[c.alias(n) for n, c in head_exprs.items()])
-        .select(*gb.keys, QTS, F.lit(2).alias(BRANCH), F.lit(0).alias(RES),
-                F.lit(0).cast("long").alias(TILE), *ir_names)
-    )
-    unioned = b0.unionByName(b1).unionByName(b2)
+    jh = q.join(se, kcond & (F.col(ETS) < F.col(QTS)), "inner")
+    branches = [b0, b1]
+    if pairs:
+        head_exprs = {}
+        for i, (a, w) in enumerate(pairs):
+            mask = W.in_window(F.col(ETS), F.col(QTS), w)
+            val = F.when(mask, F.col(a.input_column))
+            ts = F.when(mask, F.col(ETS))
+            head_exprs.update(O.partial_cols(a, val, ts, F.when(mask, tb), f"p{i}"))
+        branches.append(
+            jh.groupBy(*gb.keys, QTS)
+            .agg(*[c.alias(n) for n, c in head_exprs.items()])
+            .select(
+                *gb.keys, QTS, F.lit(2).alias(BRANCH), F.lit(0).alias(RES),
+                F.lit(0).cast("long").alias(TILE),
+                *[n for n in all_cols],
+                *[F.lit(None).cast(HH._MAP_T).alias(n) for n, _a, _w in mg_slots],
+            )
+        )
+    # MG streaming heads: one row per (request, pair), the pair's window
+    # mask applied BEFORE summarization and the summary compressed to
+    # mg_cap — the head stays hard-bounded even on a hot key's busy day
+    for name, a, w in mg_slots:
+        m = _mg_region_map(
+            jh.where(W.in_window(F.col(ETS), F.col(QTS), w)),
+            [*gb.keys, QTS], a, name,
+        )
+        branches.append(
+            m.select(
+                *gb.keys, QTS, F.lit(2).alias(BRANCH), F.lit(0).alias(RES),
+                F.lit(0).cast("long").alias(TILE),
+                *[F.lit(None).alias(n) for n in all_cols],
+                *[
+                    (F.col(n2) if n2 == name else F.lit(None).cast(HH._MAP_T)).alias(n2)
+                    for n2, _a, _w in mg_slots
+                ],
+            )
+        )
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.unionByName(b)
 
-    merge_exprs = []
-    for i, (a, w) in enumerate(pairs):
-        include = (F.col(BRANCH) == 0) | (F.col(BRANCH) == 2)
+    def _include(w):
+        inc = (F.col(BRANCH) == 0) | (F.col(BRANCH) == 2)
         if w is not None:
             lo = _stable_lo(w, batch_end, horizon_ms)
-            include = include | (
+            inc = inc | (
                 (F.col(BRANCH) == 1)
                 & (F.col(RES) == w.tail_hop_millis())
                 & (F.col(TILE) >= W.sawtooth_tail(F.col(QTS), w))
                 & (F.col(TILE) < F.lit(lo))
             )
+        return inc
+
+    merge_exprs = []
+    for i, (a, w) in enumerate(pairs):
         merge_exprs.append(
-            _merge_with_masked_cols(a, f"p{i}", include).alias(a.output_name(w, None))
+            _merge_with_masked_cols(a, f"p{i}", _include(w)).alias(a.output_name(w, None))
+        )
+    for name, a, w in mg_slots:
+        # lambda merge for a histogram: entry-wise sum of the contributing
+        # summaries (collapsed + in-band tail tiles + masked head), then the
+        # offline finalize (top-k by (count desc, value desc), NULL if
+        # empty). No re-compression after the sum: component estimates never
+        # exceed true counts, so the summed estimate keeps the mergeable-
+        # summaries bound true - est <= n_window/(mg_cap+1) while staying as
+        # tight as the inputs allow.
+        maps = F.collect_list(F.when(_include(w), F.col(name)))
+        merge_exprs.append(
+            HH.topk_map_expr(HH.merge_summary_maps(maps), a.k).alias(
+                a.output_name(w, None)
+            )
         )
     feat = unioned.groupBy(*gb.keys, QTS).agg(*merge_exprs)
     out = left_n.join(feat, [*gb.keys, QTS], "left").drop(QTS)

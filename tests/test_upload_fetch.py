@@ -455,3 +455,140 @@ def test_percentile_accuracy_validation_matches_exact_route(spark, events):
     with _pt.raises(ValueError, match="must be positive"):
         kmv_cap(zero)
     assert kmv_cap(Aggregation(Op.APPROX_PERCENTILE, "value")) == DEFAULT_KMV_SAMPLE
+
+
+def _mrows(df, cols):
+    """Row compare that freezes map columns (APPROX_HISTOGRAM_K outputs)."""
+    def c(v):
+        if isinstance(v, dict):
+            return tuple(sorted(v.items()))
+        if isinstance(v, list):
+            return tuple(v)
+        if isinstance(v, float):
+            return round(v, 9)
+        return v
+
+    return sorted([tuple(c(r[x]) for x in cols) for r in df.collect()], key=repr)
+
+
+def test_serving_mg_histogram_lossless_equals_offline(spark, events, split):
+    """APPROX_HISTOGRAM_K rides the serving path as a Misra-Gries
+    map<string,bigint> IR column (collapsed + tail tiles + masked streaming
+    head). At a lossless cap (mg_cap >= distinct values) no MG decrement
+    ever fires, so upload + lambda fetch must equal the full-log temporal
+    engine bit-for-bit — windowed, lifetime, and mixed with scalar slots
+    (reference SawtoothOnlineAggregator.scala:83-155 serves every op)."""
+    batch, stream, requests, batch_end_ds = split
+    gb = GroupBy(
+        name="mgh",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.APPROX_HISTOGRAM_K, "event_type",
+                        windows=(W7D, W1D), k=3, mg_cap=64),
+            Aggregation(Op.APPROX_HISTOGRAM_K, "event_type", k=2, mg_cap=64),
+            Aggregation(Op.COUNT, "value", windows=(W1D,)),
+        ],
+    )
+    collapsed, tiles = upload_batch_irs(batch, gb, batch_end_ds, tiebreak="event_id")
+    got = fetch_features(
+        requests, collapsed, tiles, stream, gb, batch_end_ds, tiebreak="event_id"
+    )
+    want = temporal_events(requests, events, gb, tiebreak="event_id")
+    cols = ["user_id", "ts", *gb.output_columns()]
+    assert _mrows(got, cols) == _mrows(want, cols)
+    assert got.count() == requests.count()
+
+
+def test_serving_mg_histogram_boundary_and_mg_only(spark, events, split):
+    """A GroupBy with ONLY histogram slots (no scalar pairs — the empty
+    collapsed/head guards) fetched at the batch-end midnight boundary must
+    still equal the offline engine."""
+    batch, stream, _requests, batch_end_ds = split
+    import datetime as dt
+
+    midnight = dt.datetime.strptime(batch_end_ds, "%Y-%m-%d") + dt.timedelta(days=1)
+    keys = batch.select("user_id").distinct().limit(5)
+    requests = keys.withColumn("ts", F.lit(midnight).cast("timestamp"))
+    gb = GroupBy(
+        name="mgo",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.APPROX_HISTOGRAM_K, "event_type",
+                        windows=(W7D,), k=3, mg_cap=64),
+        ],
+    )
+    collapsed, tiles = upload_batch_irs(batch, gb, batch_end_ds, tiebreak="event_id")
+    got = fetch_features(
+        requests, collapsed, tiles, stream, gb, batch_end_ds, tiebreak="event_id"
+    )
+    want = temporal_events(requests, events, gb, tiebreak="event_id")
+    cols = ["user_id", "ts", *gb.output_columns()]
+    assert _mrows(got, cols) == _mrows(want, cols)
+
+
+def test_serving_mg_histogram_bounded_and_sound(spark, events, split):
+    """At a SMALL cap the IR maps are hard-bounded (<= mg_cap entries per
+    row everywhere: collapsed, tiles) and the fetched estimates obey the
+    mergeable-summaries guarantees vs the exact histogram: never an
+    overestimate, undercount <= n_window/(cap+1), and any value above that
+    bound is present."""
+    batch, stream, requests, batch_end_ds = split
+    cap = 2
+    gb = GroupBy(
+        name="mgs",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.APPROX_HISTOGRAM_K, "event_type",
+                        windows=(W7D,), k=10, mg_cap=cap),
+        ],
+    )
+    collapsed, tiles = upload_batch_irs(batch, gb, batch_end_ds, tiebreak="event_id")
+    for frame, col in ((collapsed, "p0__mg"), (tiles, "p0__mg")):
+        mx = frame.select(F.size(col).alias("s")).agg(F.max("s")).first()[0]
+        assert mx is None or mx <= cap, f"{col} map exceeds cap: {mx}"
+    got = fetch_features(
+        requests, collapsed, tiles, stream, gb, batch_end_ds, tiebreak="event_id"
+    )
+    exact = temporal_events(
+        requests,
+        events,
+        GroupBy(
+            name="mgx", keys=["user_id"],
+            aggregations=[Aggregation(Op.HISTOGRAM, "event_type", windows=(W7D,))],
+        ),
+        tiebreak="event_id",
+    )
+    gname = "event_type_approx_histogram10_7d"
+    xname = "event_type_histogram_7d"
+    joined = got.join(exact, ["user_id", "ts"]).collect()
+    assert len(joined) > 0
+    checked = 0
+    for r in joined:
+        est, true = r[gname] or {}, r[xname] or {}
+        n = sum(true.values())
+        # components are compressed with cap over DISJOINT regions whose
+        # union covers the window, so the summed estimate keeps the bound
+        bound = n / (cap + 1) * 3  # collapsed + tiles + head regions
+        for v, e in est.items():
+            assert v in true and e <= true[v], f"overestimate {v}: {e} > {true.get(v)}"
+        for v, t in true.items():
+            assert t - est.get(v, 0) <= bound, f"undercount {v}: {t} vs {est.get(v, 0)}"
+            if t > bound:
+                assert v in est, f"heavy value {v} (count {t} > {bound}) missing"
+            checked += 1
+    assert checked > 0
+
+
+def test_serving_mg_histogram_requires_cap(spark, events, split):
+    """KV rows must be hard-bounded: APPROX_HISTOGRAM_K without mg_cap is
+    rejected with an actionable error (the offline engine tolerates it
+    because its exact plan distributes the value dimension)."""
+    batch, _stream, _requests, batch_end_ds = split
+    gb = GroupBy(
+        name="mgr",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.APPROX_HISTOGRAM_K, "event_type",
+                                  windows=(W7D,), k=3)],
+    )
+    with pytest.raises(ValueError, match="mg_cap"):
+        upload_batch_irs(batch, gb, batch_end_ds, tiebreak="event_id")
