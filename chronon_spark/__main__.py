@@ -53,6 +53,12 @@ Conf-module contract (only the names a given subcommand needs):
                              log), optional ``name``; args --out-root
                              [--sample 0.1]
 
+    compile               -> no conf module; ``--conf-root <dir>`` walks a
+                             whole conf TREE, validates every module (the
+                             analyzer where data callables exist), and
+                             writes the semantic-hash manifest CI gates on
+                             (``--manifest-out``; exit 1 on any bad conf)
+
     optional everywhere: ``tiebreak`` (str), ``strategy`` (str)
 
 Backfill-style subcommands accept ``--out-root catalog:<db>`` to write
@@ -708,6 +714,119 @@ def cmd_log_summary(spark, conf, args) -> dict:
     }
 
 
+def cmd_compile(spark, conf, args) -> dict:
+    """Repo-wide compile + validate (reference api/py/ai/chronon/repo/
+    compile.py + extract_objects.py: Python confs -> validated manifest):
+    walk every ``*.py`` conf under ``--conf-root``, load each module, run
+    the deepest validation its contents allow — the group-by/join analyzer
+    when the conf supplies its data callables (``source`` / ``left`` +
+    ``sources``), structural checks otherwise — and emit ONE semantic-hash
+    manifest (``--manifest-out``, default ``<conf-root>/_compiled/
+    manifest.json``): the document the metadata registry consumes and a CI
+    gate runs (exit code 1 if ANY conf fails to load or validate)."""
+    import datetime as _dt
+    import os
+
+    from chronon_spark.operators.analyzer import analyze_group_by, analyze_join
+
+    root = args.conf_root
+    paths = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for fn in filenames:
+            if fn.endswith(".py") and not fn.startswith(("_", ".")):
+                paths.append(os.path.join(dirpath, fn))
+    if not paths:
+        return {
+            "command": "compile",
+            "errors": [{"code": "EMPTY_CONF_ROOT",
+                        "message": f"no conf modules under {root}"}],
+        }
+
+    def _res_errors(rel, res):
+        return [
+            {"code": e.code, "conf": rel, "column": e.column, "message": e.message}
+            for e in res.errors
+        ]
+
+    entries, errors = [], []
+    for path in sorted(paths):
+        rel = os.path.relpath(path, root)
+        try:
+            mod = _load_conf(path)
+        except Exception as e:  # noqa: BLE001 — a broken conf must not stop the sweep
+            errors.append({"code": "LOAD_ERROR", "conf": rel,
+                           "message": f"{type(e).__name__}: {e}"})
+            entries.append({"conf": rel, "kinds": [], "status": "error"})
+            continue
+        conf_errors: list[dict] = []
+        payload: dict = {}
+        try:
+            payload = _metadata_payload(spark, mod)
+            if "group_by" in payload and hasattr(mod, "source"):
+                conf_errors += _res_errors(
+                    rel, analyze_group_by(mod.source(spark), mod.group_by)
+                )
+            if "join" in payload and hasattr(mod, "left") and hasattr(mod, "sources"):
+                conf_errors += _res_errors(
+                    rel, analyze_join(mod.left(spark), mod.sources(spark), mod.join)
+                )
+            if hasattr(mod, "label_group_by"):
+                h = _opt(mod, "horizon")
+                if h is None or h.millis <= 0:
+                    conf_errors.append({
+                        "code": "BAD_HORIZON", "conf": rel, "column": None,
+                        "message": "label conf requires a positive horizon Window",
+                    })
+                payload["label_join"] = {
+                    "name": mod.label_group_by.name,
+                    "semantic_hash": mod.label_group_by.semantic_hash(),
+                    "horizon_ms": h.millis if h is not None else None,
+                }
+            if hasattr(mod, "staging_sql"):
+                payload["staging_query"] = {
+                    "name": _opt(mod, "name", os.path.splitext(rel)[0]),
+                    "semantic_hash": hashlib.sha256(
+                        mod.staging_sql.encode()
+                    ).hexdigest(),
+                }
+        except Exception as e:  # noqa: BLE001
+            conf_errors.append({"code": "VALIDATION_ERROR", "conf": rel,
+                                "column": None,
+                                "message": f"{type(e).__name__}: {e}"})
+        if not payload:
+            conf_errors.append({
+                "code": "UNKNOWN_CONF", "conf": rel, "column": None,
+                "message": "conf defines none of group_by / join / "
+                           "label_group_by / staging_sql",
+            })
+        errors += conf_errors
+        entries.append({
+            "conf": rel,
+            "kinds": sorted(payload),
+            "entities": payload,
+            "status": "error" if conf_errors else "ok",
+        })
+
+    manifest = {
+        "conf_root": os.path.abspath(root),
+        "compiled_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        "entries": entries,
+        "errors": errors,
+    }
+    out_path = args.manifest_out or os.path.join(root, "_compiled", "manifest.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(manifest, f, sort_keys=True, indent=1)
+    return {
+        "command": "compile",
+        "manifest": out_path,
+        "confs": len(entries),
+        "ok": sum(1 for e in entries if e["status"] == "ok"),
+        "errors": errors,
+    }
+
+
 COMMANDS = {
     "join": (cmd_join, True),
     "join-left": (cmd_join_left, True),
@@ -727,6 +846,7 @@ COMMANDS = {
     "group-by-streaming": (cmd_group_by_streaming, False),
     "daily-stats": (cmd_daily_stats, False),
     "log-summary": (cmd_log_summary, False),
+    "compile": (cmd_compile, False),
 }
 
 
@@ -745,6 +865,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     }
     for name, (_, needs_range) in COMMANDS.items():
         sp = sub.add_parser(name)
+        if name == "compile":
+            # repo-wide: a conf TREE, not one module
+            sp.add_argument("--conf-root", required=True,
+                            help="directory of Python conf modules")
+            sp.add_argument("--manifest-out", default=None)
+            continue
         sp.add_argument("--conf", required=True, help="path to a Python conf module")
         if needs_range:
             sp.add_argument("--out-root", required=True)
@@ -757,7 +883,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             sp.add_argument("--sample", type=float, default=0.1)
     args = p.parse_args(argv)
 
-    conf = _load_conf(args.conf)
+    conf = _load_conf(args.conf) if args.command != "compile" else None
     own_session = spark is None
     if own_session:
         from chronon_spark.session import get_spark

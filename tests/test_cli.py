@@ -961,3 +961,54 @@ def test_cli_fetch_missing_upload_lineage(spark, tmp_path, capsys):
     assert rc == 1
     assert all(e["code"] == "MISSING_UPLOAD_LINEAGE" for e in res["errors"])
     assert "re-run" in res["errors"][0]["message"]
+
+
+def test_cli_compile_validates_conf_tree(spark, tmp_path, capsys):
+    """``compile --conf-root`` (reference repo/compile.py): loads every conf
+    in a tree, validates with the analyzer where data callables exist, emits
+    one semantic-hash manifest, and exits 1 when any conf is broken."""
+    root = tmp_path / "confs"
+    (root / "team_a").mkdir(parents=True)
+    (root / "team_a" / "gb.py").write_text(GB_CONF)
+    (root / "team_a" / "join.py").write_text(JOIN_CONF)
+    (root / "staging.py").write_text(STAGING_CONF)
+    (root / "_helpers.py").write_text("raise RuntimeError('must be skipped')")
+    (root / "team_a" / "bad.py").write_text(BAD_CONF)
+    (root / "team_a" / "syntax_err.py").write_text("def broken(:\n")
+
+    manifest_path = tmp_path / "manifest.json"
+    rc, res = _run(
+        spark,
+        ["compile", "--conf-root", str(root), "--manifest-out", str(manifest_path)],
+        capsys,
+    )
+    assert rc == 1  # one analyzer failure + one load failure
+    assert res["confs"] == 5 and res["ok"] == 3
+    codes = {(e["conf"], e["code"]) for e in res["errors"]}
+    assert any(c == "LOAD_ERROR" and p.endswith("syntax_err.py") for p, c in codes)
+    assert any(p.endswith("bad.py") for p, c in codes if c not in ("LOAD_ERROR",))
+
+    manifest = json.loads(manifest_path.read_text())
+    by_conf = {e["conf"]: e for e in manifest["entries"]}
+    gb_entry = by_conf[os.path.join("team_a", "gb.py")]
+    assert gb_entry["status"] == "ok"
+    # the manifest carries the same semantic hash the registry/resume key on
+    from chronon_spark.api import Aggregation, GroupBy, Op, TimeUnit, Window
+
+    want = GroupBy(
+        name="cli_gb", keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(Window(1, TimeUnit.DAYS),))],
+    ).semantic_hash()
+    assert gb_entry["entities"]["group_by"]["semantic_hash"] == want
+    join_entry = by_conf[os.path.join("team_a", "join.py")]
+    assert join_entry["status"] == "ok" and "join" in join_entry["kinds"]
+    assert by_conf["staging.py"]["entities"]["staging_query"]["semantic_hash"]
+    assert by_conf[os.path.join("team_a", "bad.py")]["status"] == "error"
+
+    # a clean tree exits 0
+    clean = tmp_path / "clean"
+    clean.mkdir()
+    (clean / "gb.py").write_text(GB_CONF)
+    rc2, res2 = _run(spark, ["compile", "--conf-root", str(clean)], capsys)
+    assert rc2 == 0 and res2["errors"] == [] and res2["ok"] == 1
+    assert os.path.exists(clean / "_compiled" / "manifest.json")
