@@ -100,6 +100,11 @@ def main() -> None:
 
     calib_pre = calib()
     timings: dict[str, float] = {}
+    # per-query calibration bracket: one probe after every query, each
+    # query labeled with the mean of its surrounding probes — so a
+    # regression can be attributed to plan vs host phase PER QUERY instead
+    # of inferring throttle exposure from run order (the r3 triage problem)
+    marks: list[float] = [calib_pre]
     feature_rows = 0
     t_all = time.time()
     for name in headline:
@@ -118,10 +123,19 @@ def main() -> None:
                 spark.catalog.clearCache()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+        marks.append(calib())
         timings[name] = round(best, 3)
         if name in ("transcripts_backfill", "asof_window_agg", "asof_hops", "asof_sliding", "asof_join_multi"):
             feature_rows += n
     total = round(time.time() - t_all, 3)
+
+    def _bracket(lo: float, hi: float) -> float:
+        good = [m for m in (lo, hi) if m > 0]
+        return round(sum(good) / len(good), 1) if good else -1.0
+
+    queries_calib = {
+        name: _bracket(marks[i], marks[i + 1]) for i, name in enumerate(headline)
+    }
 
     asof_sec = sum(
         timings[q]
@@ -143,7 +157,8 @@ def main() -> None:
                 "rows_per_sec": rows_per_sec,
                 "master": master,
                 "host_calib_mops_pre": calib_pre,
-                "host_calib_mops_post": calib(),
+                "host_calib_mops_post": marks[-1],
+                "queries_calib_mops": queries_calib,
             }
         )
     )
