@@ -1792,11 +1792,29 @@ def q_upload_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(Op.COUNT, "value", windows=(W7D,)),
             Aggregation(Op.SUM, "value", windows=(W1D,)),
             Aggregation(Op.COUNT, "value"),
+            # MG histogram through the SERVING IR path at a lossless cap
+            # (64 >= the 5 distinct event types): collapsed/tail-tile map
+            # summaries + masked head, lambda-merged — hash-gated against
+            # the exact windowed histogram, rendered canonically as
+            # "et:n,..." so the row shape stays one-per-request
+            Aggregation(Op.APPROX_HISTOGRAM_K, "event_type",
+                        windows=(W7D,), k=3, mg_cap=64),
         ],
     )
     collapsed, tiles = upload_batch_irs(batch, gb, batch_end_ds, tiebreak="event_id")
     out = fetch_features(
         requests, collapsed, tiles, stream, gb, batch_end_ds, tiebreak="event_id"
+    )
+    m = F.col("event_type_approx_histogram3_7d")
+    hist = F.when(
+        m.isNotNull(),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(m)),
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            ),
+            ",",
+        ),
     )
     return out.select(
         "user_id",
@@ -1804,6 +1822,7 @@ def q_upload_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_count_7d"),
         _r(F.col("value_sum_1d")).alias("value_sum_1d"),
         F.col("value_count"),
+        hist.alias("hist3_7d"),
     )
 
 
@@ -1814,14 +1833,29 @@ q AS (
   SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events
   WHERE event_type = 'purchase' AND strftime(ts, '%Y-%m-%d') = (SELECT d FROM pick)
 ), e AS (
-  SELECT user_id, epoch_ms(ts) AS ems, value FROM events
+  SELECT user_id, epoch_ms(ts) AS ems, value, event_type FROM events
+), hc AS (
+  SELECT q.user_id, q.ts_ms, e.event_type AS et, count(*) AS n
+  FROM q JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms AND e.ems >= {TAIL_7D}
+  WHERE e.event_type IS NOT NULL
+  GROUP BY 1, 2, 3
+), hr AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, ts_ms ORDER BY n DESC, et DESC) AS rn
+  FROM hc
+), h AS (
+  SELECT user_id, ts_ms, string_agg(et || ':' || n, ',' ORDER BY et) AS hist3_7d
+  FROM hr WHERE rn <= 3 GROUP BY 1, 2
 )
-SELECT q.user_id, q.ts_ms,
-       count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS value_count_7d,
-       round(sum(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END), 3) AS value_sum_1d,
-       count(e.value) AS value_count
-FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
-GROUP BY q.user_id, q.ts_ms
+SELECT base.user_id, base.ts_ms, base.value_count_7d, base.value_sum_1d,
+       base.value_count, h.hist3_7d
+FROM (
+  SELECT q.user_id, q.ts_ms,
+         count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS value_count_7d,
+         round(sum(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END), 3) AS value_sum_1d,
+         count(e.value) AS value_count
+  FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
+  GROUP BY q.user_id, q.ts_ms
+) base LEFT JOIN h ON h.user_id = base.user_id AND h.ts_ms = base.ts_ms
 """
 
 
