@@ -206,19 +206,29 @@ def cmd_join_final(spark, conf, args) -> dict:
     if errors:
         return {"command": "join-final", "errors": errors}
     left = left_table.read_range(spark, args.start_ds, args.end_ds).drop("ds")
+    selected = (
+        [s for s in args.selected_parts.split(",") if s]
+        if getattr(args, "selected_parts", None)
+        else None
+    )
     final, parts = materialize_join(
         spark, left, conf.sources(spark), join, args.out_root,
         args.start_ds, args.end_ds,
         tiebreak=_opt(conf, "tiebreak"),
         strategy=_opt(conf, "strategy", "auto"),
         step_days=args.step_days,
+        selected_parts=selected,
     )
-    return {
+    out = {
         "command": "join-final",
-        "output_table": _table_id(final),
-        "partitions": final.partitions(),
         "part_tables": {p: _table_id(t) for p, t in parts.items()},
     }
+    if final is not None:
+        out["output_table"] = _table_id(final)
+        out["partitions"] = final.partitions()
+    else:
+        out["selected_parts"] = selected
+    return out
 
 
 def cmd_group_by_backfill(spark, conf, args) -> dict:
@@ -881,6 +891,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             sp.add_argument(flag, required=True)
         if name == "log-summary":
             sp.add_argument("--sample", type=float, default=0.1)
+        if name == "join-final":
+            # scheduler fan-out unit: materialize only these part tables,
+            # skip final assembly (a later full run resumes + assembles)
+            sp.add_argument("--selected-parts", default=None,
+                            help="comma-separated part prefixes")
     args = p.parse_args(argv)
 
     conf = _load_conf(args.conf) if args.command != "compile" else None

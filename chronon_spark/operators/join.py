@@ -626,6 +626,7 @@ def materialize_join(
     tiebreak: str | None = None,
     strategy: str = "auto",
     step_days: int = 30,
+    selected_parts: list[str] | None = None,
 ):
     """Materialized, resumable join backfill — the reference's computeJoin
     lifecycle (JoinBase.scala:348-369 range planning; per-part intermediate
@@ -641,6 +642,13 @@ def materialize_join(
     Returns (final table, {prefix: part table}) — path-backed
     ``PartitionedTable``s, or catalog-managed ``CatalogTable``s when
     ``out_root`` is ``catalog:<db>`` (sources/tableio.resolve_table).
+
+    ``selected_parts`` (prefix list) materializes ONLY those part tables
+    and skips final assembly, returning (None, part tables) — the unit a
+    scheduler fans out in parallel (reference join_backfill.py's
+    --selected-join-parts nodes); a later full run resumes every part
+    table and assembles. Unknown prefixes raise (a typo would silently
+    schedule a no-op node).
     """
     from chronon_spark.operators.groupby import run_setups
     from chronon_spark.sources.tableio import backfill, resolve_table
@@ -660,10 +668,20 @@ def materialize_join(
     def _shift_ds(ds: str, days: int) -> str:
         return (_dt.date.fromisoformat(ds) + _dt.timedelta(days=days)).isoformat()
 
+    if selected_parts is not None:
+        known = {p.full_prefix() for p in join.join_parts}
+        bad = sorted(set(selected_parts) - known)
+        if bad:
+            raise ValueError(
+                f"unknown join part prefixes {bad}; join '{join.name}' has "
+                f"{sorted(known)}"
+            )
     part_tables: dict[str, object] = {}
     snapshot_tables: dict[str, object] = {}
     for part in join.join_parts:
         prefix = part.full_prefix()
+        if selected_parts is not None and prefix not in selected_parts:
+            continue
         table = resolve_table(spark, out_root, f"{join.name}_{prefix}")
         mapped_skew = _part_skew_keys(part, join.skew_keys)
         events = _skew_filter_source(sources[part.group_by.name], mapped_skew)
@@ -762,6 +780,9 @@ def materialize_join(
             step_days=step_days,
         )
         part_tables[prefix] = table
+
+    if selected_parts is not None:
+        return None, part_tables
 
     final = resolve_table(spark, out_root, join.name)
 
