@@ -324,6 +324,17 @@ def test_random_config_fetch_equals_full_log(spark, seed):
                 k=rng.randint(2, 4) if needs_k else None,
             )
         )
+    if rng.random() < 0.7:
+        # MG histogram slot at a LOSSLESS cap (>= the 3 distinct etypes):
+        # the served map must equal the offline engine bit-for-bit
+        hw = rng.sample([w for w in WINDOW_POOL if w is not None], k=1)
+        aggs.append(
+            Aggregation(
+                Op.APPROX_HISTOGRAM_K, "etype",
+                windows=None if rng.random() < 0.3 else tuple(hw),
+                k=rng.randint(2, 4), mg_cap=32,
+            )
+        )
     gb = GroupBy(name=f"sv{seed}", keys=["k"], aggregations=aggs)
 
     days = [
