@@ -2709,6 +2709,39 @@ ORACLES.update(
     }
 )
 
+def q_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level KV contract (reference AvroCodec.scala / AvroConversions /
+    KvRdd.toAvroDf): lineitem rows -> single-object-encoded Avro KV bytes
+    (chronon_spark/serde.py, pure-spec implementation) -> decode -> typed
+    columns. Any wire-format defect — zigzag varints, framing fingerprints,
+    union branches, array blocks, the timestamp-micros logical type — would
+    hash-mismatch the plain-select oracle."""
+    from chronon_spark.serde import decode_kv_df, encode_kv_df
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    df = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate",
+        F.array("l_tax", "l_discount").alias("rates"),
+    )
+    kv, schemas = encode_kv_df(df, ["l_orderkey", "l_linenumber"], name="li_kv")
+    back = decode_kv_df(kv, schemas)
+    return back.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate",
+        F.element_at("rates", 1).alias("l_tax"),
+        F.element_at("rates", 2).alias("l_discount"),
+    )
+
+
+SQL_KV_ROUNDTRIP = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate,
+       l_tax, l_discount
+FROM lineitem WHERE l_orderkey % 10 = 0
+"""
+
+QUERIES["kv_roundtrip"] = q_kv_roundtrip
+ORACLES["kv_roundtrip"] = SQL_KV_ROUNDTRIP
+
+
 #: the first 50 registry names — every one oracle-backed — form the driver's
 #: CORRECTNESS window; everything after is pytest-parity-only (rows-only
 #: diagnostics and the standalone halves of the combined gates)

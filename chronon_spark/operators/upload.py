@@ -258,6 +258,16 @@ def upload_batch_irs(
         tiles = tile_frames[0]
         for t in tile_frames[1:]:
             tiles = tiles.unionByName(t)
+        # a slot whose pair has no band at SOME resolution rides as
+        # F.lit(None); if no band types it, the column lands as NullType
+        # (void) — cast those to the collapsed frame's slot types so the
+        # tiles schema is fully typed (parquet- and codec-clean)
+        from pyspark.sql import types as ST
+
+        ctypes = {f.name: f.dataType for f in collapsed.schema.fields}
+        for f in tiles.schema.fields:
+            if isinstance(f.dataType, ST.NullType) and f.name in ctypes:
+                tiles = tiles.withColumn(f.name, F.col(f.name).cast(ctypes[f.name]))
     else:
         tiles = collapsed.limit(0).select(
             *gb.keys, F.lit(0).alias(RES), F.lit(0).alias(TILE), *all_cols,

@@ -29,6 +29,15 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Python workers resolve imports from the JVM's inherited env, not the
+    # driver's sys.path — export the package root BEFORE the JVM launches so
+    # mapInPandas/mapInArrow closures (multimodal, serde) import
+    # chronon_spark from any launch directory. On a real cluster the
+    # equivalent is shipping the package via --py-files / a venv archive.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
     # Launched by spark-submit (gateway already up): the submitted --master /
     # --conf govern; only an EXPLICIT master here overrides it. Standalone
     # (plain `python ...`): fall back to $SPARK_MASTER or local[cpus].
