@@ -445,6 +445,26 @@ def kv_event_rows(
     )
 
 
+def kv_event_rows_bytes(
+    events: DataFrame, gb: GroupBy, tiebreak: str | None = None
+):
+    """Avro-bytes twin of ``kv_event_rows``: the reference writes these rows
+    through AvroCodec (streaming/GroupBy.scala:150-198 via KvRdd.toAvroDf) —
+    key record = the GroupBy keys, value record = (ts_ms, aggregation
+    inputs). Returns (kv_frame, KvSchemas, typed_frame);
+    ``serde.decode_kv_df`` restores the typed rows for read-time
+    aggregation."""
+    from chronon_spark.serde import encode_kv_df
+
+    ev = _normalize_events(events, gb, tiebreak)
+    payload_cols = sorted(
+        {a.input_column for a in gb.aggregations} | ({tiebreak} if tiebreak else set())
+    )
+    flat = ev.select(*gb.keys, F.col(ETS).alias("ts_ms"), *payload_cols)
+    kv, schemas = encode_kv_df(flat, list(gb.keys), name=f"{gb.name}_events")
+    return kv, schemas, flat
+
+
 def fetch_join(
     requests: DataFrame,
     batch: dict[str, tuple[DataFrame, DataFrame]],

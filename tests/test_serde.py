@@ -513,3 +513,24 @@ def test_fetch_over_kv_bytes_equals_typed_fetch(spark, events):
     typed = fetch_features(requests, collapsed, tiles, stream, gb, batch_end_ds, tiebreak="event_id")
     byted = fetch_features_from_kv(requests, kvu, stream, gb, batch_end_ds, tiebreak="event_id")
     assert _collect(byted) == _collect(typed)
+
+
+def test_kv_event_rows_bytes_roundtrip(spark, events):
+    """Un-aggregated KV event writes as Avro bytes (streaming/GroupBy.scala:
+    150-198 through AvroCodec): decoded rows == the typed rows, and
+    aggregating the decoded rows == aggregating the originals."""
+    from chronon_spark.api import Aggregation, GroupBy, Op
+    from chronon_spark.operators.upload import kv_event_rows_bytes
+
+    gb = GroupBy(
+        name="kvev",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.SUM, "value"), Aggregation(Op.COUNT, "event_type")],
+    )
+    kv, schemas, flat = kv_event_rows_bytes(events.limit(500), gb, tiebreak="event_id")
+    back = decode_kv_df(kv, schemas)
+    assert _collect(back) == _collect(flat)
+    agg = lambda df: df.groupBy("user_id").agg(  # noqa: E731
+        F.sum("value").alias("s"), F.count("event_type").alias("n")
+    )
+    assert _collect(agg(back)) == _collect(agg(flat))
