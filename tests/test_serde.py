@@ -515,6 +515,40 @@ def test_fetch_over_kv_bytes_equals_typed_fetch(spark, events):
     assert _collect(byted) == _collect(typed)
 
 
+def test_streaming_tile_bytes_contract(spark, events):
+    """The reference serializes streaming tile IRs as Avro bytes (its
+    TileCodec); here the tile IR rows — (keys, tile_start, partial IR
+    slots incl. array<struct> LAST_K state) — ride the byte codec keyed by
+    (keys, tile_start_ms) and decode bit-identically. Streamed == batch
+    tile equality is separately gated in tests/test_streaming_ingest.py,
+    so encoding the batch-shaped frame covers the streamed one."""
+    from chronon_spark.api import Aggregation, GroupBy, Op
+    from chronon_spark.plans.windows import to_millis
+    from chronon_spark.streaming.tiles import tile_aggregates
+
+    gb = GroupBy(
+        name="tc",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value"),
+            Aggregation(Op.SUM, "value"),
+            Aggregation(Op.LAST_K, "event_type", k=2),
+        ],
+    )
+    exprs = tile_aggregates(gb, "event_id")
+    tiles = (
+        events.limit(800)
+        .withColumn("__ts_ms", to_millis(F.col("ts")))
+        .groupBy(F.window("ts", "5 minutes").alias("tile"), "user_id")
+        .agg(*[c.alias(n) for n, c in exprs.items()])
+        .select(
+            "user_id", F.unix_millis("tile.start").alias("tile_start_ms"), *exprs.keys()
+        )
+    )
+    kv, schemas = encode_kv_df(tiles, ["user_id", "tile_start_ms"], name="tile")
+    assert _collect(decode_kv_df(kv, schemas)) == _collect(tiles)
+
+
 def test_kv_event_rows_bytes_roundtrip(spark, events):
     """Un-aggregated KV event writes as Avro bytes (streaming/GroupBy.scala:
     150-198 through AvroCodec): decoded rows == the typed rows, and
