@@ -339,11 +339,16 @@ def _matches(branch, names: dict, datum) -> bool:
     if t == "boolean":
         return isinstance(datum, bool)
     if t in ("int", "long"):
+        if isinstance(datum, bool):
+            return False
         try:
-            _norm_long(datum)
-            return not isinstance(datum, bool)
+            n = _norm_long(datum)
         except TypeError:
             return False
+        # range-gate so a union like ["int","long"] falls through to the
+        # branch that can actually hold the value
+        lo, hi = (_INT_MIN, _INT_MAX) if t == "int" else (_LONG_MIN, _LONG_MAX)
+        return lo <= n <= hi
     if t in ("float", "double"):
         return isinstance(datum, float) or (
             hasattr(datum, "item") and isinstance(datum.item(), (float, int))
