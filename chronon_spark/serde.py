@@ -65,6 +65,9 @@ def _resolve_names(schema, names: dict, enclosing_ns: str | None = None):
         return
     if isinstance(schema, list):
         for s in schema:
+            if isinstance(s, list):
+                # spec: "Unions may not immediately contain other unions"
+                raise ValueError(f"union immediately contains a union: {schema!r}")
             _resolve_names(s, names, enclosing_ns)
         return
     t = schema["type"]

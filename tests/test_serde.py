@@ -236,7 +236,11 @@ def _schema_and_datum(draw):
         if t in _PRIM:
             return t
         if t == "optional":
-            return ["null", sub(depth - 1)]
+            x = sub(depth - 1)
+            # unions may not immediately contain unions (spec); flatten
+            if isinstance(x, list):
+                return x if "null" in x else ["null", *x]
+            return ["null", x] if x != "null" else "null"
         if t == "array":
             return {"type": "array", "items": sub(depth - 1)}
         if t == "map":
