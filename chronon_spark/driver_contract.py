@@ -2742,6 +2742,103 @@ QUERIES["kv_roundtrip"] = q_kv_roundtrip
 ORACLES["kv_roundtrip"] = SQL_KV_ROUNDTRIP
 
 
+def q_snapshot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both SNAPSHOT coverage-grid gates — active-day aggregates and the
+    CARRY-day grid — unioned under a ``mode`` label: one driver row
+    hash-gates the grid construction AND the end-of-day aggregate semantics
+    (the standalone halves stay registered past the window for pytest)."""
+    daily = (
+        q_snapshot_daily(spark, sf_dir)
+        .withColumnRenamed("value_sum_1d", "value_sum")
+        .withColumn("mode", F.lit("daily"))
+    )
+    carry = (
+        q_snapshot_carry(spark, sf_dir)
+        .withColumnRenamed("value_sum_7d", "value_sum")
+        .withColumn("mode", F.lit("carry"))
+    )
+    return daily.unionByName(carry)
+
+
+SQL_SNAPSHOT_EVENTS = f"""
+SELECT user_id, ds, value_count_7d, value_sum_1d AS value_sum, 'daily' AS mode
+FROM ({SQL_SNAPSHOT_DAILY})
+UNION ALL
+SELECT user_id, ds, value_count_7d, value_sum_7d AS value_sum, 'carry' AS mode
+FROM ({SQL_SNAPSHOT_CARRY})
+"""
+
+
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus curation (operators/curation.py) in one driver row:
+    benchmark decontamination (8-gram overlap vs the deterministic
+    doc_id % 37 == 0 "benchmark" slice, broadcast shingle semi-join),
+    deterministic md5 train/val/test hash_split, and concatenate-and-split
+    sequence packing via the distributed bucket prefix-sum — all per-doc,
+    joined on doc_id and hash-compared against one SQL oracle."""
+    from chronon_spark.operators.curation import (
+        decontaminate,
+        hash_split,
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    deco = decontaminate(docs, bench, n=8)
+    split = hash_split(docs.select("doc_id"), "doc_id")
+    packed = pack_sequences(docs, budget=2048, n_buckets=16)
+    return (
+        deco.join(split, "doc_id")
+        .join(packed, "doc_id")
+        .select(
+            "doc_id", "n_hits", "contaminated", "split", "n_tokens",
+            "global_start", "pack_first", "pack_last", "offset_in_pack",
+        )
+    )
+
+
+from chronon_spark.operators.curation import split_case_sql as _split_case_sql
+
+SQL_CURATION = f"""
+WITH norm AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+sh AS (SELECT DISTINCT doc_id AS id,
+              unnest(list_transform(range(1, greatest(len(ws)-7, 0)+1),
+                                    i -> array_to_string(ws[i:i+7], ' '))) AS shingle
+       FROM w),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 37 = 0),
+hits AS (SELECT id AS doc_id, count(*) AS n_hits
+         FROM sh JOIN bench USING (shingle) GROUP BY 1),
+tok AS (SELECT doc_id,
+        CASE WHEN length(regexp_replace(trim(text), '\\s+', ' ', 'g')) = 0 THEN 0
+             ELSE CAST((length(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                  - length(replace(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ', ''))) AS BIGINT) + 1
+        END AS n_tokens
+        FROM documents),
+c AS (SELECT doc_id, n_tokens,
+      CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS global_start
+      FROM tok)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated,
+       {_split_case_sql("d.doc_id")} AS split,
+       c.n_tokens,
+       c.global_start,
+       CAST(c.global_start // 2048 AS BIGINT) AS pack_first,
+       CAST((c.global_start + greatest(c.n_tokens, 1) - 1) // 2048 AS BIGINT) AS pack_last,
+       CAST(c.global_start % 2048 AS BIGINT) AS offset_in_pack
+FROM documents d
+LEFT JOIN hits h USING (doc_id)
+JOIN c USING (doc_id)
+"""
+
+QUERIES["snapshot_events"] = q_snapshot_events
+ORACLES["snapshot_events"] = SQL_SNAPSHOT_EVENTS
+QUERIES["curation"] = q_curation
+ORACLES["curation"] = SQL_CURATION
+
+
 #: the first 50 registry names — every one oracle-backed — form the driver's
 #: CORRECTNESS window; everything after is pytest-parity-only (rows-only
 #: diagnostics and the standalone halves of the combined gates)
@@ -2749,7 +2846,7 @@ DRIVER_WINDOW = [
     "tpch_q1", "join_pricing", "groupby_lifetime", "moments", "percentile",
     "first_last", "topk_per_user", "histogram", "groupby_buckets",
     "asof_estimators", "asof_last_k", "asof_join_multi", "asof_join_snapshot",
-    "snapshot_daily", "snapshot_carry", "lag_lead", "sessionize",
+    "snapshot_events", "curation", "lag_lead", "sessionize",
     "transcripts_backfill", "mutations_temporal", "snapshot_entities",
     "staging_query", "label_join", "bootstrap_backfill", "external_parts",
     "join_chain", "cumulative_source", "skew_join", "text_features",

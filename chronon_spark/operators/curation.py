@@ -1,0 +1,205 @@
+"""Training-corpus curation operators: benchmark decontamination,
+deterministic hash splits, and sequence packing.
+
+These are the last-mile ops a 100TB pretraining pipeline runs after dedup
+(operators/dedup.py) and quality scoring (operators/text_ops.py):
+
+- decontaminate:  flag corpus documents sharing any n-gram with an eval
+                  benchmark set. The benchmark side is tiny by construction
+                  (eval sets are KBs against a 100TB corpus), so its distinct
+                  shingle set is BROADCAST — the corpus never shuffles for
+                  candidate generation; only the per-doc hit counts (a small
+                  fraction of the corpus) hit a groupBy exchange.
+- hash_split:     deterministic train/val/test assignment from md5(key):
+                  stable under repartitioning, resharding, and re-runs —
+                  membership is a pure function of the key, never of row
+                  order or partition layout.
+- pack_sequences: concatenate-and-split sequence packing (the standard
+                  pretraining dataloader layout): documents are laid
+                  end-to-end in a deterministic global order and cut every
+                  `budget` tokens. The global token prefix-sum is computed
+                  distributed: per-range-bucket subtotals -> bounded
+                  driver-side exclusive offsets (one tiny collect, like the
+                  reference's own cutoff probes) -> broadcast back ->
+                  within-bucket window cumsum partitioned by bucket. No
+                  single-partition global window anywhere.
+
+All hash derivations are md5-based so DuckDB oracles replicate them
+bit-for-bit (same trick as operators/dedup.py simhash / similarity.py LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.dedup import shingles
+from chronon_spark.operators.text_ops import token_count
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document benchmark-overlap report: (id_col, n_hits, contaminated).
+
+    A document is contaminated iff it shares >= 1 normalized n-word shingle
+    with any benchmark document; n_hits counts its distinct leaking shingles.
+    Plan shape at 100TB: corpus shingling is a map-side explode; the distinct
+    benchmark shingle set is broadcast into the join (no corpus shuffle for
+    candidates); only per-doc hit counts shuffle.
+    """
+    bench_col = bench_text_col or text_col
+    bench_sh = (
+        shingles(benchmark, bench_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = shingles(docs, text_col, id_col, n)
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(hits.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def split_uniform(key, salt: str = "split"):
+    """Deterministic uniform [0, 1) from md5(salt:key) — first 8 hex chars
+    over 2^32. Engine-portable: DuckDB computes the identical value."""
+    h = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(float(2**32))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a `split` column assigning each row to a named fraction of the
+    keyspace. Assignment is a pure function of (salt, key): stable across
+    re-runs, repartitions, and corpus growth (existing keys never move when
+    new data arrives — the property that keeps eval sets frozen).
+
+    weights need not sum to 1; they are normalized. Iteration order of the
+    dict defines the threshold ladder, so pass an ordered mapping.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    u = split_uniform(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights.items())
+    for name, w in names[:-1]:
+        acc += w / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def split_case_sql(
+    key_sql: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> str:
+    """ANSI-SQL CASE expression computing exactly hash_split's assignment —
+    thresholds are accumulated by the SAME Python float arithmetic, so both
+    engines compare against bit-identical double literals."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    u = (
+        f"(CAST(concat('0x', substr(md5('{salt}:' || CAST({key_sql} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) / 4294967296.0)"
+    )
+    names = list(weights.items())
+    clauses, acc = [], 0.0
+    for name, w in names[:-1]:
+        acc += w / total
+        clauses.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    if not clauses:
+        return f"'{names[-1][0]}'"
+    return "CASE " + " ".join(clauses) + f" ELSE '{names[-1][0]}' END"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Concatenate-and-split packing: documents ordered by `id_col` are laid
+    end-to-end and cut into fixed `budget`-token training sequences. Returns
+    one row per document: its global token offset, the pack it starts in,
+    its offset inside that pack, and how many packs it spans.
+
+    Distributed prefix-sum (no global-order window, which would collapse to
+    ONE partition): docs are range-bucketed on id, per-bucket token subtotals
+    are collected (n_buckets rows — a bounded driver action, the repo's
+    semi_join_reduce precedent), exclusive bucket offsets are broadcast back,
+    and the within-bucket cumsum runs as a window PARTITIONED BY bucket.
+    At 100TB raise n_buckets with the data; the collect stays tiny.
+
+    With a sparse/skewed id space the floor-width bucketing is uneven but
+    still correct — production would feed repartitionByRange boundaries in
+    as explicit bucket edges.
+    """
+    toks = (F.col(tokens_col) if tokens_col else token_count(F.col(text_col))).cast("long")
+    base = docs.select(F.col(id_col).alias("__id"), toks.alias("n_tokens"))
+
+    lo, hi = base.agg(F.min("__id"), F.max("__id")).first()
+    if lo is None:
+        return base.select(
+            F.col("__id").alias(id_col), "n_tokens",
+            F.lit(0).cast("long").alias("global_start"),
+            F.lit(0).cast("long").alias("pack_first"),
+            F.lit(0).cast("long").alias("pack_last"),
+            F.lit(0).cast("long").alias("offset_in_pack"),
+        )
+    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
+    bucketed = base.withColumn("__b", ((F.col("__id") - F.lit(int(lo))) / F.lit(width)).cast("long"))
+
+    subtotals = sorted(
+        bucketed.groupBy("__b").agg(F.sum("n_tokens").alias("__t")).collect(),
+        key=lambda r: r["__b"],
+    )
+    offsets, acc = [], 0
+    for r in subtotals:
+        offsets.append((r["__b"], acc))
+        acc += int(r["__t"])
+    off_df = docs.sparkSession.createDataFrame(offsets, "__b long, __boff long")
+
+    w = Window.partitionBy("__b").orderBy("__id")
+    within = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    start = (F.col("__boff") + within).cast("long")
+    end_tok = start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return (
+        bucketed.join(F.broadcast(off_df), "__b")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            start.alias("global_start"),
+            F.floor(start / budget).cast("long").alias("pack_first"),
+            F.floor(end_tok / budget).cast("long").alias("pack_last"),
+            (start % budget).cast("long").alias("offset_in_pack"),
+        )
+    )

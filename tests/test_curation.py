@@ -1,0 +1,209 @@
+"""Curation operators: decontamination, hash splits, sequence packing —
+differential tests against naive Python oracles plus plan-shape invariants."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.curation import (
+    decontaminate,
+    hash_split,
+    pack_sequences,
+    split_case_sql,
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron"]
+
+
+def _docs(spark, seed: int, n: int = 60, min_w: int = 0, max_w: int = 40):
+    rng = random.Random(seed)
+    rows = [
+        (i, " ".join(rng.choice(WORDS) for _ in range(rng.randint(min_w, max_w))))
+        for i in range(n)
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_shingles(text: str, n: int = 8) -> set[str]:
+    ws = " ".join(text.lower().split()).split(" ")
+    if ws == [""]:
+        ws = []
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+# ---------------------------------------------------------------------- split
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(17), "doc_id").collect()
+    }
+    assert a == b
+    # proportions land near the requested weights
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.95 < frac_train < 1.0
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_hash_split_subset_stability(spark):
+    """Membership is a pure function of the key: splitting a subset (or a
+    grown corpus) never moves an existing key."""
+    full = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    sub = full.where(F.col("doc_id") % 3 == 0)
+    a = {r["doc_id"]: r["split"] for r in hash_split(full, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(sub, "doc_id").collect()}
+    assert all(a[k] == v for k, v in b.items())
+
+
+def test_hash_split_custom_weights_and_salt(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id", {"x": 1.0, "y": 1.0}, salt="s1")
+    counts = {r["split"]: r["c"] for r in a.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"x", "y"}
+    assert abs(counts["x"] - counts["y"]) < 150
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", {"x": 1.0, "y": 1.0}, salt="s2").collect()}
+    a_map = {r["doc_id"]: r["split"] for r in a.collect()}
+    assert any(a_map[k] != b[k] for k in a_map)  # salt actually re-deals
+
+
+def test_split_case_sql_matches_spark(spark):
+    """The SQL twin assigns identically (bit-identical threshold doubles)."""
+    import duckdb
+
+    df = spark.range(0, 800).withColumnRenamed("id", "doc_id")
+    weights = {"train": 0.7, "val": 0.2, "test": 0.1}
+    spark_map = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", weights, salt="z").collect()
+    }
+    case = split_case_sql("doc_id", weights, salt="z")
+    duck = duckdb.connect()
+    sql_map = dict(
+        duck.execute(
+            f"SELECT doc_id, {case} FROM (SELECT unnest(range(0, 800)) AS doc_id)"
+        ).fetchall()
+    )
+    assert spark_map == {int(k): v for k, v in sql_map.items()}
+
+
+# -------------------------------------------------------------- decontaminate
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_decontaminate_matches_python_oracle(spark, seed):
+    rows, docs = _docs(spark, seed, n=50, min_w=0, max_w=30)
+    bench_rows = [r for r in rows if r[0] % 7 == 0]
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    bench_sh = set().union(*[_py_shingles(t) for _, t in bench_rows]) if bench_rows else set()
+    expect = {
+        i: len(_py_shingles(t) & bench_sh)
+        for i, t in rows
+    }
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"]) for r in decontaminate(docs, bench).collect()}
+    assert set(got) == set(expect)
+    for i, n_hits in expect.items():
+        assert got[i] == (n_hits, n_hits > 0), (i, got[i], n_hits)
+
+
+def test_decontaminate_clean_corpus_all_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen")],
+        "doc_id long, text string",
+    )
+    out = decontaminate(docs, bench).collect()
+    assert [(r["n_hits"], r["contaminated"]) for r in out] == [(0, False)]
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle side must reach the candidate join broadcast —
+    a corpus-side shuffle for candidates would not survive 100TB."""
+    rows, docs = _docs(spark, 3, n=40)
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------- pack
+
+def _py_pack(rows, budget):
+    """Naive sequential concatenate-and-split oracle."""
+    out = {}
+    acc = 0
+    for i, text in sorted(rows):
+        toks = len(" ".join(text.split()).split(" ")) if text.strip() else 0
+        start = acc
+        end = start + max(toks, 1) - 1
+        out[i] = (toks, start, start // budget, end // budget, start % budget)
+        acc += toks
+    return out
+
+
+@pytest.mark.parametrize("seed,budget", [(0, 64), (1, 128), (2, 17)])
+def test_pack_sequences_matches_python_oracle(spark, seed, budget):
+    rows, docs = _docs(spark, seed, n=80)
+    expect = _py_pack(rows, budget)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["global_start"], r["pack_first"],
+                      r["pack_last"], r["offset_in_pack"])
+        for r in pack_sequences(docs, budget=budget, n_buckets=7).collect()
+    }
+    assert got == expect
+
+
+def test_pack_sequences_bucket_count_invariant(spark):
+    rows, docs = _docs(spark, 11, n=60)
+    outs = [
+        sorted(
+            pack_sequences(docs, budget=100, n_buckets=k).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        for k in (1, 7, 64)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_pack_sequences_zero_token_and_straddle(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "f g h i j k l")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in pack_sequences(docs, budget=8).collect()}
+    assert got[2]["n_tokens"] == 0
+    assert got[2]["pack_first"] == got[2]["pack_last"]  # zero-width doc
+    # doc 3 starts at offset 5 with 7 tokens -> spans packs 0 and 1
+    assert (got[3]["pack_first"], got[3]["pack_last"]) == (0, 1)
+    assert got[3]["offset_in_pack"] == 5
+
+
+def test_pack_sequences_sparse_skewed_ids(spark):
+    """Sparse, clustered id space: floor-width buckets go uneven but the
+    result must stay identical to the sequential oracle."""
+    rows = [(i, "w " * (i % 9)) for i in [1, 2, 3, 1000000, 1000001, 5000000]]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = _py_pack(rows, 16)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["global_start"], r["pack_first"],
+                      r["pack_last"], r["offset_in_pack"])
+        for r in pack_sequences(docs, budget=16, n_buckets=8).collect()
+    }
+    assert got == expect
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """The within-bucket window must be partitioned (parallel), never a
+    global ORDER BY over one partition."""
+    rows, docs = _docs(spark, 5, n=50)
+    plan = pack_sequences(docs, budget=64, n_buckets=8)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
