@@ -20,6 +20,8 @@ from chronon_spark.api import (  # noqa: F401
     Aggregation,
     EntitySource,
     EventSource,
+    ExternalPart,
+    ExternalSource,
     GroupBy,
     Join,
     JoinPart,

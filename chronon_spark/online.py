@@ -325,11 +325,18 @@ class Fetcher:
         streams: dict[str, DataFrame],
         join,
         batch_end_ds: str,
+        external_registry: "ExternalSourceRegistry | None" = None,
         **kwargs,
     ) -> DataFrame:
         """Join-level fetch over cached part IRs (aggregating parts only —
         selection parts have no upload-table convention; serve those through
-        operators.upload.fetch_join with an explicit snapshot frame)."""
+        operators.upload.fetch_join with an explicit snapshot frame).
+
+        With an ``external_registry``, the join's external_parts are fetched
+        from their registered handlers and merged into the feature frame
+        (reference Fetcher.fetchJoin combining fetchGroupBys with
+        fetchExternal); without one, external parts are skipped — the
+        offline-padding contract applies only to backfills."""
         from chronon_spark.operators.upload import fetch_join
 
         ctx = Context("join.fetching", join=join.name)
@@ -344,9 +351,184 @@ class Fetcher:
                 )
             batch[gb.name] = self.batch_frames(gb, batch_end_ds)
         try:
-            return fetch_join(
+            out = fetch_join(
                 requests, batch, streams, join, batch_end_ds, **kwargs
             )
+            if external_registry is not None and join.external_parts:
+                # serving degrades gracefully: a failing external source
+                # surfaces as an ext_{name}_exception value, the rest of the
+                # feature vector still serves (reference fetchJoin behavior)
+                out = external_registry.enrich(
+                    out, join.external_parts, graceful=True
+                )
+            return out
         except Exception as exc:
             self.metrics.increment_exception(ctx, exc)
             raise
+
+
+# ---------------------------------------------------------------------------
+# external source registry (fetch-time feature services)
+# ---------------------------------------------------------------------------
+
+
+class ExternalSourceHandler:
+    """Fetch-time feature service (reference ExternalSourceHandler /
+    ExternalSourceRegistry.scala:29-50). The reference hands a handler a
+    batch of row requests; the Spark-first analog hands it ONE DataFrame of
+    distinct key rows (columns = the source's key fields) and expects back a
+    DataFrame carrying those key columns plus the source's value fields —
+    the request "batch" is the frame, so a handler backed by a table, a dim
+    join, or an mapInPandas RPC adapter all stay distributed."""
+
+    def fetch(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+
+class _ContextualHandler(ExternalSourceHandler):
+    """Echoes request keys back as values (reference ContextualHandler,
+    ExternalSourceRegistry.scala:30-36): left request columns pass through
+    as features."""
+
+    def fetch(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
+        return keys
+
+
+class ExternalSourceRegistry:
+    """Named handler registry consulted at fetch time for a Join's
+    external_parts (reference ExternalSourceRegistry.scala). Implements the
+    validation the reference leaves as a TODO (keys match, missing/extra
+    value fields, schema integrity): a handler frame missing a declared key
+    or value field raises; extra columns are dropped; declared value types
+    are enforced with casts. Requests whose keys the handler returned no row
+    for carry typed-null values — exactly the offline padding contract
+    (operators/bootstrap.pad_external_parts), so online and backfilled
+    feature frames stay schema- and semantics-aligned."""
+
+    def __init__(self, metrics: Metrics | None = None):
+        from chronon_spark.api import CONTEXTUAL_SOURCE_NAME
+
+        self.metrics = metrics or Metrics()
+        self._handlers: dict[str, ExternalSourceHandler] = {
+            CONTEXTUAL_SOURCE_NAME: _ContextualHandler()
+        }
+
+    def add(self, name: str, handler: ExternalSourceHandler) -> None:
+        if name in self._handlers:
+            raise ValueError(
+                f"a handler named '{name}' already exists; registered: "
+                f"[{', '.join(sorted(self._handlers))}]"
+            )
+        self._handlers[name] = handler
+
+    def handler(self, name: str) -> ExternalSourceHandler:
+        if name not in self._handlers:
+            raise ValueError(
+                f"'{name}' is not registered among handlers: "
+                f"[{', '.join(sorted(self._handlers))}]"
+            )
+        return self._handlers[name]
+
+    def _fetch_part(self, requests: DataFrame, part) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        spark = requests.sparkSession
+        ctx = Context(
+            "external.fetching", extra=(("external_source", part.full_name()),)
+        )
+        t0 = time.time()
+        src = part.source
+        full = part.full_name()
+
+        if src.is_contextual:
+            # contextual: left request columns become ext[_prefix]_contextual_
+            # twins (Join.scala:104-120 naming via key_schema_full)
+            out = requests
+            for left_name, typ in part.key_schema_full():
+                out = out.withColumn(
+                    f"{full}_{left_name}", F.col(left_name).cast(typ)
+                )
+            self.metrics.increment(ctx, "response.successes")
+            return out
+
+        # left request columns -> source key fields (key_mapping: left -> key)
+        key_fields = [n for n, _ in src.key_schema]
+        left_for = {v: k for k, v in part.key_mapping.items()}  # key -> left
+        missing_left = [
+            left_for.get(k, k) for k in key_fields
+            if left_for.get(k, k) not in requests.columns
+        ]
+        if missing_left:
+            raise ValueError(
+                f"external part '{full}': request frame lacks key columns "
+                f"{missing_left} (have {requests.columns})"
+            )
+        keys = requests.select(
+            *[F.col(left_for.get(k, k)).alias(k) for k in key_fields]
+        ).distinct()
+
+        fetched = self.handler(src.name).fetch(spark, keys)
+        absent = [
+            n for n, _ in [*src.key_schema, *src.value_schema]
+            if n not in fetched.columns
+        ]
+        if absent:
+            # failure accounting happens in enrich() (graceful mode) so this
+            # raise isn't double-counted
+            raise ValueError(
+                f"handler '{src.name}' returned a frame missing declared "
+                f"fields {absent}; declared keys {key_fields}, values "
+                f"{[n for n, _ in src.value_schema]}, got {fetched.columns}"
+            )
+        # extra columns dropped; declared value types enforced; one row per
+        # key (a handler returning duplicates would fan requests out)
+        fetched = fetched.select(
+            *[F.col(n).cast(t).alias(n) for n, t in src.key_schema],
+            *[F.col(n).cast(t).alias(f"{full}_{n}") for n, t in src.value_schema],
+        ).dropDuplicates([n for n, _ in src.key_schema])
+
+        join_cond = [
+            F.col(f"__req.{left_for.get(k, k)}").eqNullSafe(F.col(f"__ext.{k}"))
+            for k in key_fields
+        ]
+        # no broadcast hint: point-serving key sets auto-broadcast under the
+        # AQE threshold, while a 10^9-row batch-scoring request frame must be
+        # allowed to shuffle-join
+        out = (
+            requests.alias("__req")
+            .join(fetched.alias("__ext"), on=join_cond, how="left")
+            .drop(*[F.col(f"__ext.{k}") for k in key_fields])
+        )
+        self.metrics.increment(ctx, "response.successes")
+        self.metrics.distribution(ctx, "response.latency", (time.time() - t0) * 1000)
+        return out
+
+    def enrich(
+        self, requests: DataFrame, parts: list, graceful: bool = False
+    ) -> DataFrame:
+        """Apply every external part to a request/feature frame — one
+        batched handler call per source instance (the reference groups
+        requests by source name the same way).
+
+        ``graceful=True`` is the reference's serving behavior
+        (ExternalSourcesTest: an always-failing source yields an
+        ``ext_{name}_exception`` value while every other part still
+        enriches); False fails fast — the right default for pipeline code,
+        where a misconfigured part should stop the job."""
+        from pyspark.sql import functions as F
+
+        out = requests
+        for part in parts:
+            try:
+                out = self._fetch_part(out, part)
+            except Exception as exc:
+                if not graceful:
+                    raise
+                full = part.full_name()
+                ctx = Context(
+                    "external.fetching", extra=(("external_source", full),)
+                )
+                self.metrics.increment(ctx, "response.failures")
+                self.metrics.increment_exception(ctx, exc)
+                out = out.withColumn(f"{full}_exception", F.lit(str(exc)))
+        return out

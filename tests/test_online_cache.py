@@ -202,3 +202,51 @@ def test_fetcher_eviction_unpersists(spark, upload_env):
     # same definition content -> same semantic hash -> same key: still a hit
     _c, _t = f.batch_frames(gb2, batch_end_ds)
     assert f._ir_cache.hits >= 1
+
+
+def test_fetch_join_merges_external_parts(spark, upload_env):
+    """Fetcher.fetch_join with an external_registry = batch/stream lambda
+    features UNCHANGED + handler values merged under ext_ names, nulls for
+    unmatched keys (reference Fetcher.fetchJoin combining fetchGroupBys with
+    fetchExternal)."""
+    from chronon_spark.api import ExternalPart, ExternalSource, Join, JoinPart
+    from chronon_spark.online import ExternalSourceHandler, ExternalSourceRegistry
+
+    root, gb, batch_end_ds, stream, requests = upload_env
+    src = ExternalSource(
+        name="risk",
+        key_schema=(("user_id", "bigint"),),
+        value_schema=(("score", "double"),),
+    )
+    join = Join(
+        name="j_ext",
+        left_keys=["user_id"],
+        join_parts=[JoinPart(group_by=gb)],
+        external_parts=[ExternalPart(source=src)],
+    )
+
+    class Half(ExternalSourceHandler):
+        def fetch(self, _spark, keys):
+            # serve only even user_ids so odd ones exercise null padding
+            return keys.where(F.col("user_id") % 2 == 0).withColumn(
+                "score", F.col("user_id") * 0.5
+            )
+
+    reg = ExternalSourceRegistry()
+    reg.add("risk", Half())
+    f = Fetcher(spark, root)
+    plain = f.fetch_join(
+        requests, {gb.name: stream}, join, batch_end_ds, tiebreak="event_id"
+    )
+    merged = f.fetch_join(
+        requests, {gb.name: stream}, join, batch_end_ds,
+        external_registry=reg, tiebreak="event_id",
+    )
+    assert set(merged.columns) == set(plain.columns) | {"ext_risk_score"}
+    base_cols = sorted(plain.columns)
+    assert sorted(str(r) for r in merged.select(*base_cols).collect()) == sorted(
+        str(r) for r in plain.select(*base_cols).collect()
+    )
+    for r in merged.select("user_id", "ext_risk_score").collect():
+        want = r["user_id"] * 0.5 if r["user_id"] % 2 == 0 else None
+        assert r["ext_risk_score"] == want
