@@ -47,6 +47,7 @@ def main() -> None:
         "text_stats",
         "mutations_temporal",  # CDC temporal engine (round 2)
         "asof_join_snapshot",  # midnight-accuracy join part (round 2)
+        "curation",            # decontaminate + split + pack (round 4)
     ):
         if extra in QUERIES:
             headline.append(extra)

@@ -2839,6 +2839,141 @@ QUERIES["curation"] = q_curation
 ORACLES["curation"] = SQL_CURATION
 
 
+def q_relational_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join + union/dedup gates unioned under a ``gate`` label —
+    one driver row for the two small relational edge cases (standalone
+    variants past the window for pytest)."""
+    nsj = q_null_safe_join(spark, sf_dir).select(
+        F.lit("null_safe_join").alias("gate"),
+        F.col("nk").alias("k"),
+        F.col("n_a").alias("n"),
+        F.col("sum_b").cast("double").alias("v"),
+    )
+    ud = q_union_dedup(spark, sf_dir).select(
+        F.lit("union_dedup").alias("gate"),
+        F.col("event_type").alias("k"),
+        F.col("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return nsj.unionByName(ud)
+
+
+SQL_RELATIONAL_EDGE = f"""
+SELECT 'null_safe_join' AS gate, nk AS k, n_a AS n, CAST(sum_b AS DOUBLE) AS v
+FROM ({SQL_NULL_SAFE_JOIN})
+UNION ALL
+SELECT 'union_dedup' AS gate, event_type AS k, n, CAST(NULL AS DOUBLE) AS v
+FROM ({SQL_UNION_DEDUP})
+"""
+
+
+def q_text_quality_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing + Gopher-style repetition signals (operators/text_ops
+    pii_counts/scrub_pii/repetition_stats) in one hash-gated row. PII is
+    PLANTED deterministically (every 5th doc gains an email + phone suffix)
+    so the scrub actually fires at sf scale; the scrubbed-text md5 gates the
+    full redaction output, not just the counts."""
+    from chronon_spark.operators.text_ops import (
+        pii_counts,
+        repetition_stats,
+        scrub_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1415555"),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    c = F.col("text")
+    pii = planted.select(
+        "doc_id",
+        *[expr.alias(name) for name, expr in pii_counts(c).items()],
+        F.md5(scrub_pii(c)).alias("scrub_fp"),
+    )
+    rep = repetition_stats(planted)
+    return pii.join(rep, "doc_id")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{7,15}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+SQL_TEXT_QUALITY_EXT = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +1415555' || CAST(doc_id % 100 AS VARCHAR)
+              ELSE text END AS t
+  FROM documents
+), pii AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+         CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+         md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IPV4}', '<IPV4>', 'g')) AS scrub_fp
+  FROM planted
+), lines0 AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(t, '.')) AS l FROM planted)
+  WHERE length(trim(l)) > 0
+), per_line AS (
+  SELECT doc_id, line, count(*) AS cnt FROM lines0 GROUP BY 1, 2
+), line_stats AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+         count(*) AS n_distinct,
+         sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END) AS dup_chars,
+         sum(cnt * length(line)) AS line_chars
+  FROM per_line GROUP BY 1
+), normd AS (
+  SELECT doc_id, length(t) AS n_chars,
+         string_split(regexp_replace(trim(lower(t)), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM planted
+), grams AS (
+  SELECT doc_id, n_chars,
+         unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                               i -> array_to_string(ws[i:i+1], ' '))) AS gram
+  FROM normd
+), top_gram AS (
+  SELECT doc_id, max(cnt * length(gram)) AS top_gram_chars
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT p.doc_id, p.n_email, p.n_phone, p.n_ipv4, p.scrub_fp,
+       CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+       round(CASE WHEN COALESCE(ls.n_lines, 0) > 0
+                  THEN (ls.n_lines - ls.n_distinct) / CAST(ls.n_lines AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN COALESCE(ls.line_chars, 0) > 0
+                  THEN ls.dup_chars / CAST(ls.line_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_char_frac,
+       round(CASE WHEN n.n_chars > 0 AND tg.top_gram_chars IS NOT NULL
+                  THEN tg.top_gram_chars / CAST(n.n_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS top2gram_char_frac
+FROM pii p
+JOIN normd n USING (doc_id)
+LEFT JOIN line_stats ls USING (doc_id)
+LEFT JOIN top_gram tg USING (doc_id)
+"""
+
+QUERIES["relational_edge"] = q_relational_edge
+ORACLES["relational_edge"] = SQL_RELATIONAL_EDGE
+QUERIES["text_quality_ext"] = q_text_quality_ext
+ORACLES["text_quality_ext"] = SQL_TEXT_QUALITY_EXT
+
+
 #: the first 50 registry names — every one oracle-backed — form the driver's
 #: CORRECTNESS window; everything after is pytest-parity-only (rows-only
 #: diagnostics and the standalone halves of the combined gates)
@@ -2853,7 +2988,7 @@ DRIVER_WINDOW = [
     "dedup_exact", "dedup_ngram", "dedup_minhash_lsh", "dedup_components",
     "knn", "embedding_neardup", "multimodal_meta", "frame_sample",
     "simhash_neardup", "lsh_knn", "upload_fetch", "collection_agg",
-    "asof_derivations", "semijoin_reduce", "null_safe_join", "union_dedup",
+    "asof_derivations", "semijoin_reduce", "relational_edge", "text_quality_ext",
     "approx_percentile_exact", "approx_unique_exact", "mg_histogram",
     "log_flatten", "selection_part", "cdc_join_part",
 ]

@@ -110,3 +110,122 @@ def rolling_fingerprint(col: Column, window: int = 16) -> Column:
         lambda i: F.xxhash64(col.substr(i, F.lit(window))),
     )
     return F.array_min(subs)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+# conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB
+# oracles): no backrefs, no lookaround
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{7,15}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category PII match counts — native regexp_extract_all."""
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact every PII category to a <CATEGORY> tag. Order is fixed
+    (email, phone, ipv4) so downstream fingerprints are reproducible;
+    patterns are applied to the running result, matching what a streaming
+    scrubber sees."""
+    out = col
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    public): duplicate-line fraction, duplicate-line CHARACTER fraction, and
+    the character fraction covered by the most frequent word 2-gram.
+
+    "Lines" are sentence-ish units split on '.' (the corpus tables carry no
+    newlines); empties drop after trimming. Plan shape: one explode per
+    signal family + groupBy(id) — shuffles carry (id, unit) counts, never
+    full documents, and the id grouping reuses one hash partitioning.
+    """
+    c = F.col(text_col)
+    base = df.select(F.col(id_col).alias("id"), c.alias("t"), F.length(c).alias("n_chars"))
+
+    lines = base.select(
+        "id",
+        F.explode(F.split(F.col("t"), r"\.")).alias("line"),
+    ).select("id", F.trim("line").alias("line")).where(F.length("line") > 0)
+    per_line = lines.groupBy("id", "line").agg(F.count(F.lit(1)).alias("cnt"))
+    line_stats = per_line.groupBy("id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct_lines"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("line")).otherwise(0)).alias("dup_chars"),
+        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
+    )
+
+    words = F.split(normalize_for_grams(F.col("t")), " ")
+    grams = base.select(
+        "id",
+        "n_chars",
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 1),
+                    lambda i: F.array_join(F.slice(words, i, 2), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top_gram = (
+        grams.groupBy("id", "n_chars", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id", "n_chars")
+        .agg(F.max(F.col("cnt") * F.length("gram")).alias("top_gram_chars"))
+    )
+
+    return (
+        base.select("id", "n_chars")
+        .join(line_stats, "id", "left")
+        .join(top_gram.drop("n_chars"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.round(
+                F.when(
+                    F.coalesce("n_lines", F.lit(0)) > 0,
+                    (F.col("n_lines") - F.col("n_distinct_lines"))
+                    / F.col("n_lines").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.when(
+                    F.coalesce("line_chars", F.lit(0)) > 0,
+                    F.col("dup_chars") / F.col("line_chars").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_line_char_frac"),
+            F.round(
+                F.when(
+                    (F.col("n_chars") > 0) & F.col("top_gram_chars").isNotNull(),
+                    F.col("top_gram_chars") / F.col("n_chars").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("top2gram_char_frac"),
+        )
+    )
+
+
+def normalize_for_grams(col: Column) -> Column:
+    """Lowercase + collapse whitespace (the dedup normal form) — kept as a
+    named helper so the oracle SQL mirrors one expression."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
