@@ -2903,9 +2903,13 @@ def q_text_quality_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii.join(rep, "doc_id")
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE = r"\+[0-9]{7,15}"
-_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# single-sourced from the engine (same pattern as split_case_sql above):
+# the oracle always replays exactly the regexes the Spark scrubber ran
+from chronon_spark.operators.text_ops import PII_PATTERNS as _PII
+
+_PII_EMAIL = _PII["email"]
+_PII_PHONE = _PII["phone"]
+_PII_IPV4 = _PII["ipv4"]
 
 SQL_TEXT_QUALITY_EXT = f"""
 WITH planted AS (
@@ -2934,7 +2938,7 @@ WITH planted AS (
 ), line_stats AS (
   SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
          count(*) AS n_distinct,
-         sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END) AS dup_chars,
+         sum(CASE WHEN cnt >= 2 THEN (cnt - 1) * length(line) ELSE 0 END) AS dup_chars,
          sum(cnt * length(line)) AS line_chars
   FROM per_line GROUP BY 1
 ), normd AS (

@@ -429,10 +429,83 @@ class ExternalSourceRegistry:
             )
         return self._handlers[name]
 
-    def _fetch_part(self, requests: DataFrame, part) -> DataFrame:
+    def _fetch_source(
+        self,
+        requests: DataFrame,
+        part,
+        source_cache: dict | None,
+        eager: bool,
+        ctx: "Context",
+    ) -> DataFrame:
+        """One batched handler fetch per (source, key_mapping) — parts
+        attaching the same source under several prefixes share ONE handler
+        call (the reference registry groups requests by source name the same
+        way). Returns the validated/cast frame: key fields + ``__val_{n}``
+        value columns. With ``eager`` the frame is persisted and counted so
+        an execution-time handler failure (RPC down at action time) raises
+        HERE, where graceful mode can catch it per part."""
         from pyspark.sql import functions as F
 
-        spark = requests.sparkSession
+        src = part.source
+        key_fields = [n for n, _ in src.key_schema]
+        left_for = {v: k for k, v in part.key_mapping.items()}  # key -> left
+        cache_key = (src.name, tuple(sorted(part.key_mapping.items())))
+        if source_cache is not None and cache_key in source_cache:
+            return source_cache[cache_key]
+
+        keys = requests.select(
+            *[F.col(left_for.get(k, k)).alias(k) for k in key_fields]
+        ).distinct()
+        t0 = time.time()
+        fetched = self.handler(src.name).fetch(requests.sparkSession, keys)
+        absent = [
+            n for n, _ in [*src.key_schema, *src.value_schema]
+            if n not in fetched.columns
+        ]
+        if absent:
+            # failure accounting happens in enrich() (graceful mode) so this
+            # raise isn't double-counted
+            raise ValueError(
+                f"handler '{src.name}' returned a frame missing declared "
+                f"fields {absent}; declared keys {key_fields}, values "
+                f"{[n for n, _ in src.value_schema]}, got {fetched.columns}"
+            )
+        # extra columns dropped; declared value types enforced; one row per
+        # key (a handler returning duplicates would fan requests out)
+        fetched = fetched.select(
+            *[F.col(n).cast(t).alias(n) for n, t in src.key_schema],
+            *[F.col(n).cast(t).alias(f"__val_{n}") for n, t in src.value_schema],
+        ).dropDuplicates(key_fields)
+        if eager:
+            # force the handler plan now: a lazily-failing handler (RPC
+            # adapter dead at action time) must fail inside this part, not
+            # at the caller's final action after every part merged
+            fetched = fetched.persist()
+            try:
+                fetched.count()
+            except Exception:
+                fetched.unpersist(blocking=False)
+                raise
+            from chronon_spark.plans import cache as _plan_cache
+
+            _plan_cache.register(fetched)
+            # honest latency: measured across the executed fetch
+            self.metrics.distribution(
+                ctx, "response.latency", (time.time() - t0) * 1000
+            )
+        if source_cache is not None:
+            source_cache[cache_key] = fetched
+        return fetched
+
+    def _fetch_part(
+        self,
+        requests: DataFrame,
+        part,
+        source_cache: dict | None = None,
+        eager: bool = False,
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
+
         ctx = Context(
             "external.fetching", extra=(("external_source", part.full_name()),)
         )
@@ -463,29 +536,14 @@ class ExternalSourceRegistry:
                 f"external part '{full}': request frame lacks key columns "
                 f"{missing_left} (have {requests.columns})"
             )
-        keys = requests.select(
-            *[F.col(left_for.get(k, k)).alias(k) for k in key_fields]
-        ).distinct()
-
-        fetched = self.handler(src.name).fetch(spark, keys)
-        absent = [
-            n for n, _ in [*src.key_schema, *src.value_schema]
-            if n not in fetched.columns
-        ]
-        if absent:
-            # failure accounting happens in enrich() (graceful mode) so this
-            # raise isn't double-counted
-            raise ValueError(
-                f"handler '{src.name}' returned a frame missing declared "
-                f"fields {absent}; declared keys {key_fields}, values "
-                f"{[n for n, _ in src.value_schema]}, got {fetched.columns}"
-            )
-        # extra columns dropped; declared value types enforced; one row per
-        # key (a handler returning duplicates would fan requests out)
-        fetched = fetched.select(
-            *[F.col(n).cast(t).alias(n) for n, t in src.key_schema],
-            *[F.col(n).cast(t).alias(f"{full}_{n}") for n, t in src.value_schema],
-        ).dropDuplicates([n for n, _ in src.key_schema])
+        fetched = self._fetch_source(requests, part, source_cache, eager, ctx)
+        part_vals = fetched.select(
+            *key_fields,
+            *[
+                F.col(f"__val_{n}").alias(f"{full}_{n}")
+                for n, _ in src.value_schema
+            ],
+        )
 
         join_cond = [
             F.col(f"__req.{left_for.get(k, k)}").eqNullSafe(F.col(f"__ext.{k}"))
@@ -496,31 +554,49 @@ class ExternalSourceRegistry:
         # allowed to shuffle-join
         out = (
             requests.alias("__req")
-            .join(fetched.alias("__ext"), on=join_cond, how="left")
+            .join(part_vals.alias("__ext"), on=join_cond, how="left")
             .drop(*[F.col(f"__ext.{k}") for k in key_fields])
         )
         self.metrics.increment(ctx, "response.successes")
-        self.metrics.distribution(ctx, "response.latency", (time.time() - t0) * 1000)
+        # plan-assembly cost only; executed-fetch latency is recorded in
+        # _fetch_source when eager forces the handler plan
+        self.metrics.distribution(ctx, "response.plan_ms", (time.time() - t0) * 1000)
         return out
 
     def enrich(
         self, requests: DataFrame, parts: list, graceful: bool = False
     ) -> DataFrame:
         """Apply every external part to a request/feature frame — one
-        batched handler call per source instance (the reference groups
-        requests by source name the same way).
+        batched handler call per (source, key_mapping): parts re-attaching
+        the same source under different prefixes share a single fetch (the
+        reference registry groups requests by source name the same way).
 
         ``graceful=True`` is the reference's serving behavior
         (ExternalSourcesTest: an always-failing source yields an
         ``ext_{name}_exception`` value while every other part still
-        enriches); False fails fast — the right default for pipeline code,
-        where a misconfigured part should stop the job."""
+        enriches); it also EXECUTES each source's handler plan eagerly
+        (persist + count, released via plans.cache) so a handler that only
+        fails at action time still degrades to its exception column instead
+        of killing the caller's final action. False fails fast and stays
+        fully lazy — the right default for pipeline code, where a
+        misconfigured part should stop the job."""
         from pyspark.sql import functions as F
 
+        names = [p.full_name() for p in parts]
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        if dupes:
+            raise ValueError(
+                f"external parts produce colliding column namespaces "
+                f"{dupes}; attach the same source twice only with distinct "
+                f"prefixes"
+            )
+        source_cache: dict = {}
         out = requests
         for part in parts:
             try:
-                out = self._fetch_part(out, part)
+                out = self._fetch_part(
+                    out, part, source_cache=source_cache, eager=graceful
+                )
             except Exception as exc:
                 if not graceful:
                     raise

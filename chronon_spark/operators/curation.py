@@ -163,7 +163,17 @@ def pack_sequences(
     toks = (F.col(tokens_col) if tokens_col else token_count(F.col(text_col))).cast("long")
     base = docs.select(F.col(id_col).alias("__id"), toks.alias("n_tokens"))
 
-    lo, hi = base.agg(F.min("__id"), F.max("__id")).first()
+    lo, hi, n_null = base.agg(
+        F.min("__id"),
+        F.max("__id"),
+        F.sum(F.col("__id").isNull().cast("long")),
+    ).first()
+    if n_null:
+        raise ValueError(
+            f"pack_sequences: {n_null} row(s) with NULL {id_col!r} — the "
+            f"global document order is keyed on {id_col!r}, so every row "
+            f"needs a non-null id"
+        )
     if lo is None:
         return base.select(
             F.col("__id").alias(id_col), "n_tokens",
@@ -173,7 +183,15 @@ def pack_sequences(
             F.lit(0).cast("long").alias("offset_in_pack"),
         )
     width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
-    bucketed = base.withColumn("__b", ((F.col("__id") - F.lit(int(lo))) / F.lit(width)).cast("long"))
+    # persisted: token_count is the dominant map-side cost at corpus scale
+    # and the lineage is evaluated twice (subtotal collect + final select);
+    # released via the plan-cache registry at the caller's next safe point
+    bucketed = base.withColumn(
+        "__b", ((F.col("__id") - F.lit(int(lo))) / F.lit(width)).cast("long")
+    ).persist()
+    from chronon_spark.plans import cache as _plan_cache
+
+    _plan_cache.register(bucketed)
 
     subtotals = sorted(
         bucketed.groupBy("__b").agg(F.sum("n_tokens").alias("__t")).collect(),

@@ -151,10 +151,15 @@ def repetition_stats(
     public): duplicate-line fraction, duplicate-line CHARACTER fraction, and
     the character fraction covered by the most frequent word 2-gram.
 
-    "Lines" are sentence-ish units split on '.' (the corpus tables carry no
-    newlines); empties drop after trimming. Plan shape: one explode per
-    signal family + groupBy(id) — shuffles carry (id, unit) counts, never
-    full documents, and the id grouping reuses one hash partitioning.
+    Duplicate fractions use EXCESS-occurrence counting (the published
+    semantics): a line appearing ``cnt`` times contributes ``cnt - 1``
+    duplicate lines and ``(cnt - 1) * len(line)`` duplicate characters; the
+    character denominator is the total characters across all line
+    occurrences. "Lines" are sentence-ish units split on '.' (the corpus
+    tables carry no newlines); empties drop after trimming. Plan shape: one
+    explode per signal family + groupBy(id) — shuffles carry (id, unit)
+    counts, never full documents, and the id grouping reuses one hash
+    partitioning.
     """
     c = F.col(text_col)
     base = df.select(F.col(id_col).alias("id"), c.alias("t"), F.length(c).alias("n_chars"))
@@ -167,7 +172,7 @@ def repetition_stats(
     line_stats = per_line.groupBy("id").agg(
         F.sum("cnt").alias("n_lines"),
         F.count(F.lit(1)).alias("n_distinct_lines"),
-        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("line")).otherwise(0)).alias("dup_chars"),
+        F.sum(F.when(F.col("cnt") >= 2, (F.col("cnt") - 1) * F.length("line")).otherwise(0)).alias("dup_chars"),
         F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
     )
 
@@ -226,6 +231,9 @@ def repetition_stats(
 
 
 def normalize_for_grams(col: Column) -> Column:
-    """Lowercase + collapse whitespace (the dedup normal form) — kept as a
-    named helper so the oracle SQL mirrors one expression."""
-    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    """THE dedup normal form (operators/dedup.normalize_text), re-exported
+    under a gram-flavored name so repetition grams and dedup shingles can
+    never drift apart."""
+    from chronon_spark.operators.dedup import normalize_text
+
+    return normalize_text(col)

@@ -201,6 +201,22 @@ def test_pack_sequences_sparse_skewed_ids(spark):
     assert got == expect
 
 
+def test_pack_sequences_null_id_raises(spark):
+    """NULL ids have no place in the global document order — explicit error,
+    not a TypeError from the driver-side bucket sort (and never a silent
+    global_start=0)."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (None, "c d"), (3, "e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL 'doc_id'"):
+        pack_sequences(docs, budget=8)
+    all_null = spark.createDataFrame(
+        [(None, "a"), (None, "b")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL 'doc_id'"):
+        pack_sequences(all_null, budget=8)
+
+
 def test_pack_sequences_no_single_partition_window(spark):
     """The within-bucket window must be partitioned (parallel), never a
     global ORDER BY over one partition."""

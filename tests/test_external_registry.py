@@ -171,9 +171,11 @@ def test_graceful_failure_yields_exception_column(spark):
 
 def test_same_source_attached_twice_with_prefixes(spark):
     """Reference ExternalSourcesTest attaches plus_one as p1 AND p2: both
-    prefixed column sets materialize with identical values."""
+    prefixed column sets materialize with identical values — from ONE
+    batched handler call (the registry groups requests by source)."""
     reg = ExternalSourceRegistry()
-    reg.add("risk_svc", TableHandler(_lookup(spark)))
+    h = TableHandler(_lookup(spark))
+    reg.add("risk_svc", h)
     parts = [
         ExternalPart(source=RISK, key_mapping={"uid": "user_id"}, prefix="p1"),
         ExternalPart(source=RISK, key_mapping={"uid": "user_id"}, prefix="p2"),
@@ -182,3 +184,50 @@ def test_same_source_attached_twice_with_prefixes(spark):
     for r in out.collect():
         assert r["ext_p1_risk_svc_score"] == r["ext_p2_risk_svc_score"]
         assert r["ext_p1_risk_svc_tier"] == r["ext_p2_risk_svc_tier"]
+    assert h.calls == 1  # shared fetch, fanned out to both prefixes
+
+
+def test_colliding_part_names_raise(spark):
+    """Two parts with the same full_name() would emit duplicate output
+    columns (AMBIGUOUS_REFERENCE downstream) — rejected up front."""
+    reg = ExternalSourceRegistry()
+    reg.add("risk_svc", TableHandler(_lookup(spark)))
+    parts = [
+        ExternalPart(source=RISK, key_mapping={"uid": "user_id"}),
+        ExternalPart(source=RISK, key_mapping={"uid": "user_id"}),
+    ]
+    with pytest.raises(ValueError, match="colliding column namespaces"):
+        reg.enrich(_requests(spark), parts, graceful=True)
+
+
+def test_graceful_catches_execution_time_handler_failure(spark):
+    """An RPC-adapter handler returns a VALID lazy frame and only dies when
+    Spark executes it. graceful=True must still degrade that part to its
+    exception column (the reference fetchJoin contract) instead of blowing
+    up the caller's final action and losing every other part."""
+    from pyspark.sql.types import DoubleType
+
+    def _boom(_v):
+        raise RuntimeError("rpc down at action time")
+
+    boom_udf = F.udf(_boom, DoubleType())
+
+    class LazyBoom(ExternalSourceHandler):
+        def fetch(self, _spark, keys):
+            # plan construction succeeds; execution raises inside the UDF
+            return keys.withColumn("score", boom_udf("user_id")).withColumn(
+                "tier", F.lit("t")
+            )
+
+    reg = ExternalSourceRegistry()
+    reg.add("risk_svc", LazyBoom())
+    ctx_src = ExternalSource(name="contextual", key_schema=(("ctx", "string"),))
+    parts = [
+        ExternalPart(source=RISK, key_mapping={"uid": "user_id"}),
+        ExternalPart(source=ctx_src),
+    ]
+    out = reg.enrich(_requests(spark), parts, graceful=True)
+    assert "ext_risk_svc_exception" in out.columns
+    rows = out.collect()  # the final action must NOT raise
+    assert all(r["ext_risk_svc_exception"] for r in rows)
+    assert all(r["ext_contextual_ctx"] == r["ctx"] for r in rows)

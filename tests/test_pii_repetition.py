@@ -49,7 +49,9 @@ def _py_repetition(text: str):
     counts: dict[str, int] = {}
     for s in lines:
         counts[s] = counts.get(s, 0) + 1
-    dup_chars = sum(c * len(s) for s, c in counts.items() if c >= 2)
+    # excess-occurrence counting: a line seen c times contributes c-1
+    # duplicates (the published Gopher semantics)
+    dup_chars = sum((c - 1) * len(s) for s, c in counts.items() if c >= 2)
     line_chars = sum(c * len(s) for s, c in counts.items())
     norm = " ".join(text.lower().split())
     ws = norm.split(" ") if norm else []
