@@ -2978,6 +2978,50 @@ QUERIES["text_quality_ext"] = q_text_quality_ext
 ORACLES["text_quality_ext"] = SQL_TEXT_QUALITY_EXT
 
 
+def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed Iceberg v2 round trip (sources/iceberg.py, jar-free): write
+    the documents table as a REAL Iceberg table (metadata.json + Avro
+    manifests via the repo's own codec, identity-partitioned on a derived
+    ds), then scan it back through metadata-only planning with a partition
+    filter AND a doc_id bounds filter — so partition pruning, footer-stats
+    pruning, manifest decoding, and hive-path type restoration are all on
+    the hash-gated path. Reference: TableUtils.scala:104-282."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from chronon_spark.sources.iceberg import IcebergTable, create_table
+
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        "chronon_iceberg_gate_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        F.concat(
+            F.lit("2024-01-0"), ((F.col("doc_id") % 5) + 1).cast("string")
+        ).alias("ds"),
+    )
+    create_table(docs, loc, partition_by=["ds"])
+    t = IcebergTable(loc)
+    out = t.scan(spark, filters=[("ds", "=", "2024-01-03"), ("doc_id", ">=", 100)])
+    return out.select("doc_id", "ds", "lang", F.md5("text").alias("text_fp"))
+
+
+SQL_ICEBERG_SCAN = """
+SELECT doc_id, '2024-01-03' AS ds, lang, md5(text) AS text_fp
+FROM documents
+WHERE (doc_id % 5) + 1 = 3 AND doc_id >= 100
+"""
+
+QUERIES["iceberg_scan"] = q_iceberg_scan
+ORACLES["iceberg_scan"] = SQL_ICEBERG_SCAN
+
+
 #: the first 50 registry names — every one oracle-backed — form the driver's
 #: CORRECTNESS window; everything after is pytest-parity-only (rows-only
 #: diagnostics and the standalone halves of the combined gates)

@@ -587,6 +587,118 @@ def unframe(data: bytes, registry: dict[int, AvroSchema], reader: AvroSchema | N
 
 
 # ---------------------------------------------------------------------------
+# Object Container Files (Avro spec §"Object Container Files") — the on-disk
+# framing Iceberg manifests and manifest lists use. Codec 'null' only (the
+# Iceberg default for metadata written without compression jars).
+# ---------------------------------------------------------------------------
+
+_OCF_MAGIC = b"Obj\x01"
+
+
+def _ocf_sync(schema: AvroSchema) -> bytes:
+    """Deterministic 16-byte sync marker (the spec only requires it be
+    consistent within the file; deterministic keeps our written metadata
+    byte-reproducible)."""
+    import hashlib
+
+    return hashlib.md5(b"chronon-ocf:" + canonical_form(schema.schema).encode()).digest()
+
+
+def _encode_meta_map(out: bytearray, meta: dict[str, bytes]):
+    if meta:
+        _write_long(out, len(meta))
+        for k, v in meta.items():
+            kb = k.encode()
+            _write_long(out, len(kb))
+            out.extend(kb)
+            _write_long(out, len(v))
+            out.extend(v)
+    _write_long(out, 0)
+
+
+def write_ocf(
+    path: str,
+    schema: AvroSchema,
+    records: list,
+    metadata: dict[str, bytes] | None = None,
+) -> int:
+    """Write an Avro Object Container File: magic, file-metadata map
+    (avro.schema + avro.codec=null + caller extras, e.g. Iceberg's
+    'schema'/'partition-spec' keys), sync marker, then one block holding all
+    records. Returns the file length in bytes (manifest_length in Iceberg's
+    manifest_file struct)."""
+    sync = _ocf_sync(schema)
+    out = bytearray(_OCF_MAGIC)
+    meta = {"avro.schema": schema.json().encode(), "avro.codec": b"null"}
+    meta.update(metadata or {})
+    _encode_meta_map(out, meta)
+    out.extend(sync)
+    payload = bytearray()
+    for rec in records:
+        payload.extend(encode(schema, rec))
+    _write_long(out, len(records))
+    _write_long(out, len(payload))
+    out.extend(payload)
+    out.extend(sync)
+    data = bytes(out)
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
+def read_ocf(
+    path: str, reader: AvroSchema | None = None
+) -> tuple[list, dict[str, bytes]]:
+    """Read an Avro Object Container File written by any spec-conforming
+    writer (codec null): returns (records, file-metadata). The embedded
+    writer schema drives decoding; pass ``reader`` to resolve into an
+    evolved shape (promotions/defaults/reorder — same rules as decode)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != _OCF_MAGIC:
+        raise ValueError(f"not an Avro object container file: magic {buf[:4]!r}")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # negative block count: byte size follows (spec)
+            n = -n
+            _, pos = _read_long(buf, pos)
+        for _ in range(n):
+            klen, pos = _read_long(buf, pos)
+            k = buf[pos : pos + klen].decode()
+            pos += klen
+            vlen, pos = _read_long(buf, pos)
+            meta[k] = buf[pos : pos + vlen]
+            pos += vlen
+    codec = meta.get("avro.codec", b"null")
+    if codec != b"null":
+        raise ValueError(f"unsupported OCF codec {codec!r} (null only)")
+    writer = AvroSchema(meta["avro.schema"].decode())
+    rdr = reader or writer
+    sync = buf[pos : pos + 16]
+    pos += 16
+    records: list = []
+    while pos < len(buf):
+        count, pos = _read_long(buf, pos)
+        size, pos = _read_long(buf, pos)
+        end = pos + size
+        for _ in range(count):
+            datum, pos = _decode(
+                writer.schema, writer.names, rdr.schema, rdr.names, buf, pos
+            )
+            records.append(datum)
+        if pos != end:
+            raise ValueError(f"OCF block size mismatch: {end - pos} bytes left")
+        if buf[pos : pos + 16] != sync:
+            raise ValueError("OCF sync marker mismatch")
+        pos += 16
+    return records, meta
+
+
+# ---------------------------------------------------------------------------
 # Spark <-> Avro schema bridge (reference AvroConversions.fromChrononSchema /
 # toChrononSchema). Nullable fields become ["null", T] unions, Spark
 # timestamps ride as long/timestamp-micros, dates as int/date.

@@ -1,0 +1,788 @@
+"""Jar-free Iceberg v2 table format, executed for real: metadata.json +
+Avro manifests written and planned with the repo's own pure-spec Avro codec
+(chronon_spark/serde.py write_ocf/read_ocf).
+
+Implements the PUBLIC Apache Iceberg table spec (iceberg.apache.org/spec),
+format-version 2, identity partition transforms — exactly the partition
+contract the rest of the repo already pins (tests/test_iceberg_contract.py,
+sources/tableio.py hive layout):
+
+- ``create_table`` / ``append``: Spark writes hive-layout parquet data files
+  (partition values live in the path, never in the files); per-file stats
+  (record count, null counts, lower/upper bounds) are lifted from the
+  parquet FOOTERS via pyarrow — no data scan; a manifest (Avro OCF, spec
+  field-ids) records the files, a manifest list records the manifests, and
+  an atomic version-hint swap commits the new metadata.json (the spec's
+  HadoopTableOperations pointer protocol).
+- ``scan``: query planning reads ONLY metadata — manifest-list partition
+  summaries prune whole manifests, manifest-entry partition values and
+  column bounds prune files — then hands Spark the surviving file list.
+  At 100TB this is the difference between a filesystem listing of millions
+  of files and a few KB of Avro: planning cost scales with metadata, not
+  data, and partition/min-max pruning happens before the first executor
+  task launches.
+- snapshots: appends preserve prior manifests under spec sequence numbers;
+  ``scan(snapshot_id=...)`` time-travels; ``partitions()`` lists partitions
+  from metadata (reference TableUtils.scala:223-247 reads Iceberg partition
+  listings from table metadata for the same reason — never from the
+  filesystem).
+
+Scope: primitive column types, identity partitioning, append-only commits
+(no delete files / row-level deletes); the repo's overwrite semantics stay
+with sources/tableio.py. Reference parity: TableUtils.scala:104-282
+(provider detection, partition listing), api's tableProperties plumbing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from chronon_spark.serde import AvroSchema, read_ocf, write_ocf
+
+# --- Iceberg <-> Spark type bridge (spec "Schemas and Data Types") ---------
+
+_ICEBERG_OF_SPARK: dict[type, str] = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "binary",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",
+}
+
+_SPARK_OF_ICEBERG = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamptz": T.TimestampType(),
+}
+
+# avro primitive carrying each iceberg primitive inside manifests
+_AVRO_OF_ICEBERG = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamptz": {"type": "long", "logicalType": "timestamp-micros"},
+}
+
+
+def _iceberg_type(dt: T.DataType, col: str) -> str:
+    for klass, name in _ICEBERG_OF_SPARK.items():
+        if isinstance(dt, klass):
+            return name
+    raise NotImplementedError(
+        f"iceberg-py supports primitive columns only; {col!r} is {dt.simpleString()}"
+    )
+
+
+def _iceberg_schema(schema: T.StructType) -> dict:
+    """Iceberg JSON schema with assigned field-ids (1..N, schema order)."""
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType, f.name),
+            }
+            for i, f in enumerate(schema.fields)
+        ],
+    }
+
+
+def _single_value_bytes(ice_type: str, v) -> bytes | None:
+    """Spec Appendix D 'Single-value serialization' for bound values."""
+    if v is None:
+        return None
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "int":
+        return struct.pack("<i", int(v))
+    if ice_type == "long":
+        return struct.pack("<q", int(v))
+    if ice_type == "float":
+        return struct.pack("<f", float(v))
+    if ice_type == "double":
+        return struct.pack("<d", float(v))
+    if ice_type == "string":
+        return str(v).encode()
+    if ice_type == "binary":
+        return bytes(v)
+    if ice_type == "date":
+        import datetime as _dt
+
+        epoch = _dt.date(1970, 1, 1)
+        return struct.pack("<i", (v - epoch).days)
+    if ice_type == "timestamptz":
+        ts = getattr(v, "timestamp", None)
+        micros = int(ts() * 1_000_000) if callable(ts) else int(v)
+        return struct.pack("<q", micros)
+    return None
+
+
+def _single_value_parse(ice_type: str, b: bytes):
+    if b is None:
+        return None
+    if ice_type == "boolean":
+        return b != b"\x00"
+    if ice_type == "int":
+        return struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", b)[0]
+    if ice_type == "string":
+        return b.decode()
+    return b
+
+
+# --- manifest Avro schemas (spec field-ids preserved as 'field-id') --------
+
+
+def _int_map_avro(name: str, value_avro, kid: int, vid: int) -> dict:
+    """Iceberg encodes map<int, T> as an array of key/value records because
+    Avro map keys must be strings (spec: 'Avro arrays of key-value records,
+    the logical map type')."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": value_avro, "field-id": vid},
+            ],
+        },
+    }
+
+
+def _partition_record_schema(part_fields: list[dict]) -> dict:
+    """r102: one optional field per partition column, spec field-ids 1000+."""
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": ["null", _AVRO_OF_ICEBERG[pf["_ice_type"]]],
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+            for pf in part_fields
+        ],
+    }
+
+
+def _manifest_entry_schema(part_fields: list[dict]) -> AvroSchema:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": _partition_record_schema(part_fields), "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "value_counts",
+                "type": ["null", _int_map_avro("k119_v120", "long", 119, 120)],
+                "default": None,
+                "field-id": 109,
+            },
+            {
+                "name": "null_value_counts",
+                "type": ["null", _int_map_avro("k121_v122", "long", 121, 122)],
+                "default": None,
+                "field-id": 110,
+            },
+            {
+                "name": "lower_bounds",
+                "type": ["null", _int_map_avro("k126_v127", "bytes", 126, 127)],
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _int_map_avro("k129_v130", "bytes", 129, 130)],
+                "default": None,
+                "field-id": 128,
+            },
+        ],
+    }
+    return AvroSchema(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+                {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+                {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+                {"name": "data_file", "type": data_file, "field-id": 2},
+            ],
+        }
+    )
+
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"], "default": None, "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"], "default": None, "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "default": None, "field-id": 511},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = AvroSchema(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_data_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+            {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {"name": "existing_rows_count", "type": "long", "field-id": 513},
+            {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+            {
+                "name": "partitions",
+                "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+                "default": None,
+                "field-id": 507,
+            },
+        ],
+    }
+)
+
+
+# --- table handle -----------------------------------------------------------
+
+
+class IcebergTable:
+    """Handle on an iceberg-py table rooted at ``location``."""
+
+    def __init__(self, location: str):
+        self.location = location
+        self.metadata_dir = os.path.join(location, "metadata")
+        self.data_dir = os.path.join(location, "data")
+
+    # -- metadata pointer (HadoopTableOperations protocol) --
+
+    def _hint_path(self) -> str:
+        return os.path.join(self.metadata_dir, "version-hint.text")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._hint_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def metadata(self, version: int | None = None) -> dict:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no iceberg table at {self.location}")
+        with open(os.path.join(self.metadata_dir, f"v{v}.metadata.json")) as f:
+            return json.load(f)
+
+    def _commit(self, md: dict) -> int:
+        """Write v{N}.metadata.json then atomically swap the version hint —
+        readers always see a complete metadata file."""
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        v = (self.current_version() or 0) + 1
+        path = os.path.join(self.metadata_dir, f"v{v}.metadata.json")
+        with open(path, "w") as f:
+            json.dump(md, f, indent=1)
+        tmp = self._hint_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._hint_path())
+        return v
+
+    # -- introspection --
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict:
+        md = self.metadata()
+        sid = snapshot_id if snapshot_id is not None else md.get("current-snapshot-id")
+        for s in md.get("snapshots", []):
+            if s["snapshot-id"] == sid:
+                return s
+        raise KeyError(f"snapshot {sid} not found in {self.location}")
+
+    def partition_columns(self) -> list[str]:
+        md = self.metadata()
+        spec = md["partition-specs"][md["default-spec-id"]]
+        return [pf["name"] for pf in spec["fields"]]
+
+    def spark_schema(self) -> T.StructType:
+        md = self.metadata()
+        ice = md["schemas"][md["current-schema-id"]]
+        return T.StructType(
+            [
+                T.StructField(f["name"], _SPARK_OF_ICEBERG[f["type"]], not f["required"])
+                for f in ice["fields"]
+            ]
+        )
+
+    def partitions(self, snapshot_id: int | None = None) -> list[dict]:
+        """Distinct partition tuples from MANIFEST metadata — never a
+        filesystem listing (reference TableUtils partition listing via
+        Iceberg metadata)."""
+        seen: dict[str, dict] = {}
+        for e in self.plan_scan(snapshot_id=snapshot_id):
+            p = e["partition"]
+            seen[repr(sorted(p.items(), key=lambda kv: kv[0]))] = p
+        return [seen[k] for k in sorted(seen)]
+
+    # -- planning --
+
+    def plan_scan(
+        self,
+        filters: list[tuple] | None = None,
+        snapshot_id: int | None = None,
+        _audit: dict | None = None,
+    ) -> list[dict]:
+        """Metadata-only scan planning: returns surviving data-file entries
+        ({path, partition, record_count, bounds}). ``filters`` is a list of
+        (column, op, value) with op in = < <= > >=; pruning is conservative
+        (a file is dropped only when its partition value or column bounds
+        PROVE no row can match). ``_audit`` collects pruning counters for
+        tests/benchmarks."""
+        md = self.metadata()
+        snap = self.snapshot(snapshot_id)
+        ice_fields = {
+            f["name"]: f for f in md["schemas"][md["current-schema-id"]]["fields"]
+        }
+        spec = md["partition-specs"][md["default-spec-id"]]
+        part_names = [pf["name"] for pf in spec["fields"]]
+        filters = filters or []
+        for col, op, _ in filters:
+            if col not in ice_fields:
+                raise ValueError(f"unknown filter column {col!r}; have {sorted(ice_fields)}")
+            if op not in ("=", "<", "<=", ">", ">="):
+                raise ValueError(f"unsupported filter op {op!r}")
+
+        manifests, _ = read_ocf(snap["manifest-list"])
+        audit = {"manifests_total": len(manifests), "manifests_read": 0,
+                 "files_total": 0, "files_kept": 0}
+        part_filters = [f for f in filters if f[0] in part_names]
+        entries: list[dict] = []
+        for mf in manifests:
+            if not self._manifest_may_match(mf, part_filters, part_names, ice_fields):
+                continue
+            audit["manifests_read"] += 1
+            recs, _meta = read_ocf(mf["manifest_path"])
+            for e in recs:
+                if e["status"] == 2:  # DELETED
+                    continue
+                audit["files_total"] += 1
+                dfile = e["data_file"]
+                part = dict(dfile["partition"])
+                if not self._entry_may_match(dfile, part, filters, part_names, ice_fields):
+                    continue
+                audit["files_kept"] += 1
+                entries.append(
+                    {
+                        "path": dfile["file_path"],
+                        "partition": part,
+                        "record_count": dfile["record_count"],
+                        "file_size_in_bytes": dfile["file_size_in_bytes"],
+                    }
+                )
+        if _audit is not None:
+            _audit.update(audit)
+        return entries
+
+    @staticmethod
+    def _cmp_match(op: str, lo, hi, v) -> bool:
+        """Can any value in [lo, hi] satisfy (x op v)? None bound = unknown."""
+        if op == "=":
+            return (lo is None or lo <= v) and (hi is None or hi >= v)
+        if op == "<":
+            return lo is None or lo < v
+        if op == "<=":
+            return lo is None or lo <= v
+        if op == ">":
+            return hi is None or hi > v
+        if op == ">=":
+            return hi is None or hi >= v
+        return True
+
+    def _manifest_may_match(self, mf, part_filters, part_names, ice_fields) -> bool:
+        """Manifest-list partition summaries (field_summary per partition
+        field, spec field-id 507): prune a whole manifest when no partition
+        in it can satisfy the filters."""
+        summaries = mf.get("partitions")
+        if not part_filters or not summaries:
+            return True
+        for col, op, val in part_filters:
+            idx = part_names.index(col)
+            if idx >= len(summaries):
+                continue
+            s = summaries[idx]
+            t = ice_fields[col]["type"]
+            lo = _single_value_parse(t, s.get("lower_bound"))
+            hi = _single_value_parse(t, s.get("upper_bound"))
+            if not self._cmp_match(op, lo, hi, val):
+                return False
+        return True
+
+    def _entry_may_match(self, dfile, part, filters, part_names, ice_fields) -> bool:
+        lowers = {kv["key"]: kv["value"] for kv in (dfile.get("lower_bounds") or [])}
+        uppers = {kv["key"]: kv["value"] for kv in (dfile.get("upper_bounds") or [])}
+        for col, op, val in filters:
+            t = ice_fields[col]["type"]
+            if col in part_names:
+                pv = part.get(col)
+                if pv is None:
+                    continue  # null partition: only provable for '=', keep conservatively
+                lo = hi = pv
+            else:
+                fid = ice_fields[col]["id"]
+                lo = _single_value_parse(t, lowers.get(fid))
+                hi = _single_value_parse(t, uppers.get(fid))
+            if not self._cmp_match(op, lo, hi, val):
+                return False
+        return True
+
+    # -- reading --
+
+    def scan(
+        self,
+        spark: SparkSession,
+        filters: list[tuple] | None = None,
+        snapshot_id: int | None = None,
+        _audit: dict | None = None,
+    ) -> DataFrame:
+        """Plan from metadata, read only surviving files, apply the filters
+        EXACTLY (planning prunes I/O; correctness never depends on stats)."""
+        entries = self.plan_scan(filters=filters, snapshot_id=snapshot_id, _audit=_audit)
+        schema = self.spark_schema()
+        cols = [f.name for f in schema.fields]
+        if not entries:
+            return spark.createDataFrame([], schema)
+        df = (
+            spark.read.option("basePath", self.data_dir)
+            .parquet(*[e["path"] for e in entries])
+        )
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        for pc in self.partition_columns():  # path inference may retype; restore
+            df = df.withColumn(pc, F.col(pc).cast(dtypes[pc]))
+        import operator as _o
+
+        ops = {"=": _o.eq, "<": _o.lt, "<=": _o.le, ">": _o.gt, ">=": _o.ge}
+        for col, op, val in filters or []:
+            df = df.where(ops[op](F.col(col), F.lit(val)))
+        return df.select(*cols)
+
+
+# --- stats from parquet footers (no data scan) ------------------------------
+
+
+def _file_stats(path: str, ice_fields: dict[str, dict]):
+    """record_count + per-column null counts and min/max bounds, aggregated
+    across row groups, straight from the parquet footer."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    nrows = meta.num_rows
+    value_counts: dict[int, int] = {}
+    null_counts: dict[int, int] = {}
+    mins: dict[int, object] = {}
+    maxs: dict[int, object] = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            f = ice_fields.get(name)
+            if f is None or "." in name:
+                continue
+            fid = f["id"]
+            value_counts[fid] = value_counts.get(fid, 0) + c.num_values
+            st = c.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+            if st.has_min_max:
+                mn, mx = st.min, st.max
+                if fid not in mins or mn < mins[fid]:
+                    mins[fid] = mn
+                if fid not in maxs or mx > maxs[fid]:
+                    maxs[fid] = mx
+    return nrows, value_counts, null_counts, mins, maxs
+
+
+def _bounds_kv(vals: dict[int, object], ice_by_id: dict[int, str]) -> list[dict]:
+    out = []
+    for fid in sorted(vals):
+        b = _single_value_bytes(ice_by_id[fid], vals[fid])
+        if b is not None:
+            out.append({"key": fid, "value": b})
+    return out
+
+
+# --- writing ----------------------------------------------------------------
+
+
+def _list_parquet(root: str) -> list[str]:
+    files = []
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet"):
+                files.append(os.path.join(dirpath, n))
+    return sorted(files)
+
+
+def _partition_of_path(path: str, data_dir: str, part_fields: list[dict]):
+    """Identity transform: partition values verbatim in the hive path."""
+    rel = os.path.relpath(path, data_dir)
+    kv = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            kv[k] = v
+    out = {}
+    for pf in part_fields:
+        raw = kv.get(pf["name"])
+        if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+            out[pf["name"]] = None
+        elif pf["_ice_type"] == "int":
+            out[pf["name"]] = int(raw)
+        elif pf["_ice_type"] == "long":
+            out[pf["name"]] = int(raw)
+        elif pf["_ice_type"] in ("float", "double"):
+            out[pf["name"]] = float(raw)
+        else:
+            out[pf["name"]] = raw
+    return out
+
+
+def _write_snapshot(table: IcebergTable, df: DataFrame, partition_by: list[str], md: dict | None):
+    """Shared create/append commit: write data files, manifest, manifest
+    list, metadata.json vN+1."""
+    schema = df.schema
+    if md is None:
+        ice_schema = _iceberg_schema(schema)
+    else:
+        ice_schema = md["schemas"][md["current-schema-id"]]
+        have = [(f["name"], f["type"]) for f in ice_schema["fields"]]
+        got = [(f.name, _iceberg_type(f.dataType, f.name)) for f in schema.fields]
+        if have != got:
+            raise ValueError(
+                f"append schema mismatch: table has {have}, frame has {got}"
+            )
+    ice_fields = {f["name"]: f for f in ice_schema["fields"]}
+    ice_by_id = {f["id"]: f["type"] for f in ice_schema["fields"]}
+    part_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": ice_fields[c]["id"],
+            "field-id": 1000 + i,
+            "_ice_type": ice_fields[c]["type"],
+        }
+        for i, c in enumerate(partition_by)
+    ]
+
+    before = set(_list_parquet(table.data_dir)) if os.path.isdir(table.data_dir) else set()
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(table.data_dir)
+    new_files = [p for p in _list_parquet(table.data_dir) if p not in before]
+
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    seq = (md.get("last-sequence-number", 0) if md else 0) + 1
+    entry_schema = _manifest_entry_schema(part_fields)
+    entries, added_rows = [], 0
+    for path in new_files:
+        part = _partition_of_path(path, table.data_dir, part_fields)
+        nrows, vcounts, ncounts, mins, maxs = _file_stats(path, ice_fields)
+        added_rows += nrows
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": part,
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "value_counts": [
+                        {"key": k, "value": v} for k, v in sorted(vcounts.items())
+                    ],
+                    "null_value_counts": [
+                        {"key": k, "value": v} for k, v in sorted(ncounts.items())
+                    ],
+                    "lower_bounds": _bounds_kv(mins, ice_by_id),
+                    "upper_bounds": _bounds_kv(maxs, ice_by_id),
+                },
+            }
+        )
+
+    os.makedirs(table.metadata_dir, exist_ok=True)
+    manifest_path = os.path.join(table.metadata_dir, f"{uuid.uuid4().hex}-m0.avro")
+    spec_fields_json = [
+        {k: v for k, v in pf.items() if not k.startswith("_")} for pf in part_fields
+    ]
+    mlen = write_ocf(
+        manifest_path,
+        entry_schema,
+        entries,
+        metadata={
+            "schema": json.dumps(ice_schema).encode(),
+            "partition-spec": json.dumps(spec_fields_json).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        },
+    )
+
+    # per-partition-field summaries for manifest-list pruning
+    summaries = []
+    for pf in part_fields:
+        vals = [e["data_file"]["partition"].get(pf["name"]) for e in entries]
+        nonnull = [v for v in vals if v is not None]
+        summaries.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": None,
+                "lower_bound": _single_value_bytes(pf["_ice_type"], min(nonnull)) if nonnull else None,
+                "upper_bound": _single_value_bytes(pf["_ice_type"], max(nonnull)) if nonnull else None,
+            }
+        )
+    new_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": mlen,
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": summaries if part_fields else None,
+    }
+    prior_manifests = []
+    if md and md.get("current-snapshot-id") is not None:
+        cur = next(
+            s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        prior_manifests, _ = read_ocf(cur["manifest-list"])
+    mlist_path = os.path.join(
+        table.metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    )
+    write_ocf(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        [new_manifest, *prior_manifests],
+        metadata={"format-version": b"2"},
+    )
+
+    now_ms = int(time.time() * 1000)
+    snap = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": md.get("current-snapshot-id") if md else None,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(entries)),
+            "added-records": str(added_rows),
+        },
+        "schema-id": 0,
+    }
+    new_md = {
+        "format-version": 2,
+        "table-uuid": md["table-uuid"] if md else str(uuid.uuid4()),
+        "location": table.location,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(ice_schema["fields"]),
+        "current-schema-id": 0,
+        "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields_json}],
+        "last-partition-id": 999 + len(part_fields),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": (md.get("snapshots", []) if md else []) + [snap],
+        "snapshot-log": (md.get("snapshot-log", []) if md else [])
+        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+        "metadata-log": [],
+    }
+    table._commit(new_md)
+    return table
+
+
+def create_table(df: DataFrame, location: str, partition_by: list[str] | None = None) -> IcebergTable:
+    """Create an iceberg-py table at ``location`` from ``df`` (identity
+    partitioning on ``partition_by``). Fails if a table already exists."""
+    table = IcebergTable(location)
+    if table.exists():
+        raise FileExistsError(f"iceberg table already exists at {location}")
+    return _write_snapshot(table, df, partition_by or [], None)
+
+
+def append(df: DataFrame, location: str) -> IcebergTable:
+    """Append ``df`` as a new snapshot: prior manifests are preserved in the
+    new manifest list (sequence numbers per spec), so old snapshots stay
+    readable (time travel)."""
+    table = IcebergTable(location)
+    md = table.metadata()  # raises if absent
+    spec = md["partition-specs"][md["default-spec-id"]]
+    return _write_snapshot(table, df, [pf["name"] for pf in spec["fields"]], md)

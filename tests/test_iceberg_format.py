@@ -1,0 +1,223 @@
+"""Executed Iceberg v2 format (sources/iceberg.py): real metadata.json +
+Avro manifests written/planned with the repo's own Avro codec — closing the
+"layout contract only" gap from tests/test_iceberg_contract.py with actual
+spec-conforming metadata I/O (public Apache Iceberg table spec, v2).
+
+Reference parity: TableUtils.scala:104-282 (Iceberg provider handling,
+metadata-driven partition listing)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.serde import AvroSchema, read_ocf, write_ocf
+from chronon_spark.sources.iceberg import (
+    IcebergTable,
+    append,
+    create_table,
+)
+
+
+def _df(spark, n=100, shift=0):
+    return spark.range(0, n).select(
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        (F.col("id") + shift).alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("2024-03-0"), ((F.col("id") % 3) + 1).cast("string")).alias("ds"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    create_table(_df(spark), loc, partition_by=["ds"])
+    return IcebergTable(loc)
+
+
+# --- OCF layer ---------------------------------------------------------------
+
+
+def test_ocf_round_trip_and_structure(tmp_path):
+    s = AvroSchema(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": ["null", "string"], "default": None},
+            ],
+        }
+    )
+    recs = [{"a": i, "b": None if i % 2 else f"s{i}"} for i in range(10)]
+    p = str(tmp_path / "f.avro")
+    n = write_ocf(p, s, recs, metadata={"content": b"data"})
+    assert n == os.path.getsize(p)
+    with open(p, "rb") as f:
+        assert f.read(4) == b"Obj\x01"  # spec magic
+    out, meta = read_ocf(p)
+    assert out == recs
+    assert meta["content"] == b"data"
+    assert json.loads(meta["avro.schema"].decode())["name"] == "r"
+    # evolved reader: resolution rules apply through the container framing
+    r2 = AvroSchema(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "c", "type": "string", "default": "d"},
+            ],
+        }
+    )
+    out2, _ = read_ocf(p, reader=r2)
+    assert out2 == [{"a": i, "c": "d"} for i in range(10)]
+
+
+# --- metadata structure vs the public spec -----------------------------------
+
+
+def test_metadata_json_spec_shape(table):
+    md = table.metadata()
+    assert md["format-version"] == 2
+    assert md["current-schema-id"] == 0
+    fields = md["schemas"][0]["fields"]
+    assert [(f["id"], f["name"]) for f in fields] == [
+        (1, "bucket"), (2, "k"), (3, "v"), (4, "ds"),
+    ]
+    spec = md["partition-specs"][md["default-spec-id"]]
+    assert spec["fields"] == [
+        {"name": "ds", "transform": "identity", "source-id": 4, "field-id": 1000}
+    ]
+    snap = table.snapshot()
+    assert snap["sequence-number"] == 1 and snap["summary"]["operation"] == "append"
+    assert os.path.exists(snap["manifest-list"])
+    # atomic pointer protocol
+    assert table.current_version() == 1
+    assert os.path.exists(os.path.join(table.metadata_dir, "v1.metadata.json"))
+
+
+def test_manifest_avro_spec_field_ids_and_stats(spark, table):
+    mlist, _ = read_ocf(table.snapshot()["manifest-list"])
+    assert all(m["added_data_files_count"] > 0 for m in mlist)
+    entries, meta = read_ocf(mlist[0]["manifest_path"])
+    # OCF metadata keys the java reader requires
+    assert meta["format-version"] == b"2" and meta["content"] == b"data"
+    schema_json = json.loads(meta["avro.schema"].decode())
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    assert by_name["status"]["field-id"] == 0
+    assert by_name["data_file"]["field-id"] == 2
+    dfields = {f["name"]: f for f in by_name["data_file"]["type"]["fields"]}
+    assert dfields["file_path"]["field-id"] == 100
+    assert dfields["partition"]["field-id"] == 102
+    assert dfields["record_count"]["field-id"] == 103
+    # stats: record counts in manifests equal actual data
+    assert sum(e["data_file"]["record_count"] for e in entries) == 100
+    e = entries[0]["data_file"]
+    lowers = {kv["key"]: kv["value"] for kv in e["lower_bounds"]}
+    assert 2 in lowers  # field-id of k carries a bound
+    assert all(x["status"] == 1 for x in entries)  # ADDED
+
+
+# --- scan correctness + pruning ----------------------------------------------
+
+
+def test_scan_equals_source(spark, table):
+    got = sorted(table.scan(spark).collect())
+    exp = sorted(_df(spark).collect())
+    assert got == exp
+
+
+def test_partition_pruning_reads_fewer_files_same_answer(spark, table):
+    audit: dict = {}
+    got = table.scan(spark, filters=[("ds", "=", "2024-03-02")], _audit=audit)
+    exp = _df(spark).where(F.col("ds") == "2024-03-02")
+    assert sorted(got.collect()) == sorted(exp.collect())
+    assert 0 < audit["files_kept"] < audit["files_total"]
+
+
+def test_column_bounds_pruning(spark, tmp_path):
+    """Range-clustered writes give files disjoint k-bounds: a k filter must
+    prune files via footer stats, never change the answer."""
+    loc = str(tmp_path / "rng")
+    df = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("m"))
+    create_table(df.repartitionByRange(8, "k"), loc, partition_by=[])
+    t = IcebergTable(loc)
+    audit: dict = {}
+    got = t.scan(spark, filters=[("k", ">=", 900)], _audit=audit)
+    assert got.count() == 100
+    assert 0 < audit["files_kept"] < audit["files_total"]
+    # conservative direction: a filter matching everything keeps every file
+    audit2: dict = {}
+    assert t.scan(spark, filters=[("k", ">=", 0)], _audit=audit2).count() == 1000
+    assert audit2["files_kept"] == audit2["files_total"]
+
+
+def test_append_time_travel_and_lineage(spark, table):
+    snap1 = table.snapshot()["snapshot-id"]
+    append(_df(spark, n=50, shift=10_000), table.location)
+    assert table.current_version() == 2
+    md = table.metadata()
+    assert md["last-sequence-number"] == 2
+    snap2 = table.snapshot()
+    assert snap2["parent-snapshot-id"] == snap1
+    # current sees both batches; time travel sees only the first
+    assert table.scan(spark).count() == 150
+    tt = table.scan(spark, snapshot_id=snap1)
+    assert sorted(tt.collect()) == sorted(_df(spark).collect())
+    # prior manifests preserved with their ORIGINAL sequence number
+    mlist, _ = read_ocf(snap2["manifest-list"])
+    assert sorted(m["sequence_number"] for m in mlist) == [1, 2]
+
+
+def test_partitions_listed_from_metadata(spark, table):
+    assert table.partitions() == [
+        {"ds": "2024-03-01"}, {"ds": "2024-03-02"}, {"ds": "2024-03-03"},
+    ]
+    # metadata listing, not filesystem: removing a stray dir doesn't matter,
+    # but adding one must NOT appear
+    os.makedirs(os.path.join(table.data_dir, "ds=2099-01-01"), exist_ok=True)
+    assert len(table.partitions()) == 3
+
+
+def test_null_partition_values(spark, tmp_path):
+    loc = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", None), (3, "c", None)],
+        "k long, s string, ds string",
+    )
+    create_table(df, loc, partition_by=["ds"])
+    t = IcebergTable(loc)
+    got = sorted(t.scan(spark).collect())
+    assert got == sorted(df.collect())
+    mlist, _ = read_ocf(t.snapshot()["manifest-list"])
+    assert mlist[0]["partitions"][0]["contains_null"] is True
+
+
+def test_guards(spark, table, tmp_path):
+    with pytest.raises(FileExistsError):
+        create_table(_df(spark), table.location, partition_by=["ds"])
+    bad = _df(spark).withColumn("k", F.col("k").cast("string"))
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        append(bad, table.location)
+    with pytest.raises(ValueError, match="unknown filter column"):
+        table.plan_scan(filters=[("nope", "=", 1)])
+    with pytest.raises(ValueError, match="unsupported filter op"):
+        table.plan_scan(filters=[("k", "!=", 1)])
+    with pytest.raises(NotImplementedError, match="primitive columns only"):
+        create_table(
+            _df(spark).withColumn("arr", F.array(F.lit(1))), str(tmp_path / "x")
+        )
+
+
+def test_empty_frame_create_and_scan(spark, tmp_path):
+    loc = str(tmp_path / "empty")
+    create_table(_df(spark).where(F.lit(False)), loc, partition_by=["ds"])
+    t = IcebergTable(loc)
+    out = t.scan(spark)
+    assert out.count() == 0
+    assert out.columns == ["bucket", "k", "v", "ds"]
+    assert t.partitions() == []
