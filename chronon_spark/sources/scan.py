@@ -24,9 +24,26 @@ from pyspark.sql import functions as F
 from chronon_spark.api import EntitySource, EventSource, Query
 
 
-def _resolve(spark: SparkSession, table) -> DataFrame:
+def _resolve(spark: SparkSession, table, q: Query | None = None) -> DataFrame:
+    """DataFrame passes through; ``iceberg:/path`` resolves through the
+    jar-free Iceberg format (sources/iceberg.py) — when the declarative
+    Query carries partition bounds on one of the table's partition columns,
+    they are pushed into METADATA-ONLY scan planning (manifest summaries +
+    file partition values prune the file list before Spark sees it — the
+    Iceberg analog of PushedFilters); anything else is a catalog table."""
     if isinstance(table, DataFrame):
         return table
+    if isinstance(table, str) and table.startswith("iceberg:"):
+        from chronon_spark.sources.iceberg import IcebergTable
+
+        t = IcebergTable(table[len("iceberg:") :])
+        filters = []
+        if q is not None and q.partition_column in t.partition_columns():
+            if q.start_partition is not None:
+                filters.append((q.partition_column, ">=", q.start_partition))
+            if q.end_partition is not None:
+                filters.append((q.partition_column, "<=", q.end_partition))
+        return t.scan(spark, filters=filters or None)
     return spark.table(table)
 
 
@@ -76,8 +93,13 @@ def scan_source(spark: SparkSession, source, schema_only: bool = False):
     cumulative latest-partition probe (an aggregation over non-partition-
     backed sources) is replaced by a lazy drop of the partition column."""
     if isinstance(source, EventSource):
-        df = _resolve(spark, source.table)
         q = source.query
+        # cumulative tables pick the LATEST valid partition <= end, which may
+        # legitimately precede start_partition — push only the end bound
+        rq = q if not source.is_cumulative else Query(
+            end_partition=q.end_partition, partition_column=q.partition_column
+        )
+        df = _resolve(spark, source.table, rq)
         if source.is_cumulative:
             if schema_only:
                 if q.end_partition is not None and q.partition_column in df.columns:
@@ -102,7 +124,7 @@ def scan_source(spark: SparkSession, source, schema_only: bool = False):
         q = source.query
         snaps = _normalize_names(
             _apply_query(
-                _resolve(spark, source.snapshot_table), q, keep=(q.partition_column,)
+                _resolve(spark, source.snapshot_table, q), q, keep=(q.partition_column,)
             ),
             q,
         )
@@ -111,7 +133,7 @@ def scan_source(spark: SparkSession, source, schema_only: bool = False):
         # selects/wheres run against the RAW names; the engine-standard CDC
         # names (mutation_ts / is_before) are applied after, like ts/ds
         muts = _apply_query(
-            _resolve(spark, source.mutation_table),
+            _resolve(spark, source.mutation_table, q),
             q,
             keep=(q.partition_column, q.mutation_time_column, q.reversal_column),
         )
