@@ -504,8 +504,14 @@ class IcebergTable:
             return spark.createDataFrame([], schema)
         df = (
             spark.read.option("basePath", self.data_dir)
+            # mergeSchema: files written before an append-only schema
+            # evolution lack the new columns; the union schema surfaces them
+            .option("mergeSchema", "true")
             .parquet(*[e["path"] for e in entries])
         )
+        for f in schema.fields:  # pad columns no surviving file carries yet
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         dtypes = {f.name: f.dataType for f in schema.fields}
         for pc in self.partition_columns():  # path inference may retype; restore
             df = df.withColumn(pc, F.col(pc).cast(dtypes[pc]))
@@ -600,20 +606,54 @@ def _partition_of_path(path: str, data_dir: str, part_fields: list[dict]):
     return out
 
 
-def _write_snapshot(table: IcebergTable, df: DataFrame, partition_by: list[str], md: dict | None):
-    """Shared create/append commit: write data files, manifest, manifest
-    list, metadata.json vN+1."""
-    schema = df.schema
+def _evolve_schema(md: dict | None, schema: T.StructType) -> dict:
+    """Create or append-only-evolve the table schema (the repo-wide
+    evolution contract, tableio.check_schema_evolution): NEW columns get
+    fresh field-ids and become optional; drops / retypes raise."""
     if md is None:
-        ice_schema = _iceberg_schema(schema)
+        return _iceberg_schema(schema)
+    prior = md["schemas"][md["current-schema-id"]]
+    prior_by_name = {f["name"]: f for f in prior["fields"]}
+    got = {f.name: _iceberg_type(f.dataType, f.name) for f in schema.fields}
+    dropped = sorted(n for n in prior_by_name if n not in got)
+    retyped = sorted(
+        n for n, t in got.items()
+        if n in prior_by_name and prior_by_name[n]["type"] != t
+    )
+    if dropped or retyped:
+        raise ValueError(
+            f"append schema mismatch: dropped columns {dropped}, retyped "
+            f"columns {retyped} — evolution is append-only"
+        )
+    new_cols = [f.name for f in schema.fields if f.name not in prior_by_name]
+    if not new_cols:
+        return prior
+    next_id = md["last-column-id"]
+    fields = list(prior["fields"])
+    for i, n in enumerate(new_cols):
+        fields.append(
+            {"id": next_id + i + 1, "name": n, "required": False, "type": got[n]}
+        )
+    return {"type": "struct", "schema-id": prior["schema-id"] + 1, "fields": fields}
+
+
+def _write_snapshot(
+    table: IcebergTable,
+    df: DataFrame | None,
+    partition_by: list[str],
+    md: dict | None,
+    operation: str = "append",
+    replace_partitions: set[tuple] | None = None,
+    summary_extra: dict | None = None,
+):
+    """Shared commit: write data files (df=None for metadata-only deletes),
+    build the new manifest, carry prior manifests forward (append) or
+    rewrite them dropping replaced partitions (overwrite/delete), write the
+    manifest list, commit metadata.json vN+1."""
+    if df is not None:
+        ice_schema = _evolve_schema(md, df.schema)
     else:
         ice_schema = md["schemas"][md["current-schema-id"]]
-        have = [(f["name"], f["type"]) for f in ice_schema["fields"]]
-        got = [(f.name, _iceberg_type(f.dataType, f.name)) for f in schema.fields]
-        if have != got:
-            raise ValueError(
-                f"append schema mismatch: table has {have}, frame has {got}"
-            )
     ice_fields = {f["name"]: f for f in ice_schema["fields"]}
     ice_by_id = {f["id"]: f["type"] for f in ice_schema["fields"]}
     part_fields = [
@@ -627,12 +667,14 @@ def _write_snapshot(table: IcebergTable, df: DataFrame, partition_by: list[str],
         for i, c in enumerate(partition_by)
     ]
 
-    before = set(_list_parquet(table.data_dir)) if os.path.isdir(table.data_dir) else set()
-    writer = df.write.mode("append")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(table.data_dir)
-    new_files = [p for p in _list_parquet(table.data_dir) if p not in before]
+    new_files: list[str] = []
+    if df is not None:
+        before = set(_list_parquet(table.data_dir)) if os.path.isdir(table.data_dir) else set()
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(table.data_dir)
+        new_files = [p for p in _list_parquet(table.data_dir) if p not in before]
 
     snapshot_id = uuid.uuid4().int % (1 << 62)
     seq = (md.get("last-sequence-number", 0) if md else 0) + 1
@@ -668,67 +710,115 @@ def _write_snapshot(table: IcebergTable, df: DataFrame, partition_by: list[str],
         )
 
     os.makedirs(table.metadata_dir, exist_ok=True)
-    manifest_path = os.path.join(table.metadata_dir, f"{uuid.uuid4().hex}-m0.avro")
     spec_fields_json = [
         {k: v for k, v in pf.items() if not k.startswith("_")} for pf in part_fields
     ]
-    mlen = write_ocf(
-        manifest_path,
-        entry_schema,
-        entries,
-        metadata={
-            "schema": json.dumps(ice_schema).encode(),
-            "partition-spec": json.dumps(spec_fields_json).encode(),
-            "partition-spec-id": b"0",
-            "format-version": b"2",
-            "content": b"data",
-        },
-    )
-
-    # per-partition-field summaries for manifest-list pruning
-    summaries = []
-    for pf in part_fields:
-        vals = [e["data_file"]["partition"].get(pf["name"]) for e in entries]
-        nonnull = [v for v in vals if v is not None]
-        summaries.append(
-            {
-                "contains_null": any(v is None for v in vals),
-                "contains_nan": None,
-                "lower_bound": _single_value_bytes(pf["_ice_type"], min(nonnull)) if nonnull else None,
-                "upper_bound": _single_value_bytes(pf["_ice_type"], max(nonnull)) if nonnull else None,
-            }
-        )
-    new_manifest = {
-        "manifest_path": manifest_path,
-        "manifest_length": mlen,
-        "partition_spec_id": 0,
-        "content": 0,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snapshot_id,
-        "added_data_files_count": len(entries),
-        "existing_data_files_count": 0,
-        "deleted_data_files_count": 0,
-        "added_rows_count": added_rows,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-        "partitions": summaries if part_fields else None,
+    manifest_meta = {
+        "schema": json.dumps(ice_schema).encode(),
+        "partition-spec": json.dumps(spec_fields_json).encode(),
+        "partition-spec-id": b"0",
+        "format-version": b"2",
+        "content": b"data",
     }
-    prior_manifests = []
+
+    def _write_manifest(ents, n_added, n_existing, rows_added, rows_existing, min_seq):
+        path = os.path.join(table.metadata_dir, f"{uuid.uuid4().hex}-m0.avro")
+        mlen = write_ocf(path, entry_schema, ents, metadata=manifest_meta)
+        summaries = []  # per-partition-field summaries for manifest-list pruning
+        for pf in part_fields:
+            vals = [e["data_file"]["partition"].get(pf["name"]) for e in ents]
+            nonnull = [v for v in vals if v is not None]
+            summaries.append(
+                {
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": None,
+                    "lower_bound": _single_value_bytes(pf["_ice_type"], min(nonnull)) if nonnull else None,
+                    "upper_bound": _single_value_bytes(pf["_ice_type"], max(nonnull)) if nonnull else None,
+                }
+            )
+        return {
+            "manifest_path": path,
+            "manifest_length": mlen,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min_seq,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": n_added,
+            "existing_data_files_count": n_existing,
+            "deleted_data_files_count": 0,
+            "added_rows_count": rows_added,
+            "existing_rows_count": rows_existing,
+            "deleted_rows_count": 0,
+            "partitions": summaries if part_fields else None,
+        }
+
+    if operation == "overwrite" and replace_partitions is None:
+        # dynamic partition overwrite: replace exactly the partitions the
+        # new files landed in (tableio.insert_overwrite_partitions contract)
+        part_names = [pf["name"] for pf in part_fields]
+        replace_partitions = {
+            tuple(e["data_file"]["partition"].get(n) for n in part_names)
+            for e in entries
+        }
+
+    manifests_out = []
+    if entries:
+        manifests_out.append(
+            _write_manifest(entries, len(entries), 0, added_rows, 0, min_seq=seq)
+        )
     if md and md.get("current-snapshot-id") is not None:
         cur = next(
             s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
         )
         prior_manifests, _ = read_ocf(cur["manifest-list"])
+        if not replace_partitions:
+            # plain append: prior manifest FILES carry forward untouched
+            manifests_out.extend(prior_manifests)
+        else:
+            # overwrite/delete: rewrite prior entries, dropping replaced
+            # partitions; survivors carry status EXISTING with their
+            # ORIGINAL sequence numbers (spec manifest-entry inheritance)
+            part_names = [pf["name"] for pf in part_fields]
+            kept = []
+            for pm in prior_manifests:
+                recs, _m = read_ocf(pm["manifest_path"])
+                for e in recs:
+                    if e["status"] == 2:
+                        continue
+                    pt = tuple(e["data_file"]["partition"].get(n) for n in part_names)
+                    if pt in replace_partitions:
+                        continue
+                    kept.append({**e, "status": 0})
+            if kept:
+                manifests_out.append(
+                    _write_manifest(
+                        kept,
+                        0,
+                        len(kept),
+                        0,
+                        sum(e["data_file"]["record_count"] for e in kept),
+                        min_seq=min(e["sequence_number"] or seq for e in kept),
+                    )
+                )
+
     mlist_path = os.path.join(
         table.metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
     )
     write_ocf(
         mlist_path,
         _MANIFEST_FILE_SCHEMA,
-        [new_manifest, *prior_manifests],
+        manifests_out,
         metadata={"format-version": b"2"},
     )
+
+    if md is None:
+        schemas, cur_schema_id = [ice_schema], 0
+    elif ice_schema["schema-id"] != md["schemas"][md["current-schema-id"]]["schema-id"]:
+        schemas = [*md["schemas"], ice_schema]
+        cur_schema_id = len(schemas) - 1
+    else:
+        schemas, cur_schema_id = md["schemas"], md["current-schema-id"]
 
     now_ms = int(time.time() * 1000)
     snap = {
@@ -738,11 +828,12 @@ def _write_snapshot(table: IcebergTable, df: DataFrame, partition_by: list[str],
         "timestamp-ms": now_ms,
         "manifest-list": mlist_path,
         "summary": {
-            "operation": "append",
+            "operation": operation,
             "added-data-files": str(len(entries)),
             "added-records": str(added_rows),
+            **(summary_extra or {}),
         },
-        "schema-id": 0,
+        "schema-id": ice_schema["schema-id"],
     }
     new_md = {
         "format-version": 2,
@@ -750,9 +841,9 @@ def _write_snapshot(table: IcebergTable, df: DataFrame, partition_by: list[str],
         "location": table.location,
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": len(ice_schema["fields"]),
-        "current-schema-id": 0,
-        "schemas": [ice_schema],
+        "last-column-id": max(f["id"] for f in ice_schema["fields"]),
+        "current-schema-id": cur_schema_id,
+        "schemas": schemas,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields_json}],
         "last-partition-id": 999 + len(part_fields),
@@ -786,3 +877,127 @@ def append(df: DataFrame, location: str) -> IcebergTable:
     md = table.metadata()  # raises if absent
     spec = md["partition-specs"][md["default-spec-id"]]
     return _write_snapshot(table, df, [pf["name"] for pf in spec["fields"]], md)
+
+
+def overwrite_partitions(df: DataFrame, location: str) -> IcebergTable:
+    """Dynamic partition overwrite as a snapshot commit: exactly the
+    partitions present in ``df`` are replaced — prior manifests are
+    rewritten dropping those partitions' files (survivors ride as EXISTING
+    entries with their original sequence numbers), so the previous snapshot
+    still reads the replaced data (time travel). Schema evolution is
+    append-only (_evolve_schema)."""
+    table = IcebergTable(location)
+    md = table.metadata()
+    spec = md["partition-specs"][md["default-spec-id"]]
+    return _write_snapshot(
+        table, df, [pf["name"] for pf in spec["fields"]], md, operation="overwrite"
+    )
+
+
+class IcebergPartitionedTable:
+    """PartitionedTable-duck adapter (sources/tableio.py): plugs the
+    iceberg-py format into the repo's incremental-backfill machinery —
+    ``backfill()``, ``insert_overwrite_partitions`` (via the
+    ``insert_overwrite`` hook), resume, and semantic-hash invalidation all
+    work unchanged. Partition listing and range reads go through table
+    METADATA (never a filesystem walk); every write is a snapshot commit, so
+    'archive' is the Iceberg-native one: replaced partitions stay readable
+    via time travel while vanishing from the current snapshot. Reachable as
+    an output root via ``resolve_table(..., "iceberg:<root>", name)``."""
+
+    def __init__(self, location: str, ds_col: str = "ds"):
+        self.path = location
+        self.ds_col = ds_col
+        self.table = IcebergTable(location)
+
+    def exists(self) -> bool:
+        return self.table.exists()
+
+    def partitions(self) -> list[str]:
+        if not self.exists():
+            return []
+        return sorted(
+            {
+                p[self.ds_col]
+                for p in self.table.partitions()
+                if p.get(self.ds_col) is not None
+            }
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.table.scan(spark)
+
+    def read_range(self, spark: SparkSession, start_ds: str, end_ds: str) -> DataFrame:
+        """Partition-pruned via manifest metadata, not directory globbing."""
+        return self.table.scan(
+            spark,
+            filters=[(self.ds_col, ">=", start_ds), (self.ds_col, "<=", end_ds)],
+        )
+
+    # -- lineage: same JSON sidecar contract as PartitionedTable ----------
+
+    def _lineage_dir(self) -> str:
+        return os.path.join(self.path, "_lineage")
+
+    def lineage(self, ds: str) -> dict | None:
+        p = os.path.join(self._lineage_dir(), f"{ds}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def write_lineage(self, ds: str, meta: dict) -> None:
+        os.makedirs(self._lineage_dir(), exist_ok=True)
+        with open(os.path.join(self._lineage_dir(), f"{ds}.json"), "w") as f:
+            json.dump(meta, f, sort_keys=True)
+
+    # -- writes ------------------------------------------------------------
+
+    def archive_partitions(self, ds_list: list[str], tag: str) -> None:
+        """Semantic-hash invalidation (reference JoinBase.scala:60-68):
+        a metadata-only DELETE commit drops the stale partitions from the
+        current snapshot; the data files stay on disk, reachable through the
+        parent snapshot — Iceberg time travel IS the archive."""
+        if not ds_list or not self.exists():
+            return
+        md = self.table.metadata()
+        spec = md["partition-specs"][md["default-spec-id"]]
+        pnames = [pf["name"] for pf in spec["fields"]]
+        if pnames != [self.ds_col]:
+            raise ValueError(
+                f"archive_partitions expects a [{self.ds_col}]-partitioned "
+                f"table; spec has {pnames}"
+            )
+        _write_snapshot(
+            self.table,
+            None,
+            pnames,
+            md,
+            operation="delete",
+            replace_partitions={(d,) for d in ds_list},
+            summary_extra={
+                "archive-tag": tag,
+                "deleted-partitions": ",".join(sorted(ds_list)),
+            },
+        )
+        # lineage sidecars move aside like the parquet table's, so stale
+        # hashes can't resurrect
+        dest = os.path.join(self.path, "_archive", tag)
+        os.makedirs(dest, exist_ok=True)
+        for ds in ds_list:
+            lin = os.path.join(self._lineage_dir(), f"{ds}.json")
+            if os.path.exists(lin):
+                os.replace(lin, os.path.join(dest, f"{ds}.lineage.json"))
+
+    def insert_overwrite(self, df: DataFrame, n_files: int | None = None) -> None:
+        """The tableio.insert_overwrite_partitions hook: dynamic partition
+        overwrite as an Iceberg commit (append-only schema evolution
+        enforced inside the commit)."""
+        if n_files:
+            from chronon_spark.sources.tableio import salted_repartition
+
+            df = salted_repartition(df, self.ds_col, n_files)
+        if not self.exists():
+            create_table(df, self.path, partition_by=[self.ds_col])
+        else:
+            overwrite_partitions(df, self.path)

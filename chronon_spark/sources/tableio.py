@@ -144,6 +144,11 @@ def resolve_table(
         db = out_root.split(":", 1)[1]
         safe = "".join(c if c.isalnum() or c == "_" else "_" for c in name)
         return CatalogTable(spark, f"{db}.{safe}", ds_col)
+    if out_root.startswith("iceberg:"):
+        from chronon_spark.sources.iceberg import IcebergPartitionedTable
+
+        root = out_root.split(":", 1)[1]
+        return IcebergPartitionedTable(os.path.join(root, name), ds_col)
     return PartitionedTable(os.path.join(out_root, name), ds_col)
 
 

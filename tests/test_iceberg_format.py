@@ -213,6 +213,87 @@ def test_guards(spark, table, tmp_path):
         )
 
 
+def test_overwrite_partitions_replaces_only_those_days(spark, table):
+    from chronon_spark.sources.iceberg import overwrite_partitions
+
+    snap1 = table.snapshot()["snapshot-id"]
+    repl = (
+        _df(spark)
+        .where(F.col("ds") == "2024-03-02")
+        .withColumn("v", F.lit(-1.0))
+    )
+    overwrite_partitions(repl, table.location)
+    cur = table.scan(spark)
+    # replaced day carries only new values; other days untouched
+    assert cur.where((F.col("ds") == "2024-03-02") & (F.col("v") != -1.0)).count() == 0
+    exp_other = _df(spark).where(F.col("ds") != "2024-03-02")
+    got_other = cur.where(F.col("ds") != "2024-03-02")
+    assert sorted(got_other.collect()) == sorted(exp_other.collect())
+    # time travel still reads the pre-overwrite day
+    old = table.scan(spark, snapshot_id=snap1)
+    assert sorted(old.collect()) == sorted(_df(spark).collect())
+    # survivors ride as EXISTING entries with their ORIGINAL sequence number
+    mlist, _ = read_ocf(table.snapshot()["manifest-list"])
+    existing = [m for m in mlist if m["existing_data_files_count"] > 0]
+    assert existing and existing[0]["min_sequence_number"] == 1
+    entries, _ = read_ocf(existing[0]["manifest_path"])
+    assert all(e["status"] == 0 and e["sequence_number"] == 1 for e in entries)
+    assert table.snapshot()["summary"]["operation"] == "overwrite"
+
+
+def test_append_only_schema_evolution(spark, table):
+    evolved = _df(spark, n=30, shift=5_000).withColumn("extra", F.lit("x"))
+    append(evolved, table.location)
+    md = table.metadata()
+    assert md["current-schema-id"] == 1
+    new_field = md["schemas"][1]["fields"][-1]
+    assert (new_field["name"], new_field["id"], new_field["required"]) == ("extra", 5, False)
+    out = table.scan(spark)
+    assert out.columns == ["bucket", "k", "v", "ds", "extra"]
+    # old files pad the new column with nulls; new rows carry it
+    assert out.where(F.col("extra").isNull()).count() == 100
+    assert out.where(F.col("extra") == "x").count() == 30
+    with pytest.raises(ValueError, match="append-only"):
+        append(_df(spark).withColumn("k", F.col("k").cast("string")), table.location)
+    with pytest.raises(ValueError, match="append-only"):
+        append(_df(spark).drop("v"), table.location)
+
+
+def test_backfill_machinery_over_iceberg_adapter(spark, tmp_path):
+    """tableio.backfill runs unchanged over the Iceberg adapter: resume
+    skips present partitions, a semantic-hash change archives via a DELETE
+    commit (time travel keeps the old data), recompute refills."""
+    from chronon_spark.sources.tableio import backfill, resolve_table
+
+    t = resolve_table(spark, f"iceberg:{tmp_path}", "feats")
+    calls: list[tuple] = []
+
+    def compute(spark_, lo, hi):
+        calls.append((lo, hi))
+        days = spark.createDataFrame(
+            [(d,) for d in ["2024-03-01", "2024-03-02", "2024-03-03"]], "ds string"
+        ).where((F.col("ds") >= lo) & (F.col("ds") <= hi))
+        return days.crossJoin(spark.range(0, 5).select(F.col("id").alias("k")))
+
+    backfill(spark, t, compute, "2024-03-01", "2024-03-03", semantic_hash="h1")
+    assert t.partitions() == ["2024-03-01", "2024-03-02", "2024-03-03"]
+    assert t.read(spark).count() == 15
+    n_calls = len(calls)
+    # resume: nothing recomputed
+    backfill(spark, t, compute, "2024-03-01", "2024-03-03", semantic_hash="h1")
+    assert len(calls) == n_calls
+    snap_before = t.table.snapshot()["snapshot-id"]
+    # hash change: archive (delete commit) + full recompute
+    backfill(spark, t, compute, "2024-03-01", "2024-03-03", semantic_hash="h2")
+    assert len(calls) > n_calls
+    assert t.partitions() == ["2024-03-01", "2024-03-02", "2024-03-03"]
+    assert (t.lineage("2024-03-02") or {}).get("semantic_hash") == "h2"
+    # the archived state is still reachable through the old snapshot
+    assert t.table.scan(spark, snapshot_id=snap_before).count() == 15
+    # range read is metadata-pruned
+    assert t.read_range(spark, "2024-03-02", "2024-03-02").count() == 5
+
+
 def test_empty_frame_create_and_scan(spark, tmp_path):
     loc = str(tmp_path / "empty")
     create_table(_df(spark).where(F.lit(False)), loc, partition_by=["ds"])
