@@ -1012,3 +1012,40 @@ def test_cli_compile_validates_conf_tree(spark, tmp_path, capsys):
     rc2, res2 = _run(spark, ["compile", "--conf-root", str(clean)], capsys)
     assert rc2 == 0 and res2["errors"] == [] and res2["ok"] == 1
     assert os.path.exists(clean / "_compiled" / "manifest.json")
+
+
+def test_cli_backfill_into_iceberg_out_root(spark, tmp_path, capsys, day_range):
+    """`--out-root iceberg:<root>` routes the CLI backfill through the
+    jar-free Iceberg format: each chunk is a snapshot commit, resume skips,
+    and the current snapshot matches a parquet-root run row for row."""
+    conf = tmp_path / "gb_conf.py"
+    conf.write_text(GB_CONF)
+    lo, hi = day_range
+    argv = [
+        "group-by-backfill", "--conf", str(conf),
+        "--out-root", f"iceberg:{tmp_path / 'ice'}",
+        "--start-ds", lo, "--end-ds", hi,
+    ]
+    rc, res = _run(spark, argv, capsys)
+    assert rc == 0 and res["partitions"] and res["chunks"][0]["rows"] > 0
+    rc2, res2 = _run(spark, argv, capsys)  # resume
+    assert rc2 == 0 and res2["chunks"] == []
+
+    rc3, res3 = _run(spark, [
+        "group-by-backfill", "--conf", str(conf),
+        "--out-root", str(tmp_path / "pq"), "--start-ds", lo, "--end-ds", hi,
+    ], capsys)
+    assert rc3 == 0
+
+    from chronon_spark.sources.iceberg import IcebergTable
+
+    ice = IcebergTable(str(tmp_path / "ice" / "cli_gb")).scan(spark)
+    pq = spark.read.option("basePath", str(tmp_path / "pq" / "cli_gb")).parquet(
+        str(tmp_path / "pq" / "cli_gb")
+    )
+    assert sorted(map(repr, ice.select(*sorted(ice.columns)).collect())) == sorted(
+        map(repr, pq.select(*sorted(pq.columns)).collect())
+    )
+    # it is a real v2 table with one snapshot per chunk write
+    md = IcebergTable(str(tmp_path / "ice" / "cli_gb")).metadata()
+    assert md["format-version"] == 2 and md["snapshots"]
