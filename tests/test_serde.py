@@ -270,6 +270,26 @@ def test_random_schema_roundtrip(sd):
     assert decode(s, encode(s, datum)) == datum
 
 
+@settings(max_examples=30, deadline=None)
+@given(_schema_and_datum(), st.integers(0, 5))
+def test_random_schema_ocf_roundtrip(tmp_path_factory, sd, n_extra):
+    """The container-file framing (write_ocf/read_ocf — what Iceberg
+    manifests ride) round-trips the same randomized schema space, multiple
+    records per block."""
+    import os
+    import uuid
+
+    from chronon_spark.serde import read_ocf, write_ocf
+
+    schema, datum = sd
+    s = AvroSchema(schema)
+    recs = [datum] * (1 + n_extra)
+    p = os.path.join(str(tmp_path_factory.mktemp("ocf")), f"{uuid.uuid4().hex}.avro")
+    write_ocf(p, s, recs, metadata={"k": b"v"})
+    out, meta = read_ocf(p)
+    assert out == recs and meta["k"] == b"v"
+
+
 # ---------------------------------------------------------------------------
 # schema resolution (writer -> reader)
 # ---------------------------------------------------------------------------
