@@ -302,7 +302,18 @@ class IcebergTable:
     def __init__(self, location: str):
         self.location = location
         self.metadata_dir = os.path.join(location, "metadata")
-        self.data_dir = os.path.join(location, "data")
+        self._default_data_dir = os.path.join(location, "data")
+
+    @property
+    def data_dir(self) -> str:
+        """Where data files live: ``<location>/data`` by default, or the
+        adopted directory recorded in the ``write.data.path`` table property
+        (adopt_hive_dir registers existing files in place)."""
+        if self.exists():
+            p = self.metadata().get("properties", {}).get("write.data.path")
+            if p:
+                return p
+        return self._default_data_dir
 
     # -- metadata pointer (HadoopTableOperations protocol) --
 
@@ -645,15 +656,22 @@ def _write_snapshot(
     operation: str = "append",
     replace_partitions: set[tuple] | None = None,
     summary_extra: dict | None = None,
+    adopt: tuple[list[str], T.StructType, str] | None = None,
 ):
-    """Shared commit: write data files (df=None for metadata-only deletes),
+    """Shared commit: write data files (df=None for metadata-only deletes;
+    ``adopt`` registers pre-existing files in place — the add_files import),
     build the new manifest, carry prior manifests forward (append) or
     rewrite them dropping replaced partitions (overwrite/delete), write the
     manifest list, commit metadata.json vN+1."""
-    if df is not None:
-        ice_schema = _evolve_schema(md, df.schema)
+    if adopt is not None:
+        _files, adopt_schema, data_dir = adopt
+        ice_schema = _evolve_schema(md, adopt_schema)
     else:
-        ice_schema = md["schemas"][md["current-schema-id"]]
+        data_dir = table.data_dir
+        if df is not None:
+            ice_schema = _evolve_schema(md, df.schema)
+        else:
+            ice_schema = md["schemas"][md["current-schema-id"]]
     ice_fields = {f["name"]: f for f in ice_schema["fields"]}
     ice_by_id = {f["id"]: f["type"] for f in ice_schema["fields"]}
     part_fields = [
@@ -668,20 +686,22 @@ def _write_snapshot(
     ]
 
     new_files: list[str] = []
-    if df is not None:
-        before = set(_list_parquet(table.data_dir)) if os.path.isdir(table.data_dir) else set()
+    if adopt is not None:
+        new_files = adopt[0]
+    elif df is not None:
+        before = set(_list_parquet(data_dir)) if os.path.isdir(data_dir) else set()
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(table.data_dir)
-        new_files = [p for p in _list_parquet(table.data_dir) if p not in before]
+        writer.parquet(data_dir)
+        new_files = [p for p in _list_parquet(data_dir) if p not in before]
 
     snapshot_id = uuid.uuid4().int % (1 << 62)
     seq = (md.get("last-sequence-number", 0) if md else 0) + 1
     entry_schema = _manifest_entry_schema(part_fields)
     entries, added_rows = [], 0
     for path in new_files:
-        part = _partition_of_path(path, table.data_dir, part_fields)
+        part = _partition_of_path(path, data_dir, part_fields)
         nrows, vcounts, ncounts, mins, maxs = _file_stats(path, ice_fields)
         added_rows += nrows
         entries.append(
@@ -849,7 +869,7 @@ def _write_snapshot(
         "last-partition-id": 999 + len(part_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {"write.format.default": "parquet"},
+        "properties": {"write.format.default": "parquet", "write.data.path": data_dir},
         "current-snapshot-id": snapshot_id,
         "snapshots": (md.get("snapshots", []) if md else []) + [snap],
         "snapshot-log": (md.get("snapshot-log", []) if md else [])
@@ -877,6 +897,57 @@ def append(df: DataFrame, location: str) -> IcebergTable:
     md = table.metadata()  # raises if absent
     spec = md["partition-specs"][md["default-spec-id"]]
     return _write_snapshot(table, df, [pf["name"] for pf in spec["fields"]], md)
+
+
+def adopt_hive_dir(
+    spark: SparkSession,
+    data_dir: str,
+    location: str,
+    partition_by: tuple[str, ...] = ("ds",),
+) -> IcebergTable:
+    """The Iceberg ``add_files`` / migrate import, executed: register an
+    EXISTING hive-layout parquet directory (exactly the
+    tableio.PartitionedTable layout — identity partition values in the path,
+    never in the files) as a new Iceberg table with ZERO data movement.
+    Manifests reference the files in place (stats lifted from footers), the
+    ``write.data.path`` table property points reads and later commits at the
+    adopted directory, and partition values import as strings (the repo's
+    ds contract, tests/test_iceberg_contract.py). Underscore-prefixed
+    sidecars (_lineage, _archive) are excluded, matching Spark's reader.
+    Reference: TableUtils.scala:104-282 (the format-migration seam)."""
+    table = IcebergTable(location)
+    if table.exists():
+        raise FileExistsError(f"iceberg table already exists at {location}")
+    files = [
+        f
+        for f in _list_parquet(data_dir)
+        if not any(
+            seg.startswith(("_", "."))
+            for seg in os.path.relpath(f, data_dir).split(os.sep)
+        )
+    ]
+    if not files:
+        raise FileNotFoundError(f"no parquet files to adopt under {data_dir}")
+    inferred = (
+        spark.read.option("basePath", data_dir)
+        .option("mergeSchema", "true")
+        .parquet(data_dir)
+        .schema
+    )
+    fields = [
+        T.StructField(f.name, T.StringType(), True)
+        if f.name in partition_by
+        else f
+        for f in inferred.fields
+    ]
+    return _write_snapshot(
+        table,
+        None,
+        list(partition_by),
+        None,
+        summary_extra={"added-via": "add_files"},
+        adopt=(files, T.StructType(fields), data_dir),
+    )
 
 
 def overwrite_partitions(df: DataFrame, location: str) -> IcebergTable:

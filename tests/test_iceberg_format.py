@@ -294,6 +294,39 @@ def test_backfill_machinery_over_iceberg_adapter(spark, tmp_path):
     assert t.read_range(spark, "2024-03-02", "2024-03-02").count() == 5
 
 
+def test_adopt_hive_dir_zero_copy_import(spark, tmp_path):
+    """add_files executed: a tableio-written hive-layout table becomes an
+    Iceberg table without moving a byte — same rows, files referenced in
+    place, partition values imported as strings, appends land in the
+    adopted directory."""
+    from chronon_spark.sources.iceberg import adopt_hive_dir
+    from chronon_spark.sources.tableio import PartitionedTable, insert_overwrite_partitions
+
+    pt = PartitionedTable(str(tmp_path / "hive"))
+    df = _df(spark)
+    insert_overwrite_partitions(df, pt, n_files=2)
+    before_files = sorted(
+        p for p in __import__("glob").glob(f"{pt.path}/**/*.parquet", recursive=True)
+    )
+
+    t = adopt_hive_dir(spark, pt.path, str(tmp_path / "ice"))
+    assert sorted(t.scan(spark).select(*df.columns).collect()) == sorted(df.collect())
+    assert dict(t.scan(spark).dtypes)["ds"] == "string"
+    # zero copy: manifests reference the original files, nothing moved
+    entries = t.plan_scan()
+    assert sorted(e["path"] for e in entries) == before_files
+    assert t.metadata()["properties"]["write.data.path"] == pt.path
+    assert t.snapshot()["summary"]["added-via"] == "add_files"
+    # partition pruning works over the adopted layout
+    audit: dict = {}
+    t.scan(spark, filters=[("ds", "=", "2024-03-01")], _audit=audit)
+    assert 0 < audit["files_kept"] < audit["files_total"]
+    # later snapshot commits keep targeting the adopted directory
+    append(_df(spark, n=10, shift=90_000), str(tmp_path / "ice"))
+    assert t.scan(spark).count() == 110
+    assert all(e["path"].startswith(pt.path) for e in t.plan_scan())
+
+
 def test_empty_frame_create_and_scan(spark, tmp_path):
     loc = str(tmp_path / "empty")
     create_table(_df(spark).where(F.lit(False)), loc, partition_by=["ds"])
