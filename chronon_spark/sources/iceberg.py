@@ -965,6 +965,72 @@ def overwrite_partitions(df: DataFrame, location: str) -> IcebergTable:
     )
 
 
+def expire_snapshots(
+    location: str, keep_last: int = 2, delete_orphan_data: bool = True
+) -> dict:
+    """Table maintenance (Iceberg's expire_snapshots + remove_orphan_files):
+    keep only the last ``keep_last`` snapshots, commit a new metadata
+    version without the expired ones, and delete metadata/data files no
+    surviving snapshot reaches. At 100TB this is what bounds storage growth
+    under daily overwrite commits — every replaced partition otherwise
+    lives forever behind time travel.
+
+    Data files are only ever deleted under the table's OWN ``<location>/
+    data`` directory — files registered in place by adopt_hive_dir belong
+    to the source table and are never touched. Returns deletion counts."""
+    table = IcebergTable(location)
+    md = table.metadata()
+    snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    if not any(s["snapshot-id"] == md["current-snapshot-id"] for s in kept):
+        raise ValueError("expire_snapshots cannot expire the current snapshot")
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_manifests": 0, "deleted_data_files": 0}
+
+    def _reachable(snapshots):
+        mlists, manifests, data = set(), set(), set()
+        for s in snapshots:
+            mlists.add(s["manifest-list"])
+            mans, _ = read_ocf(s["manifest-list"])
+            for mf in mans:
+                manifests.add(mf["manifest_path"])
+                recs, _m = read_ocf(mf["manifest_path"])
+                data.update(e["data_file"]["file_path"] for e in recs)
+        return mlists, manifests, data
+
+    keep_ml, keep_m, keep_d = _reachable(kept)
+    drop_ml, drop_m, drop_d = _reachable(expired)
+    kept_ids = {s["snapshot-id"] for s in kept}
+    new_md = {
+        **md,
+        "snapshots": [s for s in md["snapshots"] if s["snapshot-id"] in kept_ids],
+        "snapshot-log": [
+            e for e in md.get("snapshot-log", []) if e["snapshot-id"] in kept_ids
+        ],
+    }
+    table._commit(new_md)
+
+    deleted_manifests = 0
+    for p in sorted((drop_ml - keep_ml) | (drop_m - keep_m)):
+        if os.path.exists(p):
+            os.remove(p)
+            deleted_manifests += 1
+    deleted_data = 0
+    if delete_orphan_data:
+        own_data = os.path.join(location, "data") + os.sep
+        for p in sorted(drop_d - keep_d):
+            if p.startswith(own_data) and os.path.exists(p):
+                os.remove(p)
+                deleted_data += 1
+    return {
+        "expired_snapshots": len(expired),
+        "deleted_manifests": deleted_manifests,
+        "deleted_data_files": deleted_data,
+    }
+
+
 class IcebergPartitionedTable:
     """PartitionedTable-duck adapter (sources/tableio.py): plugs the
     iceberg-py format into the repo's incremental-backfill machinery —

@@ -327,6 +327,53 @@ def test_adopt_hive_dir_zero_copy_import(spark, tmp_path):
     assert all(e["path"].startswith(pt.path) for e in t.plan_scan())
 
 
+def test_expire_snapshots_and_orphan_cleanup(spark, table):
+    from chronon_spark.sources.iceberg import expire_snapshots, overwrite_partitions
+
+    repl = _df(spark).where(F.col("ds") == "2024-03-02").withColumn("v", F.lit(-1.0))
+    overwrite_partitions(repl, table.location)  # snapshot 2 replaces a day
+    snap1 = table.metadata()["snapshots"][0]["snapshot-id"]
+    cur_before = sorted(table.scan(spark).collect())
+    n_files_before = len(_parquet_under(table.data_dir))
+
+    res = expire_snapshots(table.location, keep_last=1)
+    assert res["expired_snapshots"] == 1 and res["deleted_manifests"] >= 1
+    assert res["deleted_data_files"] > 0  # the replaced day's files are gone
+    assert len(_parquet_under(table.data_dir)) < n_files_before
+    # current snapshot reads exactly as before the expiry
+    assert sorted(table.scan(spark).collect()) == cur_before
+    # the expired snapshot is no longer reachable
+    with pytest.raises(KeyError):
+        table.snapshot(snap1)
+    # idempotent once only one snapshot remains
+    assert expire_snapshots(table.location, keep_last=1)["expired_snapshots"] == 0
+    with pytest.raises(ValueError, match="keep_last must be"):
+        expire_snapshots(table.location, keep_last=0)
+
+
+def test_expire_never_deletes_adopted_files(spark, tmp_path):
+    from chronon_spark.sources.iceberg import adopt_hive_dir, expire_snapshots, overwrite_partitions
+    from chronon_spark.sources.tableio import PartitionedTable, insert_overwrite_partitions
+
+    pt = PartitionedTable(str(tmp_path / "hive"))
+    insert_overwrite_partitions(_df(spark), pt)
+    adopted = sorted(_parquet_under(pt.path))
+    t = adopt_hive_dir(spark, pt.path, str(tmp_path / "ice"))
+    # overwrite one day (new files land in the adopted dir), then expire
+    repl = _df(spark).where(F.col("ds") == "2024-03-01").withColumn("v", F.lit(-9.0))
+    overwrite_partitions(repl, t.location)
+    expire_snapshots(t.location, keep_last=1)
+    # every originally-adopted file still exists: the source table is intact
+    assert all(os.path.exists(p) for p in adopted)
+
+
+def _parquet_under(root):
+    out = []
+    for dirpath, _d, names in os.walk(root):
+        out += [os.path.join(dirpath, n) for n in names if n.endswith(".parquet")]
+    return out
+
+
 def test_empty_frame_create_and_scan(spark, tmp_path):
     loc = str(tmp_path / "empty")
     create_table(_df(spark).where(F.lit(False)), loc, partition_by=["ds"])
