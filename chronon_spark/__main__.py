@@ -837,6 +837,23 @@ def cmd_compile(spark, conf, args) -> dict:
     }
 
 
+def cmd_expire_snapshots(spark, conf, args) -> dict:
+    """Iceberg table maintenance (Iceberg's expire_snapshots +
+    remove_orphan_files procedures): keep the last ``--keep-last`` snapshots
+    of the table at ``--location`` and delete everything no surviving
+    snapshot reaches. The ops counterpart of ``iceberg:`` output roots —
+    without it, daily overwrite commits keep every replaced partition alive
+    behind time travel forever."""
+    from chronon_spark.sources.iceberg import expire_snapshots
+
+    res = expire_snapshots(
+        args.location,
+        keep_last=args.keep_last,
+        delete_orphan_data=not args.keep_orphan_data,
+    )
+    return {"location": args.location, **res}
+
+
 COMMANDS = {
     "join": (cmd_join, True),
     "join-left": (cmd_join_left, True),
@@ -857,6 +874,7 @@ COMMANDS = {
     "daily-stats": (cmd_daily_stats, False),
     "log-summary": (cmd_log_summary, False),
     "compile": (cmd_compile, False),
+    "expire-snapshots": (cmd_expire_snapshots, False),
 }
 
 
@@ -881,6 +899,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                             help="directory of Python conf modules")
             sp.add_argument("--manifest-out", default=None)
             continue
+        if name == "expire-snapshots":
+            # table maintenance: a table location, not a conf module
+            sp.add_argument("--location", required=True,
+                            help="iceberg table root (the resolve_table "
+                                 "'iceberg:<root>/<name>' directory)")
+            sp.add_argument("--keep-last", type=int, default=2)
+            sp.add_argument("--keep-orphan-data", action="store_true")
+            continue
         sp.add_argument("--conf", required=True, help="path to a Python conf module")
         if needs_range:
             sp.add_argument("--out-root", required=True)
@@ -898,8 +924,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                             help="comma-separated part prefixes")
     args = p.parse_args(argv)
 
-    conf = _load_conf(args.conf) if args.command != "compile" else None
-    own_session = spark is None
+    no_conf = args.command in ("compile", "expire-snapshots")
+    conf = _load_conf(args.conf) if not no_conf else None
+    # expire-snapshots is pure metadata I/O — no Spark session needed
+    own_session = spark is None and args.command != "expire-snapshots"
     if own_session:
         from chronon_spark.session import get_spark
 

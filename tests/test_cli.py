@@ -1049,3 +1049,29 @@ def test_cli_backfill_into_iceberg_out_root(spark, tmp_path, capsys, day_range):
     # it is a real v2 table with one snapshot per chunk write
     md = IcebergTable(str(tmp_path / "ice" / "cli_gb")).metadata()
     assert md["format-version"] == 2 and md["snapshots"]
+
+
+def test_cli_expire_snapshots(spark, tmp_path, capsys, day_range):
+    """Table maintenance subcommand: metadata-only, no conf, no Spark
+    session of its own; expired snapshots and their orphan files go away
+    while the current snapshot keeps reading identically."""
+    conf = tmp_path / "gb_conf.py"
+    conf.write_text(GB_CONF)
+    lo, hi = day_range
+    for end in (lo, hi):  # two commits -> two snapshots
+        rc, _ = _run(spark, [
+            "group-by-backfill", "--conf", str(conf),
+            "--out-root", f"iceberg:{tmp_path / 'ice'}",
+            "--start-ds", lo, "--end-ds", end,
+        ], capsys)
+        assert rc == 0
+
+    from chronon_spark.sources.iceberg import IcebergTable
+
+    loc = str(tmp_path / "ice" / "cli_gb")
+    before = sorted(map(repr, IcebergTable(loc).scan(spark).collect()))
+    assert len(IcebergTable(loc).metadata()["snapshots"]) == 2
+    rc, res = _run(spark, ["expire-snapshots", "--location", loc, "--keep-last", "1"], capsys)
+    assert rc == 0 and res["expired_snapshots"] == 1
+    assert len(IcebergTable(loc).metadata()["snapshots"]) == 1
+    assert sorted(map(repr, IcebergTable(loc).scan(spark).collect())) == before
