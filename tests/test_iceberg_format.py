@@ -374,6 +374,49 @@ def _parquet_under(root):
     return out
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_filter_pruning_differential(spark, tmp_path, seed):
+    """Pruning is an optimization, never a semantic: for random tables and
+    random filters over partition AND data columns (null partitions
+    included), the pruned scan must equal full-scan-then-filter exactly."""
+    import random
+
+    rng = random.Random(seed)
+    from chronon_spark.sources.iceberg import IcebergTable, create_table
+
+    rows = [
+        (
+            rng.randrange(0, 50),
+            rng.uniform(-5, 5),
+            rng.choice(["a", "b", "c"]),
+            rng.choice(["2024-03-01", "2024-03-02", "2024-03-03", None]),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k long, v double, s string, ds string")
+    loc = str(tmp_path / f"rnd{seed}")
+    create_table(df.repartitionByRange(6, "k"), loc, partition_by=["ds"])
+    t = IcebergTable(loc)
+
+    ops = ["=", "<", "<=", ">", ">="]
+    for _ in range(8):
+        col = rng.choice(["k", "v", "s", "ds"])
+        op = rng.choice(ops)
+        val = {
+            "k": rng.randrange(0, 50),
+            "v": rng.uniform(-5, 5),
+            "s": rng.choice(["a", "b", "c"]),
+            "ds": rng.choice(["2024-03-01", "2024-03-02", "2024-03-03"]),
+        }[col]
+        flt = [(col, op, val)]
+        got = sorted(map(repr, t.scan(spark, filters=flt).collect()))
+        import operator as O
+
+        o = {"=": O.eq, "<": O.lt, "<=": O.le, ">": O.gt, ">=": O.ge}[op]
+        exp = sorted(map(repr, t.scan(spark).where(o(F.col(col), F.lit(val))).collect()))
+        assert got == exp, (col, op, val)
+
+
 def test_empty_frame_create_and_scan(spark, tmp_path):
     loc = str(tmp_path / "empty")
     create_table(_df(spark).where(F.lit(False)), loc, partition_by=["ds"])
