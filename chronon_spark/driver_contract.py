@@ -675,6 +675,51 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both north-rule turn-feature gates — gap sessionization and lag/lead
+    — unioned under a ``gate`` label: one driver row hash-gates session id
+    assignment + per-session stats AND the lag/lead/gap features (the
+    standalone halves stay registered past the window for pytest)."""
+    se = q_sessionize(spark, sf_dir).select(
+        F.lit("sessionize").alias("gate"),
+        "user_id",
+        F.col("session_id").cast("long").alias("k"),
+        F.col("n_events").cast("long").alias("n"),
+        F.col("start_ms").cast("long").alias("a_ms"),
+        F.col("end_ms").cast("long").alias("b_ms"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("value_sum").cast("double").alias("v"),
+    )
+    ll = q_lag_lead(spark, sf_dir).select(
+        F.lit("lag_lead").alias("gate"),
+        "user_id",
+        F.col("event_id").cast("long").alias("k"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("gap_ms").cast("long").alias("a_ms"),
+        F.lit(None).cast("long").alias("b_ms"),
+        F.col("prev_type").alias("s1"),
+        F.col("next_type").alias("s2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return se.unionByName(ll)
+
+
+SQL_SESSIONIZE_LAG = f"""
+SELECT 'sessionize' AS gate, user_id, CAST(session_id AS BIGINT) AS k,
+       CAST(n_events AS BIGINT) AS n, CAST(start_ms AS BIGINT) AS a_ms,
+       CAST(end_ms AS BIGINT) AS b_ms, CAST(NULL AS VARCHAR) AS s1,
+       CAST(NULL AS VARCHAR) AS s2, CAST(value_sum AS DOUBLE) AS v
+FROM ({SQL_SESSIONIZE})
+UNION ALL
+SELECT 'lag_lead' AS gate, user_id, CAST(event_id AS BIGINT) AS k,
+       CAST(NULL AS BIGINT) AS n, CAST(gap_ms AS BIGINT) AS a_ms,
+       CAST(NULL AS BIGINT) AS b_ms, prev_type AS s1, next_type AS s2,
+       CAST(NULL AS DOUBLE) AS v
+FROM ({SQL_LAG_LEAD})
+"""
+
+
 # transcripts synthesized identically in Spark and DuckDB from events
 TRANSCRIPTS_SQL_DUCK = """
 SELECT 'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
@@ -1287,6 +1332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_carry": q_snapshot_carry,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
+    "sessionize_lag": q_sessionize_lag,
     "transcripts_backfill": q_transcripts_backfill,
     "mutations_temporal": q_mutations_temporal,
     "snapshot_entities": q_snapshot_entities,
@@ -1318,6 +1364,7 @@ ORACLES: dict[str, str] = {
     "snapshot_carry": SQL_SNAPSHOT_CARRY,
     "lag_lead": SQL_LAG_LEAD,
     "sessionize": SQL_SESSIONIZE,
+    "sessionize_lag": SQL_SESSIONIZE_LAG,
     "transcripts_backfill": SQL_TRANSCRIPTS_BACKFILL,
     "mutations_temporal": SQL_MUTATIONS_TEMPORAL,
     "snapshot_entities": SQL_SNAPSHOT_ENTITIES,
@@ -3029,7 +3076,7 @@ DRIVER_WINDOW = [
     "tpch_q1", "join_pricing", "groupby_lifetime", "moments", "percentile",
     "first_last", "topk_per_user", "histogram", "groupby_buckets",
     "asof_estimators", "asof_last_k", "asof_join_multi", "asof_join_snapshot",
-    "snapshot_events", "curation", "lag_lead", "sessionize",
+    "snapshot_events", "curation", "sessionize_lag", "iceberg_scan",
     "transcripts_backfill", "mutations_temporal", "snapshot_entities",
     "staging_query", "label_join", "bootstrap_backfill", "external_parts",
     "join_chain", "cumulative_source", "skew_join", "text_features",
