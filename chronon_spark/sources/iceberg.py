@@ -303,6 +303,7 @@ class IcebergTable:
         self.location = location
         self.metadata_dir = os.path.join(location, "metadata")
         self._default_data_dir = os.path.join(location, "data")
+        self._md_cache: dict[int, dict] = {}
 
     @property
     def data_dir(self) -> str:
@@ -334,8 +335,12 @@ class IcebergTable:
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"no iceberg table at {self.location}")
-        with open(os.path.join(self.metadata_dir, f"v{v}.metadata.json")) as f:
-            return json.load(f)
+        if v not in self._md_cache:
+            # committed metadata files are immutable (commits write vN+1 and
+            # swap the hint), so caching by version is always safe
+            with open(os.path.join(self.metadata_dir, f"v{v}.metadata.json")) as f:
+                self._md_cache[v] = json.load(f)
+        return self._md_cache[v]
 
     def _commit(self, md: dict) -> int:
         """Write v{N}.metadata.json then atomically swap the version hint —
