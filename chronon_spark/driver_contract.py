@@ -3069,6 +3069,55 @@ QUERIES["iceberg_scan"] = q_iceberg_scan
 ORACLES["iceberg_scan"] = SQL_ICEBERG_SCAN
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus duplicate-line removal
+    (operators/curation.dedup_lines_corpus): first occurrence of every
+    normalized line wins corpus-wide, documents reassemble from survivors.
+    Hash-gated including the rebuilt text."""
+    from chronon_spark.operators.curation import dedup_lines_corpus
+
+    return dedup_lines_corpus(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_LINES = r"""
+WITH split AS (
+  SELECT doc_id, string_split(text, '.') AS ls FROM documents
+), lines0 AS (
+  SELECT doc_id, i AS pos, trim(ls[i]) AS line
+  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM split)
+  WHERE length(trim(ls[i])) > 0
+), ranked AS (
+  SELECT doc_id, pos, line,
+         md5(regexp_replace(trim(lower(line)), '\s+', ' ', 'g')) AS h
+  FROM lines0
+), winners AS (
+  SELECT h, doc_id, pos FROM (
+    SELECT h, doc_id, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM ranked)
+  WHERE rn = 1
+), kept AS (
+  SELECT r.doc_id, r.pos, r.line FROM ranked r JOIN winners w USING (h, doc_id, pos)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_lines FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(rb.text, '') AS text,
+       CAST(COALESCE(tt.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(tt.n_lines, 0) - COALESCE(rb.n_kept, 0) AS BIGINT) AS n_dropped
+FROM documents d
+LEFT JOIN totals tt USING (doc_id)
+LEFT JOIN rebuilt rb USING (doc_id)
+"""
+
+QUERIES["dedup_lines"] = q_dedup_lines
+ORACLES["dedup_lines"] = SQL_DEDUP_LINES
+
+
 #: the first 50 registry names — every one oracle-backed — form the driver's
 #: CORRECTNESS window; everything after is pytest-parity-only (rows-only
 #: diagnostics and the standalone halves of the combined gates)

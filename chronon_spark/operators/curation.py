@@ -136,6 +136,69 @@ def split_case_sql(
     return "CASE " + " ".join(clauses) + f" ELSE '{names[-1][0]}' END"
 
 
+def dedup_lines_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style cross-corpus duplicate-line removal (Raffel et al. 2020
+    §2.2, public): every sentence-ish unit ("line", split on '.') is kept
+    only at its FIRST occurrence across the whole corpus — first = lowest
+    (doc_id, position) — and each document is reassembled from its
+    surviving lines in order. Returns (id_col, text, n_lines, n_dropped);
+    the reassembled text joins survivors with '. ' (normalized separators —
+    the C4 transform is lossy by construction).
+
+    Shuffle shape at 100TB: ranking runs over a NARROW frame
+    (md5(line), doc_id, pos) — one hash-partitioned window — and winners
+    join back to the exploded lines on the same key, so full line text
+    never rides the ranking shuffle and both stages share one partitioning.
+    """
+    from chronon_spark.operators.dedup import normalize_text
+
+    lines = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), r"\.")).alias("pos", "line"),
+        )
+        .select("id", "pos", F.trim("line").alias("line"))
+        .where(F.length("line") > 0)
+        .withColumn("h", F.md5(normalize_text(F.col("line"))))
+    )
+    w = Window.partitionBy("h").orderBy("id", "pos")
+    winners = (
+        lines.select("h", "id", "pos")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept = lines.join(winners, ["h", "id", "pos"])
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            ". ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            (F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,

@@ -223,3 +223,76 @@ def test_pack_sequences_no_single_partition_window(spark):
     rows, docs = _docs(spark, 5, n=50)
     plan = pack_sequences(docs, budget=64, n_buckets=8)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def _py_dedup_lines(rows):
+    import re
+
+    first = {}
+    order = []
+    for doc_id, text in sorted(rows):
+        for pos, raw in enumerate(text.split(".")):
+            line = raw.strip()
+            if not line:
+                continue
+            h = re.sub(r"\s+", " ", line.strip().lower())
+            order.append((doc_id, pos, line, h))
+    for doc_id, pos, line, h in order:
+        if h not in first:
+            first[h] = (doc_id, pos)
+    out = {}
+    for doc_id, text in rows:
+        kept, n_lines = [], 0
+        for pos, raw in enumerate(text.split(".")):
+            line = raw.strip()
+            if not line:
+                continue
+            n_lines += 1
+            h = re.sub(r"\s+", " ", line.strip().lower())
+            if first[h] == (doc_id, pos):
+                kept.append(line)
+        out[doc_id] = (". ".join(kept), n_lines, n_lines - len(kept))
+    return out
+
+
+def test_dedup_lines_corpus_matches_python_oracle(spark):
+    from chronon_spark.operators.curation import dedup_lines_corpus
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"{boiler}. real content one. Shared Thing"),
+        (2, f"{boiler}. real content two. shared  thing. more"),
+        (3, ""),
+        (4, f"{boiler}"),
+        (5, "real content one"),  # dup of doc 1's middle line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_dropped"])
+        for r in dedup_lines_corpus(df).collect()
+    }
+    assert got == _py_dedup_lines(rows)
+    # the boilerplate survives exactly once, in the lowest doc
+    assert got[1][0].startswith(boiler) and got[4] == ("", 1, 1)
+    # normalized matching: 'Shared Thing' == 'shared  thing' (case+ws)
+    assert got[2][2] == 2  # boiler + shared thing dropped
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dedup_lines_corpus_random_differential(spark, seed):
+    import random
+
+    from chronon_spark.operators.curation import dedup_lines_corpus
+
+    rng = random.Random(seed)
+    frags = ["aa bb", "cc", "dd ee ff", "gg", "hh ii"]
+    rows = [
+        (i, ". ".join(rng.choice(frags) for _ in range(rng.randint(0, 5))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_dropped"])
+        for r in dedup_lines_corpus(df).collect()
+    }
+    assert got == _py_dedup_lines(rows)
