@@ -3165,3 +3165,59 @@ def _release_before(fn):
 
 
 QUERIES = {n: _release_before(f) for n, f in QUERIES.items()}
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal
+    (operators/curation.dedup_spans_corpus, Lee et al. 2022 semantics at
+    k-token granularity): any k-token window occurring more than once
+    corpus-wide is kept only at its global first occurrence; covered tokens
+    elsewhere are removed and documents reassemble from survivors.
+    Hash-gated including the rebuilt text."""
+    from chronon_spark.operators.curation import dedup_spans_corpus
+
+    return dedup_spans_corpus(_t(spark, sf_dir, "documents"), k=8)
+
+
+SQL_DEDUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents
+), tok AS (
+  SELECT doc_id, i AS pos, ts[i] AS tok
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks)
+), grams AS (
+  SELECT doc_id, i AS s, md5(array_to_string(ts[i:i+7], ' ')) AS h
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 8 + 2)) AS i
+        FROM toks WHERE len(ts) >= 8)
+), bad AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+    FROM grams)
+  WHERE rn > 1
+), covered AS (
+  SELECT DISTINCT doc_id, s + j AS pos
+  FROM bad, unnest(range(0, 8)) AS u(j)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(rb.text, '') AS text,
+       CAST(COALESCE(tt.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(tt.n_tokens, 0) - COALESCE(rb.n_kept, 0) AS BIGINT) AS n_dropped
+FROM documents d
+LEFT JOIN totals tt USING (doc_id)
+LEFT JOIN rebuilt rb USING (doc_id)
+"""
+
+QUERIES["dedup_spans"] = q_dedup_spans
+ORACLES["dedup_spans"] = SQL_DEDUP_SPANS

@@ -284,3 +284,96 @@ def pack_sequences(
             (start % budget).cast("long").alias("offset_in_pack"),
         )
     )
+
+
+def dedup_spans_corpus(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", public —
+    their suffix-array EXACTSUBSTR keeps ONE copy of any sufficiently long
+    repeated substring). Spark-native equivalent at k-token granularity: a
+    token is REMOVED iff it is covered by some k-token window whose
+    normalized content occurs more than once corpus-wide and whose
+    (doc, start) is NOT the global first occurrence of that content
+    (first = lowest (doc_id, start)). A verbatim duplicated span of length
+    L >= k is therefore kept in its earliest document and removed in full
+    from every later one; spans shorter than k never trigger. Documents
+    reassemble from surviving tokens in order (normalized whitespace — the
+    transform is lossy by construction, like the C4 line dedup above).
+
+    Returns (id_col, text, n_tokens, n_dropped).
+
+    Shuffle shape at 100TB: the window ranking runs over a NARROW frame
+    (md5(k-gram), doc_id, start) — one hash-partitioned window on the gram
+    hash; only DUPLICATED non-first windows (sparse by construction in a
+    deduplicated corpus) expand k-fold into covered positions; the token
+    frame joins them with a broadcast-able anti-join per doc partition and
+    reassembly is one groupBy(doc). Gram hashes are md5 over the joined
+    token slice so a DuckDB oracle replicates them bit-for-bit.
+    """
+    from chronon_spark.operators.dedup import normalize_text
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("ts"),
+    )
+    # one row per token, 1-based position (matches DuckDB list indexing)
+    tok = toks.select(
+        "id", F.posexplode("ts").alias("pos0", "tok")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+    starts = F.when(
+        F.size("ts") >= k, F.sequence(F.lit(1), F.size("ts") - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.md5(F.array_join(F.slice("ts", s, k), " ")).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.s").alias("s"), F.col("g.h").alias("h"))
+
+    w = Window.partitionBy("h").orderBy("id", "s")
+    bad = (
+        grams.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("id", "s")
+    )
+    covered = bad.select(
+        "id", F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))).alias("pos")
+    ).distinct()
+
+    kept = tok.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (F.coalesce("n_tokens", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

@@ -296,3 +296,93 @@ def test_dedup_lines_corpus_random_differential(spark, seed):
         for r in dedup_lines_corpus(df).collect()
     }
     assert got == _py_dedup_lines(rows)
+
+
+# ---------------------------------------------------------------- span dedup
+
+def _py_dedup_spans(rows, k):
+    """Naive oracle: global first occurrence of every k-token window wins;
+    tokens covered by any non-first duplicated window are removed."""
+    toks = {}
+    for i, text in rows:
+        ws = " ".join(text.lower().split()).split(" ")
+        toks[i] = ws
+    occur = {}  # gram -> first (doc, start)
+    for i in sorted(toks):
+        ws = toks[i]
+        for s in range(len(ws) - k + 1):
+            g = " ".join(ws[s:s + k])
+            occur.setdefault(g, (i, s))
+    out = {}
+    for i in sorted(toks):
+        ws = toks[i]
+        drop = set()
+        for s in range(len(ws) - k + 1):
+            g = " ".join(ws[s:s + k])
+            if occur[g] != (i, s):
+                drop.update(range(s, s + k))
+        kept = [w for p, w in enumerate(ws) if p not in drop]
+        out[i] = (" ".join(kept), len(ws), len(drop))
+    return out
+
+
+def test_dedup_spans_planted(spark):
+    from chronon_spark.operators.curation import dedup_spans_corpus
+
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"head {span} tail"),
+            (2, f"pre {span} post words here"),        # span removed (later doc)
+            (3, "completely different content entirely"),
+            (4, f"{span}"),                            # exactly the span
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_spans_corpus(docs, k=8).collect()}
+    assert got[1]["text"] == f"head {span} tail" and got[1]["n_dropped"] == 0
+    assert got[2]["text"] == "pre post words here" and got[2]["n_dropped"] == 8
+    assert got[4]["text"] == "" and got[4]["n_dropped"] == 8
+    assert got[3]["n_dropped"] == 0
+    assert got[5]["n_tokens"] == 1  # split('') artifact, documented lossy edge
+
+
+def test_dedup_spans_long_span_fully_removed(spark):
+    """A duplicated span LONGER than k is removed in full from the later doc
+    (overlapping windows cover every token), kept in full in the first."""
+    from chronon_spark.operators.curation import dedup_spans_corpus
+
+    span = " ".join(f"w{j}" for j in range(14))  # 14 tokens, k=8
+    docs = spark.createDataFrame(
+        [(1, f"a b {span}"), (2, f"{span} x y z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_spans_corpus(docs, k=8).collect()}
+    assert got[1]["n_dropped"] == 0
+    assert got[2]["text"] == "x y z" and got[2]["n_dropped"] == 14
+
+
+@pytest.mark.parametrize("seed,k", [(0, 4), (1, 6), (2, 3)])
+def test_dedup_spans_matches_python_oracle(spark, seed, k):
+    """Seeded random corpora from a tiny vocabulary (dense accidental
+    repeats, self-overlaps, periodic runs) must match the naive oracle."""
+    rng = random.Random(seed)
+    vocab = WORDS[:6]
+    rows = []
+    for i in range(40):
+        n = rng.randint(0, 25)
+        ws = [rng.choice(vocab) for _ in range(n)]
+        if n and rng.random() < 0.3:  # periodic run: worst case for overlaps
+            ws = (ws * 3)[: n + rng.randint(k, 2 * k)]
+        rows.append((i, " ".join(ws)))
+    from chronon_spark.operators.curation import dedup_spans_corpus
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_dropped"])
+        for r in dedup_spans_corpus(docs, k=k).collect()
+    }
+    expect = _py_dedup_spans(rows, k)
+    for i in expect:
+        assert got[i] == expect[i], (i, got[i], expect[i])
