@@ -3221,3 +3221,62 @@ LEFT JOIN rebuilt rb USING (doc_id)
 
 QUERIES["dedup_spans"] = q_dedup_spans
 ORACLES["dedup_spans"] = SQL_DEDUP_SPANS
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style target-domain data selection
+    (operators/curation.dsir_weights, Xie et al. 2023): hashed
+    unigram+bigram bucket distributions for the 'en' target vs the whole
+    corpus; per-doc importance weight = integer sum of quantized
+    log(p/q) bucket ratios (order-independent — exact cross-engine);
+    selected = greedy top-50 by weight. Hash-gated including the weights."""
+    from chronon_spark.operators.curation import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.where(F.col("lang") == "en"), buckets=4096, k=50)
+
+
+SQL_DSIR_SELECT = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, ts[i] AS g
+  FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks)
+  UNION ALL
+  SELECT doc_id, lang, ts[i] || ' ' || ts[i+1] AS g
+  FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts))) AS i
+        FROM toks WHERE len(ts) >= 2)
+), rawg AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+  FROM grams
+), raw_b AS (
+  SELECT b, count(*) AS cr FROM rawg GROUP BY b
+), tgt_b AS (
+  SELECT b, count(*) AS ct FROM rawg WHERE lang = 'en' GROUP BY b
+), tots AS (
+  SELECT (SELECT sum(cr) FROM raw_b) AS tot_cr,
+         (SELECT COALESCE(sum(ct), 0) FROM tgt_b) AS tot_ct
+), lr AS (
+  SELECT r.b,
+         CAST(round(1000000.0 * (
+             ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE))
+           - ln(CAST(tots.tot_ct + 4096 AS DOUBLE))
+           - ln(CAST(r.cr + 1 AS DOUBLE))
+           + ln(CAST(tots.tot_cr + 4096 AS DOUBLE)))) AS BIGINT) AS lr_q
+  FROM raw_b r LEFT JOIN tgt_b t USING (b), tots
+), scored AS (
+  SELECT doc_id, count(*) AS n_grams, sum(lr_q) AS weight_q
+  FROM rawg JOIN lr USING (b) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(weight_q AS BIGINT) AS weight_q,
+       row_number() OVER (ORDER BY weight_q DESC, doc_id) <= 50 AS selected
+FROM scored
+"""
+
+QUERIES["dsir_select"] = q_dsir_select
+ORACLES["dsir_select"] = SQL_DSIR_SELECT

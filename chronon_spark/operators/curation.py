@@ -377,3 +377,134 @@ def dedup_spans_corpus(
             .alias("n_dropped"),
         )
     )
+
+
+def _gram_frame(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, gram) with multiplicity: word unigrams + bigrams over normalized
+    tokens — the DSIR feature space (Xie et al. 2023 §3.2, public)."""
+    from chronon_spark.operators.dedup import normalize_text
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("ts"),
+    )
+    n = F.size("ts")
+    unigrams = F.col("ts")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("ts", 1, n - 1),
+            F.slice("ts", 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("id", F.explode(F.concat(unigrams, bigrams)).alias("g"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance weighting for target-domain data selection
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling", public): hashed n-gram (unigram+bigram) bucket counts give
+    Laplace-smoothed target (p) and raw (q) distributions; each document's
+    importance weight is sum over its grams of log(p[b]/q[b]).
+
+    Exactness contract: the per-bucket log-ratio is QUANTIZED to an integer
+    (round(quant * ln(p/q))) so per-doc weights are INTEGER sums —
+    order-independent and bit-identical in any engine, unlike float sums
+    whose value depends on Spark's nondeterministic reduce order. Returns
+    (id_col, n_grams, weight_q, selected) where weight_q is the quantized
+    log-weight and selected marks the greedy top-k by (weight_q desc, id) —
+    the paper's top-k variant; for the Gumbel-resampling variant see
+    gumbel_topk().
+
+    Shuffle shape at 100TB: gram rows are NARROW (id, 32-bit bucket); the
+    distribution fit groupBys onto <= `buckets` rows (bounded, broadcast
+    back into the scoring join — the corpus never shuffles for the ratio
+    table); scoring is one groupBy(id) integer sum. Bucket hashing is
+    md5-based so a DuckDB oracle replicates weights bit-for-bit.
+    """
+    b32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % buckets
+    raw_g = _gram_frame(docs, text_col, id_col).withColumn("b", b32(F.col("g")))
+    tgt_g = _gram_frame(target, text_col, id_col).withColumn("b", b32(F.col("g")))
+
+    raw_b = raw_g.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_b = tgt_g.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    raw_tot = raw_b.agg(F.sum("cr").alias("tot_cr"))
+    tgt_tot = tgt_b.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tot_ct"))
+
+    # p = (ct+1)/(CT+B), q = (cr+1)/(CR+B); only buckets with cr >= 1 can
+    # ever be hit by a corpus gram, so the raw-bucket frame is the domain.
+    lr = (
+        raw_b.join(tgt_b, "b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            F.round(
+                F.lit(float(quant))
+                * (
+                    F.log((F.coalesce("ct", F.lit(0)) + 1).cast("double"))
+                    - F.log((F.col("tot_ct") + buckets).cast("double"))
+                    - F.log((F.col("cr") + 1).cast("double"))
+                    + F.log((F.col("tot_cr") + buckets).cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("lr_q"),
+        )
+    )
+
+    scored = (
+        raw_g.join(F.broadcast(lr), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr_q").alias("weight_q"),
+        )
+    )
+    w = Window.orderBy(F.desc("weight_q"), F.asc("id"))
+    # rank window: ONE partition, but over per-doc rows only (post-agg) and
+    # only to mark top-k; at corpus scale replace with an approximate
+    # threshold (quantile cut) — selection, not ranking, is the contract.
+    return scored.select(
+        F.col("id").alias(id_col),
+        F.col("n_grams").cast("long"),
+        F.col("weight_q").cast("long"),
+        (F.row_number().over(w) <= k).alias("selected"),
+    )
+
+
+def gumbel_topk(
+    scored: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "weight_q",
+    quant: int = 1_000_000,
+    salt: str = "gumbel",
+) -> DataFrame:
+    """DSIR's Gumbel-top-k resampling (sample k docs without replacement
+    with probability proportional to their importance weight): score =
+    log w + Gumbel noise, noise derived DETERMINISTICALLY from md5(salt:id)
+    so re-runs and resharding select the identical sample. Float scores are
+    for ORDERING only (never summed), so cross-engine determinism holds
+    everywhere except exact ties, which the id tiebreak settles."""
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (u32 + 0.5) / float(1 << 32)
+    g = -F.log(-F.log(u))
+    score = F.col(weight_col).cast("double") / quant + g
+    w = Window.orderBy(F.desc(score), F.asc(id_col))
+    return scored.withColumn("gumbel_rank", F.row_number().over(w)).where(
+        F.col("gumbel_rank") <= k
+    )

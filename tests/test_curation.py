@@ -386,3 +386,111 @@ def test_dedup_spans_matches_python_oracle(spark, seed, k):
     expect = _py_dedup_spans(rows, k)
     for i in expect:
         assert got[i] == expect[i], (i, got[i], expect[i])
+
+
+# ----------------------------------------------------------------------- dsir
+
+def _py_dsir(rows, target_ids, buckets, quant=1_000_000):
+    import hashlib
+    import math
+
+    def grams(text):
+        ws = " ".join(text.lower().split()).split(" ")
+        gs = list(ws)
+        gs += [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        return gs
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % buckets
+
+    cr, ct = {}, {}
+    for i, t in rows:
+        for g in grams(t):
+            b = bucket(g)
+            cr[b] = cr.get(b, 0) + 1
+            if i in target_ids:
+                ct[b] = ct.get(b, 0) + 1
+    CR, CT = sum(cr.values()), sum(ct.values())
+    lr = {
+        b: round(
+            quant
+            * (
+                math.log(ct.get(b, 0) + 1)
+                - math.log(CT + buckets)
+                - math.log(c + 1)
+                + math.log(CR + buckets)
+            )
+        )
+        for b, c in cr.items()
+    }
+    out = {}
+    for i, t in rows:
+        gs = grams(t)
+        out[i] = (len(gs), sum(lr[bucket(g)] for g in gs))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dsir_weights_match_python_oracle(spark, seed):
+    from chronon_spark.operators.curation import dsir_weights
+
+    rng = random.Random(seed)
+    dom_a, dom_b = WORDS[:7], WORDS[7:]
+    rows = []
+    for i in range(60):
+        vocab = dom_a if i % 2 == 0 else dom_b
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))))
+    target_ids = {i for i, _ in rows if i % 2 == 0 and i < 30}
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 30))
+
+    expect = _py_dsir(rows, target_ids, buckets=512)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["weight_q"], r["selected"])
+        for r in dsir_weights(docs, target, buckets=512, k=10).collect()
+    }
+    for i, (ng, wq) in expect.items():
+        assert got[i][:2] == (ng, wq), (i, got[i], (ng, wq))
+    # greedy top-k: selected == the k best (weight desc, id asc)
+    order = sorted(expect, key=lambda i: (-expect[i][1], i))
+    assert {i for i in got if got[i][2]} == set(order[:10])
+
+
+def test_dsir_selects_target_domain(spark):
+    """Docs written in the target domain's vocabulary must dominate the
+    selection — the operator's entire point."""
+    from chronon_spark.operators.curation import dsir_weights
+
+    rng = random.Random(42)
+    rows = [
+        (i, " ".join(rng.choice(WORDS[:5] if i < 50 else WORDS[10:]) for _ in range(20)))
+        for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") < 10)  # domain A exemplars
+    sel = {
+        r["doc_id"]
+        for r in dsir_weights(docs, target, buckets=1024, k=20).collect()
+        if r["selected"]
+    }
+    assert len(sel) == 20
+    assert all(i < 50 for i in sel), sorted(sel)
+
+
+def test_gumbel_topk_deterministic_and_weight_skewed(spark):
+    from chronon_spark.operators.curation import dsir_weights, gumbel_topk
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(rng.choice(WORDS[:5] if i < 50 else WORDS[10:]) for _ in range(20)))
+        for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scored = dsir_weights(docs, docs.where(F.col("doc_id") < 10), buckets=1024, k=10)
+    a = [r["doc_id"] for r in gumbel_topk(scored, 15).orderBy("gumbel_rank").collect()]
+    b = [
+        r["doc_id"]
+        for r in gumbel_topk(scored.repartition(13), 15).orderBy("gumbel_rank").collect()
+    ]
+    assert a == b  # md5-derived noise: layout-invariant sample
+    assert sum(1 for i in a if i < 50) >= 12  # skews hard toward the heavy weights
