@@ -48,6 +48,8 @@ def main() -> None:
         "mutations_temporal",  # CDC temporal engine (round 2)
         "asof_join_snapshot",  # midnight-accuracy join part (round 2)
         "curation",            # decontaminate + split + pack (round 4)
+        "dedup_spans",         # ExactSubstr span removal (round 4)
+        "dsir_select",         # DSIR importance weighting (round 4)
     ):
         if extra in QUERIES:
             headline.append(extra)

@@ -854,6 +854,24 @@ def cmd_expire_snapshots(spark, conf, args) -> dict:
     return {"location": args.location, **res}
 
 
+def cmd_compact_table(spark, conf, args) -> dict:
+    """Iceberg table maintenance: rewrite_data_files (binpack compaction).
+    Partitions fragmented into >= ``--min-input-files`` data files are
+    rewritten to ``--target-files`` file(s) each in one ``replace`` snapshot
+    — rows identical, old layout readable via time travel until
+    expire-snapshots reclaims it. The ops counterpart of the streaming
+    Iceberg sink and small-batch backfills, which fragment partitions."""
+    from chronon_spark.sources.iceberg import compact_data_files
+
+    res = compact_data_files(
+        spark,
+        args.location,
+        min_input_files=args.min_input_files,
+        target_files=args.target_files,
+    )
+    return {"location": args.location, **res}
+
+
 COMMANDS = {
     "join": (cmd_join, True),
     "join-left": (cmd_join_left, True),
@@ -875,6 +893,7 @@ COMMANDS = {
     "log-summary": (cmd_log_summary, False),
     "compile": (cmd_compile, False),
     "expire-snapshots": (cmd_expire_snapshots, False),
+    "compact-table": (cmd_compact_table, False),
 }
 
 
@@ -907,6 +926,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             sp.add_argument("--keep-last", type=int, default=2)
             sp.add_argument("--keep-orphan-data", action="store_true")
             continue
+        if name == "compact-table":
+            sp.add_argument("--location", required=True,
+                            help="iceberg table root to compact")
+            sp.add_argument("--min-input-files", type=int, default=2)
+            sp.add_argument("--target-files", type=int, default=1)
+            continue
         sp.add_argument("--conf", required=True, help="path to a Python conf module")
         if needs_range:
             sp.add_argument("--out-root", required=True)
@@ -924,7 +949,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                             help="comma-separated part prefixes")
     args = p.parse_args(argv)
 
-    no_conf = args.command in ("compile", "expire-snapshots")
+    no_conf = args.command in ("compile", "expire-snapshots", "compact-table")
     conf = _load_conf(args.conf) if not no_conf else None
     # expire-snapshots is pure metadata I/O — no Spark session needed
     own_session = spark is None and args.command != "expire-snapshots"

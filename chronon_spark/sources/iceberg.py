@@ -1143,3 +1143,103 @@ class IcebergPartitionedTable:
             create_table(df, self.path, partition_by=[self.ds_col])
         else:
             overwrite_partitions(df, self.path)
+
+
+def compact_data_files(
+    spark: SparkSession,
+    location: str,
+    min_input_files: int = 2,
+    target_files: int = 1,
+) -> dict:
+    """Table maintenance: rewrite_data_files (Iceberg's binpack compaction,
+    public spec/procedures). Every partition holding at least
+    ``min_input_files`` data files is rewritten into ``target_files``
+    file(s) and committed as ONE ``replace`` snapshot: rewritten partitions'
+    old files drop out of the new manifest set, untouched partitions carry
+    forward as EXISTING entries with their original sequence numbers, and
+    the previous snapshot still reads the pre-compaction files (time
+    travel) until expire_snapshots reclaims them. Rows are bit-identical by
+    construction — the commit only reorganizes file boundaries.
+
+    This is what keeps scan planning cheap under a streaming sink or
+    small-batch backfills: at 100TB a daily micro-batched partition
+    accumulates thousands of tiny files whose per-file manifest entries and
+    open costs dominate; compaction folds them back to near-target sizes.
+    Older files missing append-only-evolved columns are read with
+    mergeSchema and rewritten at the CURRENT schema (nulls materialized),
+    so compaction also retires schema-resolution debt.
+
+    Returns {compacted_partitions, rewritten_files, added_files, rows}.
+    """
+    table = IcebergTable(location)
+    md = table.metadata()
+    spec = md["partition-specs"][md["default-spec-id"]]
+    part_names = [pf["name"] for pf in spec["fields"]]
+
+    groups: dict[tuple, list[dict]] = {}
+    for e in table.plan_scan():
+        pt = tuple(e["partition"].get(n) for n in part_names)
+        groups.setdefault(pt, []).append(e)
+    cands = {pt: es for pt, es in groups.items() if len(es) >= min_input_files}
+    if not cands:
+        return {
+            "compacted_partitions": 0,
+            "rewritten_files": 0,
+            "added_files": 0,
+            "rows": 0,
+        }
+
+    paths = [e["path"] for es in cands.values() for e in es]
+    schema = table.spark_schema()
+    df = (
+        spark.read.option("basePath", table.data_dir)
+        .option("mergeSchema", "true")
+        .parquet(*paths)
+    )
+    for f in schema.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    for pc in part_names:
+        df = df.withColumn(pc, F.col(pc).cast(dtypes[pc]))
+    df = df.select(*[f.name for f in schema.fields])
+
+    # one shuffle task per (partition value, salt) -> `target_files` files
+    # per partition value out of the partitioned writer
+    if not part_names:
+        df = df.repartition(target_files)
+    elif target_files > 1:
+        df = (
+            df.withColumn(
+                "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(target_files))
+            )
+            .repartition(*part_names, "__salt")
+            .drop("__salt")
+        )
+    else:
+        df = df.repartition(*part_names)
+
+    before_rows = sum(e["record_count"] for es in cands.values() for e in es)
+    _write_snapshot(
+        table,
+        df,
+        part_names,
+        table.metadata(),
+        operation="replace",
+        replace_partitions=set(cands),
+        summary_extra={
+            "compacted-partitions": str(len(cands)),
+            "rewritten-data-files": str(len(paths)),
+        },
+    )
+    new_groups: dict[tuple, int] = {}
+    for e in table.plan_scan():
+        pt = tuple(e["partition"].get(n) for n in part_names)
+        if pt in cands:
+            new_groups[pt] = new_groups.get(pt, 0) + 1
+    return {
+        "compacted_partitions": len(cands),
+        "rewritten_files": len(paths),
+        "added_files": sum(new_groups.values()),
+        "rows": before_rows,
+    }

@@ -1075,3 +1075,37 @@ def test_cli_expire_snapshots(spark, tmp_path, capsys, day_range):
     assert rc == 0 and res["expired_snapshots"] == 1
     assert len(IcebergTable(loc).metadata()["snapshots"]) == 1
     assert sorted(map(repr, IcebergTable(loc).scan(spark).collect())) == before
+
+
+def test_cli_compact_table(spark, tmp_path, capsys):
+    """Compaction subcommand: incremental chunked backfills fragment the
+    iceberg partitions; compact-table folds each back to one file with
+    identical rows."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.sources.iceberg import IcebergTable, append, create_table
+
+    loc = str(tmp_path / "ice" / "cli_frag")
+
+    def _d(shift):
+        return spark.range(0, 30).select(
+            (F.col("id") + shift).alias("k"),
+            F.concat(F.lit("2024-01-0"), ((F.col("id") % 3) + 1).cast("string")).alias("ds"),
+        )
+
+    create_table(_d(0).repartition(2), loc, partition_by=["ds"])
+    append(_d(100).repartition(2), loc)  # micro-batches fragment partitions
+    t = IcebergTable(loc)
+    before = sorted(map(repr, t.scan(spark).collect()))
+    frag = {}
+    for e in t.plan_scan():
+        frag[tuple(e["partition"].items())] = frag.get(tuple(e["partition"].items()), 0) + 1
+    assert any(c >= 2 for c in frag.values()), frag
+
+    rc, res = _run(spark, ["compact-table", "--location", loc], capsys)
+    assert rc == 0 and res["compacted_partitions"] >= 1
+    post = {}
+    for e in t.plan_scan():
+        post[tuple(e["partition"].items())] = post.get(tuple(e["partition"].items()), 0) + 1
+    assert all(c == 1 for c in post.values()), post
+    assert sorted(map(repr, t.scan(spark).collect())) == before

@@ -425,3 +425,85 @@ def test_empty_frame_create_and_scan(spark, tmp_path):
     assert out.count() == 0
     assert out.columns == ["bucket", "k", "v", "ds"]
     assert t.partitions() == []
+
+
+# --- compaction ---------------------------------------------------------------
+
+
+def test_compact_data_files_rows_identical_fewer_files(spark, tmp_path):
+    from chronon_spark.sources.iceberg import compact_data_files
+
+    loc = str(tmp_path / "ctbl")
+    create_table(_df(spark, 60).repartition(6), loc, partition_by=["ds"])
+    append(_df(spark, 60, shift=1000).repartition(6), loc)
+    t = IcebergTable(loc)
+    pre = sorted(tuple(r) for r in t.scan(spark).collect())
+    pre_files = {e["path"] for e in t.plan_scan()}
+    assert len(pre_files) > 3  # genuinely fragmented
+
+    stats = compact_data_files(spark, loc, min_input_files=2, target_files=1)
+    assert stats["compacted_partitions"] == 3  # ds has 3 values
+    assert stats["rewritten_files"] == len(pre_files)
+
+    post_entries = t.plan_scan()
+    post_files = {e["path"] for e in post_entries}
+    assert len(post_files) == 3  # one file per ds partition
+    assert post_files.isdisjoint(pre_files)
+    assert sorted(tuple(r) for r in t.scan(spark).collect()) == pre
+    # replace commit carries the spec summary
+    assert t.snapshot()["summary"]["operation"] == "replace"
+
+
+def test_compact_time_travel_and_partial(spark, tmp_path):
+    """Untouched partitions carry forward as EXISTING with original files;
+    the pre-compaction snapshot still reads the old layout."""
+    from chronon_spark.sources.iceberg import compact_data_files
+
+    loc = str(tmp_path / "ptbl")
+    # ds=2024-03-01 fragmented (2 appends), others single-file: write a df
+    # per ds so fragmentation is partition-targeted
+    d1 = _df(spark, 90).where(F.col("ds") == "2024-03-01")
+    d_rest = _df(spark, 90).where(F.col("ds") != "2024-03-01")
+    create_table(d_rest.repartition(1), loc, partition_by=["ds"])
+    append(d1.repartition(1), loc)
+    append(d1.withColumn("k", F.col("k") + 500).repartition(1), loc)
+    t = IcebergTable(loc)
+    pre_snap = t.metadata()["current-snapshot-id"]
+    pre_rows = sorted(tuple(r) for r in t.scan(spark).collect())
+    rest_files = {
+        e["path"] for e in t.plan_scan() if e["partition"]["ds"] != "2024-03-01"
+    }
+
+    stats = compact_data_files(spark, loc, min_input_files=2)
+    assert stats["compacted_partitions"] == 1
+    post = t.plan_scan()
+    assert {e["path"] for e in post if e["partition"]["ds"] != "2024-03-01"} == rest_files
+    assert len([e for e in post if e["partition"]["ds"] == "2024-03-01"]) == 1
+    assert sorted(tuple(r) for r in t.scan(spark).collect()) == pre_rows
+    # survivors keep their original sequence numbers (spec inheritance)
+    assert sorted(tuple(r) for r in t.scan(spark, snapshot_id=pre_snap).collect()) == pre_rows
+    # noop second pass
+    assert compact_data_files(spark, loc, min_input_files=2)["compacted_partitions"] == 0
+
+
+def test_compact_materializes_evolved_schema_and_expiry_reclaims(spark, tmp_path):
+    from chronon_spark.sources.iceberg import compact_data_files, expire_snapshots
+
+    loc = str(tmp_path / "etbl")
+    create_table(_df(spark, 30).repartition(2), loc, partition_by=["ds"])
+    append(_df(spark, 30, shift=100).withColumn("extra", F.lit("x")).repartition(2), loc)
+    t = IcebergTable(loc)
+    pre_rows = sorted(tuple(r) for r in t.scan(spark).collect())
+    pre_files = {e["path"] for e in t.plan_scan()}
+
+    compact_data_files(spark, loc, min_input_files=2)
+    assert sorted(tuple(r) for r in t.scan(spark).collect()) == pre_rows
+    # every post-compaction file carries the evolved column materialized
+    import pyarrow.parquet as pq
+
+    for e in t.plan_scan():
+        assert "extra" in pq.read_schema(e["path"]).names
+    # expiry reclaims the rewritten small files
+    expire_snapshots(loc, keep_last=1)
+    assert not any(os.path.exists(p) for p in pre_files)
+    assert sorted(tuple(r) for r in t.scan(spark).collect()) == pre_rows
