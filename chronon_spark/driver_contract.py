@@ -3280,3 +3280,70 @@ FROM scored
 
 QUERIES["dsir_select"] = q_dsir_select
 ORACLES["dsir_select"] = SQL_DSIR_SELECT
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization (operators/tokenizer.py, Sennrich et al. 2016):
+    merges trained once on the fixed seed corpus (a compile-time constant),
+    applied distributed over the corpus's DISTINCT words with one
+    Arrow-batched pandas UDF pass and joined back. The DuckDB oracle inlines
+    the SAME merge table and replays application as a recursive CTE
+    (one best-rank merge per step — provably equivalent to leftmost
+    non-overlapping batch replacement because a pair created by a merge
+    always ranks later than the merge that created it). Hash-gated
+    including the md5 of every document's full token stream."""
+    from chronon_spark.operators.tokenizer import apply_bpe
+
+    return apply_bpe(_t(spark, sf_dir, "documents"))
+
+
+def _sql_bpe() -> str:
+    from chronon_spark.operators.tokenizer import seed_merges
+
+    vals = ", ".join(f"('{a}', '{b}', {i})" for i, (a, b) in enumerate(seed_merges()))
+    return rf"""
+WITH RECURSIVE
+merges(a, b, r) AS (VALUES {vals}),
+toks0 AS (
+  SELECT doc_id, i AS pos, ts[i] AS w
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        FROM (SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ts
+              FROM documents))
+  WHERE length(ts[i]) > 0
+), words AS (
+  SELECT DISTINCT w FROM toks0
+), chars AS (
+  SELECT w, list(substr(w, i, 1) ORDER BY i) AS toks
+  FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM words)
+  GROUP BY w
+), seg(w, toks) AS (
+  SELECT w, toks FROM chars
+  UNION ALL
+  SELECT w,
+         list_concat(list_concat(toks[1:bi-1], [toks[bi] || toks[bi+1]]), toks[bi+2:]) AS toks
+  FROM (
+    SELECT w, toks,
+           (SELECT i FROM unnest(range(1, len(toks))) AS u(i)
+            JOIN merges m ON m.a = toks[i] AND m.b = toks[i+1]
+            ORDER BY m.r, i LIMIT 1) AS bi
+    FROM seg
+  )
+  WHERE bi IS NOT NULL
+), final AS (
+  SELECT w, toks FROM seg
+  WHERE NOT EXISTS (
+    SELECT 1 FROM unnest(range(1, len(toks))) u(i)
+    JOIN merges m ON m.a = toks[i] AND m.b = toks[i+1])
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(f.toks)) AS BIGINT) AS n_bpe_tokens,
+       md5(string_agg(array_to_string(f.toks, chr(31)), chr(31) ORDER BY t.pos)) AS tokens_fp
+FROM toks0 t JOIN final f USING (w)
+GROUP BY t.doc_id
+"""
+
+
+QUERIES["bpe_tokenize"] = q_bpe_tokenize
+ORACLES["bpe_tokenize"] = _sql_bpe()
