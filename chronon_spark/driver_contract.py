@@ -1613,8 +1613,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs)
 
 
-SQL_DEDUP_COMPONENTS = f"""
-WITH RECURSIVE
+_CC_CTES = f"""
 norm AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
 w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
 sh AS (SELECT DISTINCT doc_id AS id,
@@ -1639,6 +1638,11 @@ reach(id, r) AS (
   UNION
   SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
 )
+"""
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE
+{_CC_CTES}
 SELECT id, min(r) AS component_id FROM reach GROUP BY id
 """
 
@@ -3347,3 +3351,37 @@ GROUP BY t.doc_id
 
 QUERIES["bpe_tokenize"] = q_bpe_tokenize
 ORACLES["bpe_tokenize"] = _sql_bpe()
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best cluster dedup (operators/dedup.dedup_canonical): MinHash-LSH
+    pair graph -> connected components -> per-component canonical = longest
+    document (tie min id); singletons canonicalize to themselves. One row
+    per corpus document. Oracle: the recursive-CTE closure + argmax."""
+    from chronon_spark.operators.dedup import dedup_canonical, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=8, num_perm=16, bands=4)
+    return dedup_canonical(docs, pairs)
+
+
+SQL_DEDUP_CANONICAL = f"""
+WITH RECURSIVE
+{_CC_CTES},
+comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+labeled AS (
+  SELECT d.doc_id AS id, length(d.text) AS q,
+         COALESCE(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+), canon AS (
+  SELECT DISTINCT component_id,
+         first_value(id) OVER (PARTITION BY component_id ORDER BY q DESC, id) AS canonical_id
+  FROM labeled
+)
+SELECT l.id AS doc_id, l.component_id, c.canonical_id,
+       l.id = c.canonical_id AS is_canonical
+FROM labeled l JOIN canon c USING (component_id)
+"""
+
+QUERIES["dedup_canonical"] = q_dedup_canonical
+ORACLES["dedup_canonical"] = SQL_DEDUP_CANONICAL

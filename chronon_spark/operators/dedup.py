@@ -18,7 +18,7 @@ explosion linear in corpus token count.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -393,3 +393,47 @@ def dedup_components(
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning)
     return labels.select("id", "component_id")
+
+
+def dedup_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: Column | None = None,
+    **cc_kwargs,
+) -> DataFrame:
+    """Keep-best cluster dedup: turn the near-dup pair graph into dedup
+    DECISIONS. Connected components label every matched doc; within each
+    component the CANONICAL document is the argmax of ``quality_col``
+    (default: document length — the keep-longest policy of public
+    RefinedWeb/MassiveText-style pipelines; ties -> min id); docs in no
+    pair are their own canonical. Returns one row per input doc:
+    (id_col, component_id, canonical_id, is_canonical) — filtering
+    ``is_canonical`` IS the dedup; the mapping rows are the lineage a
+    100TB pipeline keeps for provenance.
+
+    Shuffle shape: components come from dedup_components (pair-graph-sized,
+    sparse); the quality argmax is one window per component over the
+    matched docs only; the corpus joins the (id -> component) map on its
+    key — singletons never enter the component shuffle.
+    """
+    quality = quality_col if quality_col is not None else F.length(F.col("text"))
+    comp = dedup_components(pairs, **cc_kwargs)
+    labeled = docs.select(F.col(id_col).alias("id"), quality.alias("__q")).join(
+        comp, "id", "left"
+    )
+    labeled = labeled.withColumn(
+        "component_id", F.coalesce("component_id", F.col("id"))
+    )
+    w = Window.partitionBy("component_id").orderBy(F.desc("__q"), F.asc("id"))
+    return (
+        labeled.withColumn(
+            "canonical_id", F.first("id").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "component_id",
+            "canonical_id",
+            (F.col("id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )

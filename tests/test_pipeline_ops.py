@@ -427,3 +427,51 @@ def test_sessionize_long_millis_ts_contract(spark):
     assert {r["session_id"] for r in out.collect()} == {0}
     stats = session_stats(df, ["conv"], "ts", gap=60_000).first()
     assert stats["duration_ms"] == 2000
+
+
+# ------------------------------------------------------------ keep-best dedup
+
+def test_dedup_canonical_keep_longest_and_singletons(spark):
+    from chronon_spark.operators.dedup import dedup_canonical
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short copy"),
+            (2, "short copy but this one is much longer and wins"),
+            (3, "short copy medium length"),
+            (4, "a lonely singleton document"),
+            (5, "another cluster A"),
+            (6, "another cluster B"),  # same length as 5 -> tie, min id wins
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r for r in dedup_canonical(docs, pairs).collect()}
+    assert len(got) == 6
+    # cluster {1,2,3}: doc 2 is longest
+    for i in (1, 2, 3):
+        assert got[i]["component_id"] == 1 and got[i]["canonical_id"] == 2
+    assert [got[i]["is_canonical"] for i in (1, 2, 3)] == [False, True, False]
+    # singleton: own canonical
+    assert got[4]["component_id"] == 4 and got[4]["is_canonical"]
+    # tie on length -> min id
+    assert got[5]["canonical_id"] == 5 and got[6]["canonical_id"] == 5
+
+
+def test_dedup_canonical_custom_quality(spark):
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.dedup import dedup_canonical
+
+    docs = spark.createDataFrame(
+        [(1, "xx", 0.9), (2, "a much longer text here", 0.1)],
+        "doc_id long, text string, score double",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r
+        for r in dedup_canonical(docs, pairs, quality_col=F.col("score")).collect()
+    }
+    assert got[1]["is_canonical"] and not got[2]["is_canonical"]
