@@ -507,3 +507,69 @@ def test_compact_materializes_evolved_schema_and_expiry_reclaims(spark, tmp_path
     expire_snapshots(loc, keep_last=1)
     assert not any(os.path.exists(p) for p in pre_files)
     assert sorted(tuple(r) for r in t.scan(spark).collect()) == pre_rows
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_lifecycle_sweep(spark, tmp_path, seed):
+    """Randomized op sequences (append / dynamic-partition-overwrite /
+    compact / expire) against an in-memory expected table: after every op
+    the current snapshot must read exactly the expected rows, and a time
+    travel handle taken at a random earlier point must keep reading its
+    frozen state until expiry invalidates it."""
+    import random
+
+    rng = random.Random(seed)
+    from chronon_spark.sources.iceberg import (
+        IcebergTable,
+        append,
+        compact_data_files,
+        create_table,
+        expire_snapshots,
+        overwrite_partitions,
+    )
+
+    DS = ["2024-05-01", "2024-05-02", "2024-05-03"]
+
+    def mk(n, base):
+        rows = [(base + i, rng.choice(DS)) for i in range(n)]
+        return rows, spark.createDataFrame(rows, "k long, ds string")
+
+    loc = str(tmp_path / f"life{seed}")
+    rows0, df0 = mk(rng.randint(5, 20), 0)
+    create_table(df0.repartition(2), loc, partition_by=["ds"])
+    expected = list(rows0)
+    t = IcebergTable(loc)
+    frozen = None  # (snapshot_id, rows at that time)
+
+    base = 1000
+    for step in range(8):
+        op = rng.choice(["append", "overwrite", "compact", "expire", "freeze"])
+        if op == "append":
+            rows, df = mk(rng.randint(1, 15), base)
+            base += 1000
+            append(df.repartition(rng.randint(1, 3)), loc)
+            expected += rows
+        elif op == "overwrite":
+            rows, df = mk(rng.randint(1, 15), base)
+            base += 1000
+            touched = {ds for _, ds in rows}
+            overwrite_partitions(df.repartition(rng.randint(1, 3)), loc)
+            expected = [r for r in expected if r[1] not in touched] + rows
+        elif op == "compact":
+            compact_data_files(spark, loc, min_input_files=2)
+        elif op == "expire":
+            keep = rng.randint(1, 2)
+            n_before = len(t.metadata()["snapshots"])
+            expire_snapshots(loc, keep_last=keep)
+            if frozen is not None and n_before > keep:
+                kept_ids = {s["snapshot-id"] for s in t.metadata()["snapshots"]}
+                if frozen[0] not in kept_ids:
+                    frozen = None  # time travel handle invalidated, as designed
+        else:
+            frozen = (t.metadata()["current-snapshot-id"], list(expected))
+
+        got = sorted(tuple(r) for r in t.scan(spark).collect())
+        assert got == sorted(expected), f"step {step} op {op}"
+        if frozen is not None:
+            tg = sorted(tuple(r) for r in t.scan(spark, snapshot_id=frozen[0]).collect())
+            assert tg == sorted(frozen[1]), f"time travel broken at step {step} ({op})"
