@@ -310,10 +310,12 @@ def dedup_spans_corpus(
     Shuffle shape at 100TB: the window ranking runs over a NARROW frame
     (md5(k-gram), doc_id, start) — one hash-partitioned window on the gram
     hash; only DUPLICATED non-first windows (sparse by construction in a
-    deduplicated corpus) expand k-fold into covered positions; the token
-    frame joins them with a broadcast-able anti-join per doc partition and
-    reassembly is one groupBy(doc). Gram hashes are md5 over the joined
-    token slice so a DuckDB oracle replicates them bit-for-bit.
+    deduplicated corpus) shuffle back, aggregated to ONE bad-start array
+    per affected doc. Document text never rides any shuffle: docs join the
+    sparse bad-array frame on their key and reassembly is a native
+    array filter — no token explode, no groupBy rebuild. Gram hashes are
+    md5 over the joined token slice so a DuckDB oracle replicates them
+    bit-for-bit.
     """
     from chronon_spark.operators.dedup import normalize_text
 
@@ -321,10 +323,6 @@ def dedup_spans_corpus(
         F.col(id_col).alias("id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("ts"),
     )
-    # one row per token, 1-based position (matches DuckDB list indexing)
-    tok = toks.select(
-        "id", F.posexplode("ts").alias("pos0", "tok")
-    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
 
     starts = F.when(
         F.size("ts") >= k, F.sequence(F.lit(1), F.size("ts") - F.lit(k - 1))
@@ -348,34 +346,33 @@ def dedup_spans_corpus(
         .where(F.col("rn") > 1)
         .select("id", "s")
     )
-    covered = bad.select(
-        "id", F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))).alias("pos")
-    ).distinct()
+    # one sorted bad-start array per AFFECTED doc (sparse frame)
+    bad_per_doc = bad.groupBy("id").agg(F.array_sort(F.collect_set("s")).alias("bads"))
 
-    kept = tok.join(covered, ["id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
+    # doc-level reassembly: token at 1-based position p survives iff no bad
+    # window start b covers it (b <= p <= b+k-1) — a native array filter,
+    # so the token text never shuffles
+    joined = toks.join(bad_per_doc, "id", "left")
+    # split() tokens are never null, so a dropped token can be marked null
+    kept_arr = F.when(F.col("bads").isNull(), F.col("ts")).otherwise(
+        F.filter(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
+                "ts",
+                lambda x, i: F.when(
+                    ~F.exists(
+                        "bads", lambda b: (b <= i + 1) & (i + 1 <= b + F.lit(k - 1))
+                    ),
+                    x,
+                ),
             ),
-            " ",
-        ).alias("text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    totals = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"))
-    return (
-        docs.select(F.col(id_col).alias("id"))
-        .join(totals, "id", "left")
-        .join(rebuilt, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("text", F.lit("")).alias("text"),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            (F.coalesce("n_tokens", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_dropped"),
+            lambda x: x.isNotNull(),
         )
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(kept_arr, " ").alias("text"),
+        F.size("ts").cast("long").alias("n_tokens"),
+        (F.size("ts") - F.size(kept_arr)).cast("long").alias("n_dropped"),
     )
 
 
