@@ -3385,3 +3385,52 @@ FROM labeled l JOIN canon c USING (component_id)
 
 QUERIES["dedup_canonical"] = q_dedup_canonical
 ORACLES["dedup_canonical"] = SQL_DEDUP_CANONICAL
+
+
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static data mixing (operators/curation.mix_corpus, the Pile /
+    DoReMi-static recipe): per-source sampling rates from target mixture
+    weights and a token budget; rates above 1 repeat the source for
+    floor(rate) full epochs plus a deterministic md5-threshold fractional
+    sample. Also exercises stratified_sample via the same md5-uniform
+    contract. Hash-gated: every (doc, epoch) row must match."""
+    from chronon_spark.operators.curation import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_corpus(
+        docs,
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        token_budget=5000,
+    )
+    return out.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+
+
+_TOKN = """CASE WHEN length(regexp_replace(trim(text), '\\s+', ' ', 'g')) = 0 THEN 0
+      ELSE CAST((length(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+           - length(replace(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ', ''))) AS BIGINT) + 1
+ END"""
+
+SQL_MIX_CORPUS = f"""
+WITH wt(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+nt AS (SELECT doc_id, source, {_TOKN} AS n_tokens FROM documents),
+tot AS (SELECT source, sum(n_tokens) AS t FROM nt GROUP BY source),
+rates AS (
+  SELECT w.source, (CAST(5000 AS DOUBLE) * w.w) / CAST(t.t AS DOUBLE) AS rate
+  FROM wt w JOIN tot t USING (source)
+), cand AS (
+  SELECT d.doc_id, d.source, r.rate, u.epoch
+  FROM documents d
+  JOIN rates r USING (source),
+       LATERAL unnest(range(0, CAST(floor(r.rate) AS BIGINT) + 1)) AS u(epoch)
+  WHERE r.rate > 0
+)
+SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+FROM cand
+WHERE epoch < floor(rate)
+   OR (CAST(concat('0x', substr(md5('mix:' || CAST(epoch AS VARCHAR) || ':' ||
+            CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0
+      < rate - floor(rate)
+"""
+
+QUERIES["mix_corpus"] = q_mix_corpus
+ORACLES["mix_corpus"] = SQL_MIX_CORPUS

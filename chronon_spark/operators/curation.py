@@ -505,3 +505,108 @@ def gumbel_topk(
     return scored.withColumn("gumbel_rank", F.row_number().over(w)).where(
         F.col("gumbel_rank") <= k
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5-derived
+    uniform (a pure function of (salt, id) — stable under resharding,
+    re-runs and corpus growth, the hash_split contract) falls below the
+    stratum's fraction. Unlike df.sample(), membership never depends on
+    partition layout, so backfills and incremental runs agree forever."""
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (u32 + 0.5) / float(1 << 32)
+    frac = None
+    for k, v in fractions.items():
+        cond = F.col(strata_col) == k
+        frac = F.when(cond, F.lit(float(v))) if frac is None else frac.when(cond, F.lit(float(v)))
+    frac = F.lit(float(default_fraction)) if frac is None else frac.otherwise(
+        F.lit(float(default_fraction))
+    )
+    return docs.where(u < frac)
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Static data mixing (the Pile / DoReMi-static recipe, public): build a
+    training corpus whose per-source token counts match ``weights`` at
+    ``token_budget`` total tokens. Each source's sampling RATE is
+    budget*w_s / tokens_s; rates above 1 repeat the source for
+    floor(rate) full epochs plus a deterministic fractional sample (the
+    standard up-sampling of small high-quality sources). Returns the mixed
+    corpus with an ``epoch`` column (0-based copy index) — one output row
+    per (kept doc, epoch).
+
+    Everything is deterministic and layout-invariant: per-source token
+    totals are one bounded groupBy (sources are few), rates broadcast back,
+    and membership of the fractional epoch is an md5-threshold test salted
+    with the epoch index. At 100TB nothing shuffles except the
+    source-count aggregate — selection is a map-side filter.
+    """
+    toks = (F.col(tokens_col) if tokens_col else token_count(F.col(text_col))).cast(
+        "long"
+    )
+    base = docs.withColumn("__nt", toks)
+    totals = {
+        r[strata_col]: r["t"]
+        for r in base.groupBy(strata_col).agg(F.sum("__nt").alias("t")).collect()
+    }
+    unknown = set(weights) - set(totals)
+    if unknown:
+        raise ValueError(f"mix_corpus: weights for absent strata {sorted(unknown)}")
+    rates = {
+        s: (float(token_budget) * w / float(totals[s])) if totals[s] else 0.0
+        for s, w in weights.items()
+    }
+
+    rate = None
+    for s, r in rates.items():
+        cond = F.col(strata_col) == s
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = F.lit(0.0) if rate is None else rate.otherwise(F.lit(0.0))
+
+    max_epochs = int(max(rates.values(), default=0.0)) + 1
+    epochs = F.sequence(F.lit(0), F.least(F.floor(rate), F.lit(max_epochs)))
+    out = base.withColumn("__rate", rate).where(F.col("__rate") > 0)
+    out = out.withColumn("epoch", F.explode(epochs))
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (u32 + 0.5) / float(1 << 32)
+    # epochs below floor(rate) are full copies; the last is fractional
+    return out.where(
+        (F.col("epoch") < F.floor("__rate")) | (u < F.col("__rate") - F.floor("__rate"))
+    ).drop("__nt", "__rate")

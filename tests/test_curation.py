@@ -494,3 +494,89 @@ def test_gumbel_topk_deterministic_and_weight_skewed(spark):
     ]
     assert a == b  # md5-derived noise: layout-invariant sample
     assert sum(1 for i in a if i < 50) >= 12  # skews hard toward the heavy weights
+
+
+# ------------------------------------------------------------------ sampling
+
+def _u32(salt, key):
+    import hashlib
+
+    return (int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    from chronon_spark.operators.curation import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(docs, {"a": 0.25, "b": 0.75})
+    got = sorted(r["doc_id"] for r in out.collect())
+    expect = sorted(
+        i for i, s in rows if _u32("strat", i) < (0.25 if s == "a" else 0.75)
+    )
+    assert got == expect
+    # layout-invariant
+    got2 = sorted(r["doc_id"] for r in stratified_sample(docs.repartition(13), {"a": 0.25, "b": 0.75}).collect())
+    assert got2 == got
+    # unlisted strata default to 0
+    assert stratified_sample(docs, {"a": 0.5}).where("source = 'b'").count() == 0
+
+
+def test_mix_corpus_matches_python_oracle_and_budget(spark):
+    from chronon_spark.operators.curation import mix_corpus
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice(["s1", "s2", "s3"]), " ".join("w" for _ in range(rng.randint(5, 30))))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    weights, budget = {"s1": 0.6, "s2": 0.4}, 4000
+    out = mix_corpus(docs, weights, budget)
+    got = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+
+    ntok = {i: len(t.split()) for i, _, t in rows}
+    tot = {}
+    for i, s, _ in rows:
+        tot[s] = tot.get(s, 0) + ntok[i]
+    rates = {s: float(budget) * w / float(tot[s]) for s, w in weights.items()}
+    expect = []
+    for i, s, _ in rows:
+        r = rates.get(s, 0.0)
+        if r <= 0:
+            continue
+        full = int(r // 1)
+        for e in range(full + 1):
+            if e < full or _u32(f"mix:{e}", i) < r - full:
+                expect.append((i, e))
+    assert got == sorted(expect)
+    # s3 has no weight: never sampled
+    assert not any(rows[i][1] == "s3" for i, _ in got if rows[i][0] == i and rows[i][1] == "s3")
+    # realized token mass tracks the target mixture within sampling noise
+    mass = {}
+    for i, e in got:
+        s = rows[i][1]
+        mass[s] = mass.get(s, 0) + ntok[i]
+    total = sum(mass.values())
+    for s, w in weights.items():
+        assert abs(mass[s] / total - w) < 0.08, (s, mass[s] / total, w)
+
+
+def test_mix_corpus_epoch_repetition_and_validation(spark):
+    from chronon_spark.operators.curation import mix_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "tiny", "five words of text here") for i in range(10)]
+        + [(100 + i, "big", " ".join("x" for _ in range(100))) for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    # tiny source: 50 tokens total; budget*0.5 = 125 tokens -> rate 2.5:
+    # every tiny doc appears at least twice (2 full epochs)
+    out = mix_corpus(docs, {"tiny": 0.5, "big": 0.5}, 250)
+    per_doc = {}
+    for r in out.where("source = 'tiny'").collect():
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    assert set(per_doc) == set(range(10))
+    assert all(c >= 2 for c in per_doc.values())
+    with pytest.raises(ValueError, match="absent strata"):
+        mix_corpus(docs, {"nope": 1.0}, 100)
