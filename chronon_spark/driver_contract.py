@@ -3434,3 +3434,50 @@ WHERE epoch < floor(rate)
 
 QUERIES["mix_corpus"] = q_mix_corpus
 ORACLES["mix_corpus"] = SQL_MIX_CORPUS
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/curation.lm_perplexity,
+    Wenzek et al. 2020): hashed-vocab bigram LM with add-1 smoothing fit on
+    the 'en' reference slice; per-doc score = integer sum of quantized
+    bigram log-probs (order-independent, exact cross-engine)."""
+    from chronon_spark.operators.curation import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_perplexity(docs, docs.where(F.col("lang") == "en"), buckets=4096)
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(
+           string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+           t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 4096
+         ) AS tb
+  FROM documents
+), big AS (
+  SELECT doc_id, lang, tb[i] AS b1, tb[i+1] AS b2
+  FROM (SELECT doc_id, lang, tb, unnest(range(1, len(tb))) AS i
+        FROM toks WHERE len(tb) >= 2)
+), c2 AS (
+  SELECT b1, b2, count(*) AS c2 FROM big WHERE lang = 'en' GROUP BY b1, b2
+), c1 AS (
+  SELECT b1, count(*) AS c1 FROM big WHERE lang = 'en' GROUP BY b1
+), scored AS (
+  SELECT g.doc_id, count(*) AS n_bigrams,
+         sum(CAST(round(1000000.0 * (
+               ln(CAST(COALESCE(p.c2, 0) + 1 AS DOUBLE))
+             - ln(CAST(COALESCE(u.c1, 0) + 4096 AS DOUBLE)))) AS BIGINT)) AS logprob_q
+  FROM big g
+  LEFT JOIN c2 p ON g.b1 = p.b1 AND g.b2 = p.b2
+  LEFT JOIN c1 u ON g.b1 = u.b1
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.logprob_q, 0) AS BIGINT) AS logprob_q
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+QUERIES["lm_perplexity"] = q_lm_perplexity
+ORACLES["lm_perplexity"] = SQL_LM_PERPLEXITY

@@ -610,3 +610,84 @@ def mix_corpus(
     return out.where(
         (F.col("epoch") < F.floor("__rate")) | (u < F.col("__rate") - F.floor("__rate"))
     ).drop("__nt", "__rate")
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    reference: DataFrame,
+    buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    public: documents are ranked by the perplexity of a small LM trained on
+    a trusted reference corpus). Scalable form: a HASHED-vocabulary bigram
+    LM with add-1 smoothing — tokens hash to ``buckets`` ids (md5, bounding
+    LM state regardless of vocabulary growth), the reference fits
+    p(b2|b1) = (c2(b1,b2)+1)/(c1(b1)+B), and each document scores the sum
+    of its bigrams' log-probs. Per-bigram log-probs are QUANTIZED to
+    integers (round(quant*lp)) so document scores are order-independent
+    integer sums — bit-identical in any engine (the dsir_weights contract).
+
+    Returns (id_col, n_bigrams, logprob_q); perplexity ~
+    exp(-logprob_q / (quant * n_bigrams)), monotone in the returned score —
+    filter on logprob_q / n_bigrams.
+
+    Shuffle shape at 100TB: unigram counts are <= B rows (broadcast);
+    bigram counts bound at B^2 but are corpus-sparse — they join the
+    document bigram frame on (b1, b2), a NARROW equi-join of int pairs;
+    scoring is one groupBy(id) integer sum.
+    """
+    b32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % buckets
+
+    def bigram_frame(d: DataFrame) -> DataFrame:
+        from chronon_spark.operators.dedup import normalize_text
+
+        toks = d.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.split(normalize_text(F.col(text_col)), " "), lambda t: b32(t)
+            ).alias("tb"),
+        )
+        n = F.size("tb")
+        pairs = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice("tb", 1, n - 1),
+                F.slice("tb", 2, n - 1),
+                lambda a, b: F.struct(a.alias("b1"), b.alias("b2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<b1:long,b2:long>>"))
+        return toks.select("id", F.explode(pairs).alias("p")).select(
+            "id", F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2")
+        )
+
+    ref_big = bigram_frame(reference)
+    c2 = ref_big.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = ref_big.groupBy("b1").agg(F.count(F.lit(1)).alias("c1"))
+
+    corpus = bigram_frame(docs)
+    lp_q = F.round(
+        F.lit(float(quant))
+        * (
+            F.log((F.coalesce("c2", F.lit(0)) + 1).cast("double"))
+            - F.log((F.coalesce("c1", F.lit(0)) + buckets).cast("double"))
+        )
+    ).cast("long")
+    scored = (
+        corpus.join(c2, ["b1", "b2"], "left")
+        .join(F.broadcast(c1), "b1", "left")
+        .withColumn("lp_q", lp_q)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp_q").alias("logprob_q"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("logprob_q", F.lit(0)).cast("long").alias("logprob_q"),
+        )
+    )

@@ -580,3 +580,70 @@ def test_mix_corpus_epoch_repetition_and_validation(spark):
     assert all(c >= 2 for c in per_doc.values())
     with pytest.raises(ValueError, match="absent strata"):
         mix_corpus(docs, {"nope": 1.0}, 100)
+
+
+# --------------------------------------------------------------- lm filter
+
+def _py_lm(rows, ref_ids, buckets, quant=1_000_000):
+    import hashlib
+    import math
+
+    def tb(text):
+        ws = " ".join(text.lower().split()).split(" ")
+        return [int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % buckets for w in ws]
+
+    c1, c2 = {}, {}
+    for i, t in rows:
+        if i not in ref_ids:
+            continue
+        b = tb(t)
+        for x, y in zip(b, b[1:]):
+            c1[x] = c1.get(x, 0) + 1
+            c2[(x, y)] = c2.get((x, y), 0) + 1
+    out = {}
+    for i, t in rows:
+        b = tb(t)
+        pairs = list(zip(b, b[1:]))
+        lp = sum(
+            round(quant * (math.log(c2.get(p, 0) + 1) - math.log(c1.get(p[0], 0) + buckets)))
+            for p in pairs
+        )
+        out[i] = (len(pairs), lp)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_lm_perplexity_matches_python_oracle(spark, seed):
+    from chronon_spark.operators.curation import lm_perplexity
+
+    rng = random.Random(seed)
+    rows = [
+        (i, " ".join(rng.choice(WORDS) for _ in range(rng.randint(0, 25))))
+        for i in range(60)
+    ]
+    ref_ids = {i for i, _ in rows if i % 3 == 0}
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_q"])
+        for r in lm_perplexity(docs, ref, buckets=512).collect()
+    }
+    expect = _py_lm(rows, ref_ids, buckets=512)
+    assert got == expect
+
+
+def test_lm_perplexity_ranks_in_domain_higher(spark):
+    """Docs drawn from the reference's vocabulary must score higher
+    (less negative per-bigram log-prob) than out-of-domain docs."""
+    from chronon_spark.operators.curation import lm_perplexity
+
+    rng = random.Random(3)
+    in_dom = [(i, " ".join(rng.choice(WORDS[:5]) for _ in range(20))) for i in range(30)]
+    out_dom = [(100 + i, " ".join(rng.choice(WORDS[10:]) for _ in range(20))) for i in range(30)]
+    docs = spark.createDataFrame(in_dom + out_dom, "doc_id long, text string")
+    ref = docs.where(F.col("doc_id") < 10)
+    got = {r["doc_id"]: r["logprob_q"] / max(r["n_bigrams"], 1)
+           for r in lm_perplexity(docs, ref, buckets=1024).collect()}
+    avg_in = sum(got[i] for i, _ in in_dom) / len(in_dom)
+    avg_out = sum(got[i] for i, _ in out_dom) / len(out_dom)
+    assert avg_in > avg_out + 1_000_000  # > 1 nat per bigram separation
