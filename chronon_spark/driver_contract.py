@@ -3481,3 +3481,47 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 QUERIES["lm_perplexity"] = q_lm_perplexity
 ORACLES["lm_perplexity"] = SQL_LM_PERPLEXITY
+
+
+def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction plumbing composed with ANN
+    (operators/multimodal.embed_payload -> similarity.brute_force_knn):
+    binary payloads embed through Arrow-batched mapInPandas (md5-seeded
+    deterministic kernel standing in for the encoder model) and the
+    resulting vectors feed exact cosine top-3. Hash-gated end to end —
+    the oracle rebuilds the identical float32 vectors in SQL."""
+    from chronon_spark.operators.multimodal import attach_binary_payload, embed_payload
+    from chronon_spark.operators.similarity import brute_force_knn
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_payload(attach_binary_payload(docs), dim=16)
+    return brute_force_knn(
+        emb, emb.where(F.col("doc_id") < 30), k=3, id_col="doc_id", query_id_col="doc_id"
+    )
+
+
+SQL_MULTIMODAL_EMBED = """
+WITH e AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), j ->
+           CAST((CAST(concat('0x', substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 0.5) / 2147483648.0 - 1.0 AS FLOAT)) AS embedding
+  FROM documents
+), q AS (SELECT doc_id, embedding FROM e WHERE doc_id < 30),
+pairs AS (
+  SELECT q.doc_id AS query_id, v.doc_id AS neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(q.embedding, v.embedding),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS sim
+  FROM q JOIN e v ON q.doc_id <> v.doc_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+FROM pairs QUALIFY rank <= 3
+"""
+
+QUERIES["multimodal_embed"] = q_multimodal_embed
+ORACLES["multimodal_embed"] = SQL_MULTIMODAL_EMBED

@@ -95,3 +95,35 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
 
     return df.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+EMBED_SCHEMA = "doc_id long, embedding array<float>"
+
+
+def embed_payload(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction stand-in: binary payload -> embedding vector
+    (array<float>) through Arrow-batched mapInPandas — the real shape of an
+    encoder-model feature extractor (binary in, fixed-dim float vector
+    out, batch-at-a-time), with the model call stubbed to a deterministic
+    md5-seeded kernel: component j = md5(payload || ':' || j) mapped to
+    [-1, 1) at 2^-32 resolution, so any SQL engine reproduces the vector
+    bit-for-bit (floats are exact dyadic rationals). Output feeds the
+    similarity operators unchanged — multimodal ingest composes with
+    brute-force/LSH/IVF ANN end-to-end."""
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                vecs.append(
+                    [
+                        (int(hashlib.md5(b + f":{j}".encode()).hexdigest()[:8], 16) + 0.5)
+                        / 2**31
+                        - 1.0
+                        for j in range(dim)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+    return df.mapInPandas(embed, EMBED_SCHEMA)

@@ -475,3 +475,36 @@ def test_dedup_canonical_custom_quality(spark):
         for r in dedup_canonical(docs, pairs, quality_col=F.col("score")).collect()
     }
     assert got[1]["is_canonical"] and not got[2]["is_canonical"]
+
+
+def test_embed_payload_deterministic_and_feeds_knn(spark):
+    """Feature-extraction plumbing: binary -> float32 vector via Arrow
+    batches, deterministic across layouts, composable with ANN."""
+    import hashlib
+
+    from chronon_spark.operators.multimodal import attach_binary_payload, embed_payload
+    from chronon_spark.operators.similarity import brute_force_knn
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some text") for i in range(30)],
+        "doc_id long, text string",
+    )
+    emb = embed_payload(attach_binary_payload(docs), dim=8)
+    rows = {r["doc_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert all(len(v) == 8 for v in rows.values())
+    assert all(-1.0 <= x < 1.0 for v in rows.values() for x in v)
+    # kernel matches the documented md5 formula exactly
+    b = f"document number 3 with some text".encode()
+    import numpy as np
+
+    exp0 = np.float32((int(hashlib.md5(b + b":0").hexdigest()[:8], 16) + 0.5) / 2**31 - 1.0)
+    assert rows[3][0] == float(exp0)
+    # layout invariance
+    emb2 = embed_payload(attach_binary_payload(docs.repartition(7)), dim=8)
+    assert {r["doc_id"]: list(r["embedding"]) for r in emb2.collect()} == rows
+    # composes with the similarity operators
+    knn = brute_force_knn(emb, emb.where("doc_id < 3"), k=2,
+                          id_col="doc_id", query_id_col="doc_id")
+    out = knn.collect()
+    assert {r["query_id"] for r in out} == {0, 1, 2}
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)
