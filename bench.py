@@ -50,6 +50,8 @@ def main() -> None:
         "curation",            # decontaminate + split + pack (round 4)
         "dedup_spans",         # ExactSubstr span removal (round 4)
         "dsir_select",         # DSIR importance weighting (round 4)
+        "bpe_tokenize",        # pandas-UDF BPE apply over distinct words (round 4)
+        "multimodal_embed",    # mapInPandas embed -> brute-force ANN (round 4)
     ):
         if extra in QUERIES:
             headline.append(extra)

@@ -647,3 +647,41 @@ def test_lm_perplexity_ranks_in_domain_higher(spark):
     avg_in = sum(got[i] for i, _ in in_dom) / len(in_dom)
     avg_out = sum(got[i] for i, _ in out_dom) / len(out_dom)
     assert avg_in > avg_out + 1_000_000  # > 1 nat per bigram separation
+
+
+@pytest.mark.parametrize("seed", [5, 6, 7])
+def test_mix_corpus_random_config_sweep(spark, seed):
+    """Random weights/budgets/strata vs the python oracle — including
+    weight-0 sources, single-doc strata, and rates straddling 1.0."""
+    from chronon_spark.operators.curation import mix_corpus
+
+    rng = random.Random(seed)
+    strata = [f"g{j}" for j in range(rng.randint(2, 5))]
+    rows = [
+        (i, rng.choice(strata), " ".join("tok" for _ in range(rng.randint(1, 40))))
+        for i in range(rng.randint(50, 150))
+    ]
+    # ensure every stratum has at least one doc
+    for j, s in enumerate(strata):
+        rows.append((10_000 + j, s, "one two three"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    weights = {s: rng.uniform(0.1, 1.0) for s in strata[: rng.randint(1, len(strata))]}
+    budget = rng.randint(500, 8000)
+
+    got = sorted((r["doc_id"], r["epoch"]) for r in mix_corpus(docs, weights, budget).collect())
+
+    ntok = {i: len(t.split()) for i, _, t in rows}
+    tot = {}
+    for i, s, _ in rows:
+        tot[s] = tot.get(s, 0) + ntok[i]
+    rates = {s: float(budget) * w / float(tot[s]) for s, w in weights.items()}
+    expect = []
+    for i, s, _ in rows:
+        r = rates.get(s, 0.0)
+        if r <= 0:
+            continue
+        full = int(r // 1)
+        for e in range(full + 1):
+            if e < full or _u32(f"mix:{e}", i) < r - full:
+                expect.append((i, e))
+    assert got == sorted(expect), (weights, budget)
