@@ -3122,53 +3122,6 @@ QUERIES["dedup_lines"] = q_dedup_lines
 ORACLES["dedup_lines"] = SQL_DEDUP_LINES
 
 
-#: the first 50 registry names — every one oracle-backed — form the driver's
-#: CORRECTNESS window; everything after is pytest-parity-only (rows-only
-#: diagnostics and the standalone halves of the combined gates)
-DRIVER_WINDOW = [
-    "tpch_q1", "join_pricing", "groupby_lifetime", "moments", "percentile",
-    "first_last", "topk_per_user", "histogram", "groupby_buckets",
-    "asof_estimators", "asof_last_k", "asof_join_multi", "asof_join_snapshot",
-    "snapshot_events", "curation", "sessionize_lag", "iceberg_scan",
-    "transcripts_backfill", "mutations_temporal", "snapshot_entities",
-    "staging_query", "label_join", "bootstrap_backfill", "external_parts",
-    "join_chain", "cumulative_source", "skew_join", "text_features",
-    "dedup_exact", "dedup_ngram", "dedup_minhash_lsh", "dedup_components",
-    "knn", "embedding_neardup", "multimodal_meta", "frame_sample",
-    "simhash_neardup", "lsh_knn", "upload_fetch", "collection_agg",
-    "asof_derivations", "semijoin_reduce", "relational_edge", "text_quality_ext",
-    "approx_percentile_exact", "approx_unique_exact", "mg_histogram",
-    "log_flatten", "selection_part", "cdc_join_part",
-]
-
-assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
-assert all(n in ORACLES for n in DRIVER_WINDOW), [
-    n for n in DRIVER_WINDOW if n not in ORACLES
-]
-QUERIES = {
-    **{n: QUERIES[n] for n in DRIVER_WINDOW},
-    **{n: f for n, f in QUERIES.items() if n not in DRIVER_WINDOW},
-}
-
-
-def _release_before(fn):
-    """Each driver query starts by releasing the previous query's estimator-
-    internal cached frames (plans/cache registry): the harness runs dozens of
-    queries in one session, and dead cache blocks from completed plans would
-    otherwise accumulate for the session's lifetime."""
-
-    def wrapped(spark, sf_dir, _fn=fn):
-        from chronon_spark.plans.cache import release_plan_caches
-
-        release_plan_caches()
-        return _fn(spark, sf_dir)
-
-    wrapped.__name__ = getattr(fn, "__name__", "q")
-    wrapped.__doc__ = fn.__doc__
-    return wrapped
-
-
-QUERIES = {n: _release_before(f) for n, f in QUERIES.items()}
 
 
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3525,3 +3478,211 @@ FROM pairs QUALIFY rank <= 3
 
 QUERIES["multimodal_embed"] = q_multimodal_embed
 ORACLES["multimodal_embed"] = SQL_MULTIMODAL_EMBED
+
+
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs and embedding-LSH near-dup pairs in one
+    labeled union — one driver row gates both pairwise near-dup algorithms
+    (standalone variants stay past the window for pytest)."""
+    sh = q_simhash_neardup(spark, sf_dir).select(
+        F.lit("simhash").alias("op"), "id_a", "id_b",
+        F.col("hamming").cast("double").alias("metric"),
+    )
+    em = q_embedding_neardup(spark, sf_dir).select(
+        F.lit("embedding").alias("op"), "id_a", "id_b",
+        F.col("sim").alias("metric"),
+    )
+    return sh.unionByName(em)
+
+
+SQL_NEARDUP_PAIRS = f"""
+SELECT 'simhash' AS op, id_a, id_b, CAST(hamming AS DOUBLE) AS metric
+FROM ({{sql_simhash}})
+UNION ALL
+SELECT 'embedding' AS op, id_a, id_b, sim AS metric
+FROM ({{sql_embedding}})
+""".format(sql_simhash=ORACLES["simhash_neardup"], sql_embedding=ORACLES["embedding_neardup"])
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three multimodal batch shapes in one labeled union: metadata
+    decode (1:1 mapInPandas), frame sampling (1:N fan-out), and feature
+    extraction -> exact ANN (binary -> float32 vectors -> cosine top-3)."""
+    meta = q_multimodal_meta(spark, sf_dir).select(
+        F.lit("meta").alias("op"), F.col("doc_id").alias("id"),
+        F.col("byte_len").alias("n1"), F.col("width").cast("long").alias("n2"),
+        F.col("height").cast("long").alias("n3"),
+        F.concat("format", F.lit(":"), "content_md5").alias("tag"),
+        F.lit(0.0).alias("val"),
+    )
+    fr = q_frame_sample(spark, sf_dir).select(
+        F.lit("frame").alias("op"), F.col("doc_id").alias("id"),
+        F.col("frame_idx").cast("long").alias("n1"), F.lit(0).cast("long").alias("n2"),
+        F.lit(0).cast("long").alias("n3"), F.col("frame_md5").alias("tag"),
+        F.lit(0.0).alias("val"),
+    )
+    em = q_multimodal_embed(spark, sf_dir).select(
+        F.lit("embed").alias("op"), F.col("query_id").alias("id"),
+        F.col("neighbor_id").alias("n1"), F.col("rank").cast("long").alias("n2"),
+        F.lit(0).cast("long").alias("n3"), F.lit("").alias("tag"),
+        F.col("sim").alias("val"),
+    )
+    return meta.unionByName(fr).unionByName(em)
+
+
+SQL_MULTIMODAL = f"""
+SELECT 'meta' AS op, doc_id AS id, byte_len AS n1, CAST(width AS BIGINT) AS n2,
+       CAST(height AS BIGINT) AS n3, format || ':' || content_md5 AS tag, 0.0 AS val
+FROM ({{sql_meta}})
+UNION ALL
+SELECT 'frame' AS op, doc_id AS id, CAST(frame_idx AS BIGINT) AS n1,
+       CAST(0 AS BIGINT) AS n2, CAST(0 AS BIGINT) AS n3, frame_md5 AS tag, 0.0 AS val
+FROM ({{sql_frame}})
+UNION ALL
+SELECT 'embed' AS op, query_id AS id, neighbor_id AS n1, CAST(rank AS BIGINT) AS n2,
+       CAST(0 AS BIGINT) AS n3, '' AS tag, sim AS val
+FROM ({{sql_embed}})
+""".format(sql_meta=ORACLES["multimodal_meta"], sql_frame=ORACLES["frame_sample"],
+           sql_embed=SQL_MULTIMODAL_EMBED)
+
+
+def q_corpus_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three corpus content-rewrite deciders in one labeled union:
+    ExactSubstr span removal, C4 line removal (both with rebuilt text), and
+    keep-best cluster canonicalization."""
+    sp = q_dedup_spans(spark, sf_dir).select(
+        F.lit("spans").alias("op"), "doc_id", F.col("text").alias("payload"),
+        F.col("n_tokens").alias("n1"), F.col("n_dropped").alias("n2"),
+    )
+    ln = q_dedup_lines(spark, sf_dir).select(
+        F.lit("lines").alias("op"), "doc_id", F.col("text").alias("payload"),
+        F.col("n_lines").alias("n1"), F.col("n_dropped").alias("n2"),
+    )
+    cn = q_dedup_canonical(spark, sf_dir).select(
+        F.lit("canonical").alias("op"), "doc_id",
+        F.col("canonical_id").cast("string").alias("payload"),
+        F.col("component_id").alias("n1"),
+        F.col("is_canonical").cast("long").alias("n2"),
+    )
+    return sp.unionByName(ln).unionByName(cn)
+
+
+SQL_CORPUS_REWRITE = f"""
+SELECT 'spans' AS op, doc_id, text AS payload, n_tokens AS n1, n_dropped AS n2
+FROM ({{sql_spans}})
+UNION ALL
+SELECT 'lines' AS op, doc_id, text AS payload, n_lines AS n1, n_dropped AS n2
+FROM ({{sql_lines}})
+UNION ALL
+SELECT 'canonical' AS op, doc_id, CAST(canonical_id AS VARCHAR) AS payload,
+       component_id AS n1, CAST(is_canonical AS BIGINT) AS n2
+FROM ({{sql_canon}})
+""".format(sql_spans=SQL_DEDUP_SPANS, sql_lines=SQL_DEDUP_LINES, sql_canon=SQL_DEDUP_CANONICAL)
+
+
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four corpus scoring/selection operators in one labeled union:
+    DSIR importance weights, CCNet LM quality scores, static data mixing
+    (doc x epoch), and BPE tokenization fingerprints."""
+    ds = q_dsir_select(spark, sf_dir).select(
+        F.lit("dsir").alias("op"), "doc_id", F.col("n_grams").alias("n1"),
+        F.col("weight_q").alias("n2"), F.col("selected").cast("string").alias("tag"),
+    )
+    lm = q_lm_perplexity(spark, sf_dir).select(
+        F.lit("lm").alias("op"), "doc_id", F.col("n_bigrams").alias("n1"),
+        F.col("logprob_q").alias("n2"), F.lit("").alias("tag"),
+    )
+    mx = q_mix_corpus(spark, sf_dir).select(
+        F.lit("mix").alias("op"), "doc_id", F.col("epoch").alias("n1"),
+        F.lit(0).cast("long").alias("n2"), F.col("source").alias("tag"),
+    )
+    bp = q_bpe_tokenize(spark, sf_dir).select(
+        F.lit("bpe").alias("op"), "doc_id", F.col("n_words").alias("n1"),
+        F.col("n_bpe_tokens").alias("n2"), F.col("tokens_fp").alias("tag"),
+    )
+    return ds.unionByName(lm).unionByName(mx).unionByName(bp)
+
+
+SQL_CORPUS_SELECT = f"""
+SELECT 'dsir' AS op, doc_id, n_grams AS n1, weight_q AS n2,
+       CAST(selected AS VARCHAR) AS tag
+FROM ({{sql_dsir}})
+UNION ALL
+SELECT 'lm' AS op, doc_id, n_bigrams AS n1, logprob_q AS n2, '' AS tag
+FROM ({{sql_lm}})
+UNION ALL
+SELECT 'mix' AS op, doc_id, epoch AS n1, CAST(0 AS BIGINT) AS n2, source AS tag
+FROM ({{sql_mix}})
+UNION ALL
+SELECT 'bpe' AS op, doc_id, n_words AS n1, n_bpe_tokens AS n2, tokens_fp AS tag
+FROM ({{sql_bpe}})
+""".format(sql_dsir=SQL_DSIR_SELECT, sql_lm=SQL_LM_PERPLEXITY,
+           sql_mix=SQL_MIX_CORPUS, sql_bpe=ORACLES["bpe_tokenize"])
+
+
+QUERIES.update(
+    {
+        "neardup_pairs": q_neardup_pairs,
+        "multimodal": q_multimodal,
+        "corpus_rewrite": q_corpus_rewrite,
+        "corpus_select": q_corpus_select,
+    }
+)
+ORACLES.update(
+    {
+        "neardup_pairs": SQL_NEARDUP_PAIRS,
+        "multimodal": SQL_MULTIMODAL,
+        "corpus_rewrite": SQL_CORPUS_REWRITE,
+        "corpus_select": SQL_CORPUS_SELECT,
+    }
+)
+
+
+
+#: the first 50 registry names — every one oracle-backed — form the driver's
+#: CORRECTNESS window; everything after is pytest-parity-only (rows-only
+#: diagnostics and the standalone halves of the combined gates)
+DRIVER_WINDOW = [
+    "tpch_q1", "join_pricing", "groupby_lifetime", "moments", "percentile",
+    "first_last", "topk_per_user", "histogram", "groupby_buckets",
+    "asof_estimators", "asof_last_k", "asof_join_multi", "asof_join_snapshot",
+    "snapshot_events", "curation", "sessionize_lag", "iceberg_scan",
+    "transcripts_backfill", "mutations_temporal", "snapshot_entities",
+    "staging_query", "label_join", "bootstrap_backfill", "external_parts",
+    "join_chain", "cumulative_source", "skew_join", "text_features",
+    "dedup_exact", "dedup_ngram", "dedup_minhash_lsh", "dedup_components",
+    "knn", "neardup_pairs", "multimodal", "corpus_rewrite",
+    "corpus_select", "lsh_knn", "upload_fetch", "collection_agg",
+    "asof_derivations", "semijoin_reduce", "relational_edge", "text_quality_ext",
+    "approx_percentile_exact", "approx_unique_exact", "mg_histogram",
+    "log_flatten", "selection_part", "cdc_join_part",
+]
+
+assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+assert all(n in ORACLES for n in DRIVER_WINDOW), [
+    n for n in DRIVER_WINDOW if n not in ORACLES
+]
+QUERIES = {
+    **{n: QUERIES[n] for n in DRIVER_WINDOW},
+    **{n: f for n, f in QUERIES.items() if n not in DRIVER_WINDOW},
+}
+
+
+def _release_before(fn):
+    """Each driver query starts by releasing the previous query's estimator-
+    internal cached frames (plans/cache registry): the harness runs dozens of
+    queries in one session, and dead cache blocks from completed plans would
+    otherwise accumulate for the session's lifetime."""
+
+    def wrapped(spark, sf_dir, _fn=fn):
+        from chronon_spark.plans.cache import release_plan_caches
+
+        release_plan_caches()
+        return _fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "q")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+QUERIES = {n: _release_before(f) for n, f in QUERIES.items()}
