@@ -3686,3 +3686,38 @@ def _release_before(fn):
 
 
 QUERIES = {n: _release_before(f) for n, f in QUERIES.items()}
+
+
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT pair extraction (operators/sessionize.sft_pairs): every
+    assistant turn preceded by a user turn becomes a (prompt, response)
+    example with up to 3 role-tagged history turns packed into the prompt.
+    Hash-gated including the packed prompt text (per-turn text byte
+    equality under stable turn ordering — the north-rule invariant)."""
+    ev = _t(spark, sf_dir, "events")
+    from chronon_spark.operators.sessionize import sft_pairs
+
+    return sft_pairs(_transcripts_from_events(ev), max_history=3)
+
+
+SQL_SFT_PAIRS = f"""
+WITH t AS ({TRANSCRIPTS_SQL_DUCK}),
+h AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         list(struct_pack(i := turn_idx, r := role, t := text))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS hist
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       array_to_string(
+         list_transform(list_sort(hist), s -> s.r || ': ' || s.t), chr(10)) AS prompt,
+       text AS response,
+       CAST(len(hist) AS BIGINT) AS n_history
+FROM h
+WHERE role = 'assistant' AND prev_role = 'user'
+"""
+
+QUERIES["sft_pairs"] = q_sft_pairs
+ORACLES["sft_pairs"] = SQL_SFT_PAIRS

@@ -99,3 +99,55 @@ def _interval_to_ms(s: str) -> int:
         "day": 86_400_000,
     }[unit.rstrip("s")]
     return int(qty) * mult
+
+
+def sft_pairs(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    max_history: int = 0,
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Supervised-finetuning pair extraction from multi-turn transcripts —
+    the training-data prep step for conversational corpora: every assistant
+    turn whose immediately-preceding turn is a user turn yields one
+    (prompt, response) example; with ``max_history`` > 0 the prompt is the
+    role-tagged concatenation of up to that many preceding turns (the
+    standard multi-turn SFT context packing; public recipe in every
+    chat-model finetuning pipeline).
+
+    Returns (conv_col, turn_col, prompt, response, n_history). One window
+    pass per conversation — the same (conv, turn-order) partitioning the
+    rest of the transcript feature engine rides; per-turn text is passed
+    through byte-identical (the north-rule invariant).
+    """
+    w = SW.partitionBy(conv_col).orderBy(turn_col)
+    hist_frame = w.rowsBetween(-max(max_history, 1), -1)
+    hist = F.collect_list(
+        F.struct(F.col(turn_col).alias("i"), F.col(role_col).alias("r"), F.col(text_col).alias("t"))
+    ).over(hist_frame)
+    out = (
+        transcripts.withColumn("__prev_role", F.lag(role_col).over(w))
+        .withColumn("__hist", hist)  # materialized BEFORE the filter — the
+        # window must see every turn, not just the surviving assistant rows
+        .where(
+            (F.col(role_col) == assistant_role) & (F.col("__prev_role") == user_role)
+        )
+    )
+    prompt = F.array_join(
+        F.transform(
+            F.array_sort(F.col("__hist")),
+            lambda s: F.concat(s["r"], F.lit(": "), s["t"]),
+        ),
+        "\n",
+    )
+    return out.select(
+        conv_col,
+        turn_col,
+        prompt.alias("prompt"),
+        F.col(text_col).alias("response"),
+        F.size("__hist").cast("long").alias("n_history"),
+    )
