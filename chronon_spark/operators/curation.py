@@ -149,10 +149,12 @@ def dedup_lines_corpus(
     the reassembled text joins survivors with '. ' (normalized separators —
     the C4 transform is lossy by construction).
 
-    Shuffle shape at 100TB: ranking runs over a NARROW frame
-    (md5(line), doc_id, pos) — one hash-partitioned window — and winners
-    join back to the exploded lines on the same key, so full line text
-    never rides the ranking shuffle and both stages share one partitioning.
+    Shuffle shape at 100TB: first-occurrence detection is a map-side-
+    combinable min(struct) aggregate over a NARROW frame
+    (md5(line), doc_id, pos) — hot boilerplate lines partially aggregate
+    before the shuffle — and winners join back to the exploded lines on
+    the same key, so full line text never rides the ranking shuffle and
+    both stages share one partitioning.
     """
     from chronon_spark.operators.dedup import normalize_text
 
@@ -165,13 +167,13 @@ def dedup_lines_corpus(
         .where(F.length("line") > 0)
         .withColumn("h", F.md5(normalize_text(F.col("line"))))
     )
-    w = Window.partitionBy("h").orderBy("id", "pos")
-    winners = (
-        lines.select("h", "id", "pos")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    # first-occurrence detection via a combinable min(struct) aggregate
+    # rather than a row_number window — a boilerplate line duplicated
+    # millions of times would hot-spot one window partition, while this
+    # partially aggregates map-side (same rationale as dedup_spans_corpus)
+    winners = lines.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("w")
+    ).select("h", F.col("w.id").alias("id"), F.col("w.pos").alias("pos"))
     kept = lines.join(winners, ["h", "id", "pos"])
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
@@ -307,11 +309,13 @@ def dedup_spans_corpus(
 
     Returns (id_col, text, n_tokens, n_dropped).
 
-    Shuffle shape at 100TB: the window ranking runs over a NARROW frame
-    (md5(k-gram), doc_id, start) — one hash-partitioned window on the gram
-    hash; only DUPLICATED non-first windows (sparse by construction in a
-    deduplicated corpus) shuffle back, aggregated to ONE bad-start array
-    per affected doc. Document text never rides any shuffle: docs join the
+    Shuffle shape at 100TB: first-occurrence detection is a map-side-
+    combinable min(struct)/count aggregate over a NARROW frame
+    (md5(k-gram), doc_id, start) — hot boilerplate grams partially
+    aggregate before the shuffle and the duplicate-marking equi-join is
+    AQE-skew-splittable; only DUPLICATED non-first windows (sparse by
+    construction in a deduplicated corpus) shuffle back, aggregated to ONE
+    bad-start array per affected doc. Document text never rides any shuffle: docs join the
     sparse bad-array frame on their key and reassembly is a native
     array filter — no token explode, no groupBy rebuild. Gram hashes are
     md5 over the joined token slice so a DuckDB oracle replicates them
@@ -340,10 +344,17 @@ def dedup_spans_corpus(
         ).alias("g"),
     ).select("id", F.col("g.s").alias("s"), F.col("g.h").alias("h"))
 
-    w = Window.partitionBy("h").orderBy("id", "s")
+    # global-first detection as a map-side-combinable aggregate, NOT a
+    # row_number window: a boilerplate k-gram duplicated millions of times
+    # would concentrate one window partition (windows cannot AQE-split),
+    # while min(struct)/count partially aggregate before the shuffle and
+    # the remaining equi-join is AQE-skew-splittable
+    firsts = grams.groupBy("h").agg(
+        F.min(F.struct("id", "s")).alias("first"), F.count(F.lit(1)).alias("c")
+    )
     bad = (
-        grams.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") > 1)
+        grams.join(firsts.where(F.col("c") > 1), "h")
+        .where((F.col("id") != F.col("first.id")) | (F.col("s") != F.col("first.s")))
         .select("id", "s")
     )
     # one sorted bad-start array per AFFECTED doc (sparse frame)
