@@ -702,3 +702,37 @@ def lm_perplexity(
             F.coalesce("logprob_q", F.lit(0)).cast("long").alias("logprob_q"),
         )
     )
+
+
+def curate_pipeline(
+    docs: DataFrame,
+    stages: list[tuple],
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, list[dict]]:
+    """Declarative corpus-curation pipeline: apply ``stages`` — a list of
+    (name, callable) where each callable maps DataFrame -> DataFrame (rows
+    it returns survive) — and return (final_df, report). The report has one
+    {stage, rows_in, rows_out, dropped} entry per stage: the per-stage
+    lineage a production corpus job records next to its output (the
+    backfill-metrics contract of sources/tableio.py applied to curation).
+
+    Counting strategy: each stage boundary is counted ONCE via a real
+    action and the boundary frame is localCheckpoint()ed, so (a) the
+    lineage numbers are the truth of THIS run, not a recomputation, and
+    (b) stage N+1's plan starts from materialized stage-N output instead
+    of re-running the whole prefix — the standard iterative-pipeline
+    pattern (cf. dedup_components). At 100TB each boundary would be a
+    partitioned table write (tableio) instead; the composition and report
+    are identical.
+    """
+    report: list[dict] = []
+    cur = docs.localCheckpoint()
+    n = cur.count()
+    for name, fn in stages:
+        out = fn(cur).localCheckpoint()
+        m = out.count()
+        report.append(
+            {"stage": name, "rows_in": n, "rows_out": m, "dropped": n - m}
+        )
+        cur, n = out, m
+    return cur, report

@@ -685,3 +685,48 @@ def test_mix_corpus_random_config_sweep(spark, seed):
             if e < full or _u32(f"mix:{e}", i) < r - full:
                 expect.append((i, e))
     assert got == sorted(expect), (weights, budget)
+
+
+# ------------------------------------------------------------------ pipeline
+
+def test_curate_pipeline_report_matches_stagewise_application(spark):
+    from chronon_spark.operators.curation import (
+        curate_pipeline,
+        dedup_spans_corpus,
+        hash_split,
+        stratified_sample,
+    )
+    from chronon_spark.operators.dedup import dedup_exact
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(120):
+        text = " ".join(rng.choice(WORDS) for _ in range(rng.randint(3, 20)))
+        if i % 10 == 0 and i > 0:
+            text = rows[i - 1][2]  # exact duplicate of the previous doc
+        rows.append((i, "a" if i % 2 == 0 else "b", text))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def drop_exact_dups(df):
+        keep = dedup_exact(df).select(F.col("canonical_id").alias("doc_id"))
+        return df.join(keep, "doc_id")
+
+    stages = [
+        ("dedup_exact", drop_exact_dups),
+        ("sample_a", lambda df: stratified_sample(df, {"a": 1.0, "b": 0.5})),
+        ("train_only", lambda df: hash_split(df).where("split = 'train'").drop("split")),
+    ]
+    out, report = curate_pipeline(docs, stages)
+
+    # replay each stage by hand and compare counts + survivors
+    cur = docs
+    for (name, fn), entry in zip(stages, report):
+        nxt = fn(cur)
+        assert entry["rows_in"] == cur.count(), name
+        assert entry["rows_out"] == nxt.count(), name
+        assert entry["dropped"] == entry["rows_in"] - entry["rows_out"]
+        cur = nxt
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in cur.collect()
+    )
+    assert report[0]["dropped"] >= 10  # the planted exact dups went away
