@@ -164,3 +164,35 @@ def run_to_completion(
         )
     q.awaitTermination()
     return q
+
+
+def dedup_stream_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time_col: str | None = None,
+    within: str | None = None,
+) -> DataFrame:
+    """Streaming corpus dedup — the ingest-side twin of
+    operators/dedup.dedup_exact: content-hash the incoming documents and
+    drop every later arrival of already-seen content with Spark's built-in
+    stateful streaming deduplication. The FIRST arrival of any normalized
+    content survives (micro-batch arrival order); replays and cross-batch
+    duplicates never reach the sink.
+
+    State shape: one state-store row per DISTINCT content md5. With
+    ``within`` (+ ``event_time_col``) the state is bounded by a watermark
+    via dropDuplicatesWithinWatermark — duplicates are only suppressed
+    inside the late window, the right trade for an endless crawler feed;
+    without it state grows with distinct content (true global dedup, the
+    batch-equivalent semantics)."""
+    from chronon_spark.operators.dedup import normalize_text
+
+    keyed = stream.withColumn("content_md5", F.md5(normalize_text(F.col(text_col))))
+    if within is not None:
+        if event_time_col is None:
+            raise ValueError("within= needs event_time_col for the watermark")
+        return keyed.withWatermark(event_time_col, within).dropDuplicatesWithinWatermark(
+            ["content_md5"]
+        )
+    return keyed.dropDuplicates(["content_md5"])
