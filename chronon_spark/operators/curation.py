@@ -478,15 +478,35 @@ def dsir_weights(
             F.sum("lr_q").alias("weight_q"),
         )
     )
-    w = Window.orderBy(F.desc("weight_q"), F.asc("id"))
-    # rank window: ONE partition, but over per-doc rows only (post-agg) and
-    # only to mark top-k; at corpus scale replace with an approximate
-    # threshold (quantile cut) — selection, not ranking, is the contract.
-    return scored.select(
-        F.col("id").alias(id_col),
-        F.col("n_grams").cast("long"),
-        F.col("weight_q").cast("long"),
-        (F.row_number().over(w) <= k).alias("selected"),
+    # exact distributed top-k, no global-order window (which would pull
+    # every doc into ONE partition): the global top-k is always a subset of
+    # the union of per-partition top-ks, so rank locally first, then rank
+    # the bounded (num_partitions x k) candidate set, then broadcast the
+    # winning ids back. Result is layout-invariant — the final top-k under
+    # the total order (weight desc, id asc) is unique.
+    local_w = Window.partitionBy("__pid").orderBy(F.desc("weight_q"), F.asc("id"))
+    cand = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(local_w))
+        .where(F.col("__rn") <= k)
+        .select("id", "weight_q")
+    )
+    glob_w = Window.orderBy(F.desc("weight_q"), F.asc("id"))
+    winners = (
+        cand.withColumn("__rn", F.row_number().over(glob_w))
+        .where(F.col("__rn") <= k)
+        .select(F.col("id").alias("__win_id"))
+    )
+    return (
+        scored.join(
+            F.broadcast(winners), scored["id"] == winners["__win_id"], "left"
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("long"),
+            F.col("weight_q").cast("long"),
+            F.col("__win_id").isNotNull().alias("selected"),
+        )
     )
 
 
