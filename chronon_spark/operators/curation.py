@@ -532,9 +532,22 @@ def gumbel_topk(
     u = (u32 + 0.5) / float(1 << 32)
     g = -F.log(-F.log(u))
     score = F.col(weight_col).cast("double") / quant + g
-    w = Window.orderBy(F.desc(score), F.asc(id_col))
-    return scored.withColumn("gumbel_rank", F.row_number().over(w)).where(
-        F.col("gumbel_rank") <= k
+    # same two-phase exact top-k as dsir_weights: the gumbel score is a
+    # pure per-row function, so per-partition ranking is sound and no
+    # global-order window is needed
+    base = scored.withColumn("__score", score)
+    local_w = Window.partitionBy("__pid").orderBy(F.desc("__score"), F.asc(id_col))
+    cand = (
+        base.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(local_w))
+        .where(F.col("__rn") <= k)
+        .drop("__pid", "__rn")
+    )
+    glob_w = Window.orderBy(F.desc("__score"), F.asc(id_col))
+    return (
+        cand.withColumn("gumbel_rank", F.row_number().over(glob_w))
+        .where(F.col("gumbel_rank") <= k)
+        .drop("__score")
     )
 
 
