@@ -730,3 +730,27 @@ def test_curate_pipeline_report_matches_stagewise_application(spark):
         r["doc_id"] for r in cur.collect()
     )
     assert report[0]["dropped"] >= 10  # the planted exact dups went away
+
+
+def test_pack_sequences_on_bpe_token_counts(spark):
+    """Interop: the packer consumes apply_bpe's true subword counts via
+    tokens_col — the accounting a real dataloader uses."""
+    from chronon_spark.operators.curation import pack_sequences
+    from chronon_spark.operators.tokenizer import apply_bpe, seed_merges, segment_word
+
+    rows = [(i, f"the quick brown fox number {i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counted = docs.join(
+        apply_bpe(docs).select("doc_id", "n_bpe_tokens"), "doc_id"
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(
+        counted, budget=32, tokens_col="n_bpe_tokens", n_buckets=4
+    ).collect()}
+
+    ranks = {p: i for i, p in enumerate(seed_merges())}
+    acc = 0
+    for i, text in sorted(rows):
+        n = sum(len(segment_word(w, ranks)) for w in text.lower().split())
+        r = out[i]
+        assert (r["n_tokens"], r["global_start"], r["pack_first"]) == (n, acc, acc // 32), i
+        acc += n
