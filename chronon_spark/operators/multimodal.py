@@ -45,6 +45,9 @@ def decode_image_meta(df: DataFrame, real_decode: bool = False) -> DataFrame:
     per input with metadata. Arrow moves the bytes; Python only sees whole
     batches (vectorized — never a per-row UDF call).
     """
+    from chronon_spark.udfship import ship_by_value
+
+    ship_by_value(__name__)  # closure touches fake_decode_dims (module-level)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:

@@ -129,6 +129,20 @@ def apply_bpe(
 
     from chronon_spark.operators.dedup import normalize_text
 
+    # the UDF closure references module-level segment_word; cloudpickle
+    # serializes module functions BY REFERENCE, which breaks on workers
+    # that don't have this package importable (e.g. a driver launched from
+    # another cwd with sys.path patched). Register this module by value so
+    # the encoder ships inside the closure.
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle: fall back to by-reference
+
     if merges is None:
         merges = seed_merges()
     ranks = {tuple(p): i for i, p in enumerate(merges)}

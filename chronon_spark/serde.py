@@ -883,6 +883,9 @@ def encode_kv_df(df: DataFrame, key_cols: list[str], *, name: str = "kv") -> tup
                 names=["key_bytes", "value_bytes"],
             )
 
+    from chronon_spark.udfship import ship_by_value
+
+    ship_by_value(__name__)  # fn references module-level AvroSchema/frame helpers
     out = df.mapInArrow(fn, "key_bytes binary, value_bytes binary")
     return out, KvSchemas(ks_json, vs_json, ks.fingerprint, vs.fingerprint)
 
@@ -962,6 +965,9 @@ def decode_kv_df(
             ]
             yield pa.RecordBatch.from_arrays(arrays, names=[nm for nm, _s, _a in fields])
 
+    from chronon_spark.udfship import ship_by_value
+
+    ship_by_value(__name__)  # fn references module-level AvroSchema/frame helpers
     return kv.mapInArrow(fn, out_spark)
 
 
