@@ -3721,3 +3721,62 @@ WHERE role = 'assistant' AND prev_role = 'user'
 
 QUERIES["sft_pairs"] = q_sft_pairs
 ORACLES["sft_pairs"] = SQL_SFT_PAIRS
+
+
+def q_bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval (operators/curation.bm25_retrieve): the
+    doc_id % 97 == 0 slice as the query set against the whole corpus;
+    per-(query, doc) scores are integer sums of quantized idf*tf_norm
+    contributions (order-independent, exact cross-engine)."""
+    from chronon_spark.operators.curation import bm25_retrieve
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_retrieve(docs, queries, k=5)
+
+
+SQL_BM25_RETRIEVE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents
+), ct AS (
+  SELECT doc_id AS did, ts[i] AS t
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks)
+  WHERE length(ts[i]) > 0
+), tf AS (
+  SELECT did, t, count(*) AS tf FROM ct GROUP BY did, t
+), dl AS (
+  SELECT did, count(*) AS dl FROM ct GROUP BY did
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY t
+), qt AS (
+  SELECT DISTINCT doc_id AS qid, t FROM (
+    SELECT doc_id, ts[i] AS t
+    FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+          FROM toks WHERE doc_id % 97 = 0)
+    WHERE length(ts[i]) > 0)
+), pair AS (
+  SELECT q.qid, f.did,
+         sum(CAST(round(
+           (1000000.0 * ln((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (d.df + 0.5) + 1.0))
+           * ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + (0.75 * l.dl) / s.avgdl)))
+         ) AS BIGINT)) AS score_q
+  FROM tf f
+  JOIN qt q USING (t)
+  JOIN dft d USING (t)
+  JOIN dl l USING (did)
+  CROSS JOIN stats s
+  GROUP BY q.qid, f.did
+)
+SELECT qid AS query_id, did AS doc_id, CAST(score_q AS BIGINT) AS score_q,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY score_q DESC, did) AS INT) AS rank
+FROM pair QUALIFY rank <= 5
+"""
+
+QUERIES["bm25_retrieve"] = q_bm25_retrieve
+ORACLES["bm25_retrieve"] = SQL_BM25_RETRIEVE

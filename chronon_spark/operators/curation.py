@@ -769,3 +769,85 @@ def curate_pipeline(
         )
         cur, n = out, m
     return cur, report
+
+
+def bm25_retrieve(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """BM25 retrieval of the top-k corpus documents per query (Robertson &
+    Zaragoza 2009, public) — the retrieval primitive behind RAG corpus
+    prep and retrieval-based decontamination. Classic scoring:
+    score(q, d) = sum over shared terms of idf(t) * tf_norm(t, d) with
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) and
+    tf_norm = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)).
+
+    Exactness contract: each (term, doc) contribution is QUANTIZED to an
+    integer (round(quant * idf * tf_norm)) so per-pair scores are integer
+    sums — order-independent, bit-identical cross-engine (the dsir/lm
+    pattern); ranking ties break on doc id.
+
+    Shuffle shape at 100TB: corpus term frequencies are one groupBy over
+    narrow (doc, term) rows; document-frequency and avgdl aggregates are
+    bounded; the QUERY term set is tiny by construction (queries are a
+    benchmark/eval set) and BROADCASTS into the scoring join, so the
+    corpus never shuffles for candidates — only per-(query, doc) integer
+    partial scores hit the final exchange. Top-k per query is a bounded
+    window (k neighbors per query).
+    """
+    from chronon_spark.operators.dedup import normalize_text
+
+    def terms(d: DataFrame, idc: str, txt: str, out_id: str) -> DataFrame:
+        return d.select(
+            F.col(idc).alias(out_id),
+            F.explode(F.split(normalize_text(F.col(txt)), " ")).alias("t"),
+        ).where(F.length("t") > 0)
+
+    corpus_t = terms(docs, id_col, text_col, "did")
+    tf = corpus_t.groupBy("did", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = corpus_t.groupBy("did").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+
+    q_t = terms(queries, query_id_col, query_text_col, "qid").distinct()
+
+    scored_terms = (
+        tf.join(F.broadcast(q_t), "t")
+        .join(F.broadcast(df_t.join(F.broadcast(q_t.select("t").distinct()), "t")), "t")
+        .join(dl, "did")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(F.lit(float(quant)) * idf * tf_norm).cast("long")
+    pair = (
+        scored_terms.withColumn("c_q", contrib)
+        .groupBy("qid", "did")
+        .agg(F.sum("c_q").alias("score_q"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("did"))
+    return (
+        pair.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("did").alias(id_col),
+            F.col("score_q").cast("long"),
+            F.col("rank").cast("int"),
+        )
+    )

@@ -754,3 +754,73 @@ def test_pack_sequences_on_bpe_token_counts(spark):
         r = out[i]
         assert (r["n_tokens"], r["global_start"], r["pack_first"]) == (n, acc, acc // 32), i
         acc += n
+
+
+# --------------------------------------------------------------------- bm25
+
+def _py_bm25(docs, queries, k, k1=1.2, b=0.75, quant=1_000_000):
+    import math
+
+    def terms(t):
+        ws = " ".join(t.lower().split()).split(" ")
+        return [w for w in ws if w]
+
+    tf, dl = {}, {}
+    for i, t in docs:
+        ws = terms(t)
+        dl[i] = len(ws)
+        for w in ws:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    dft = {}
+    for (i, w) in tf:
+        dft[w] = dft.get(w, 0) + 1
+    out = {}
+    for qid, qt in queries:
+        qterms = set(terms(qt))
+        scores = {}
+        for (i, w), f in tf.items():
+            if w not in qterms:
+                continue
+            idf = math.log((n_docs - dft[w] + 0.5) / (dft[w] + 0.5) + 1.0)
+            tfn = (f * (k1 + 1)) / (f + k1 * (1 - b + b * dl[i] / avgdl))
+            scores[i] = scores.get(i, 0) + round(quant * idf * tfn)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [(i, s, r + 1) for r, (i, s) in enumerate(ranked)]
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bm25_matches_python_oracle(spark, seed):
+    from chronon_spark.operators.curation import bm25_retrieve
+
+    rng = random.Random(seed)
+    docs = [(i, " ".join(rng.choice(WORDS) for _ in range(rng.randint(3, 30))))
+            for i in range(60)]
+    qs = [(j, " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 6))))
+          for j in range(5)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(qs, "query_id long, text string")
+    got = {}
+    for r in bm25_retrieve(ddf, qdf, k=4).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score_q"], r["rank"]))
+    for q in got:
+        got[q].sort(key=lambda x: x[2])
+    expect = _py_bm25(docs, qs, k=4)
+    expect = {q: v for q, v in expect.items() if v}
+    assert got == expect
+
+
+def test_bm25_self_retrieval_ranks_self_first(spark):
+    from chronon_spark.operators.curation import bm25_retrieve
+
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "epsilon zeta eta theta"),
+        (3, "iota kappa lam mu"),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame([(2, "epsilon zeta eta theta")], "query_id long, text string")
+    top = bm25_retrieve(ddf, qdf, k=1).collect()
+    assert len(top) == 1 and top[0]["doc_id"] == 2 and top[0]["rank"] == 1
