@@ -3639,53 +3639,9 @@ ORACLES.update(
 
 
 
-#: the first 50 registry names — every one oracle-backed — form the driver's
-#: CORRECTNESS window; everything after is pytest-parity-only (rows-only
-#: diagnostics and the standalone halves of the combined gates)
-DRIVER_WINDOW = [
-    "tpch_q1", "join_pricing", "groupby_lifetime", "moments", "percentile",
-    "first_last", "topk_per_user", "histogram", "groupby_buckets",
-    "asof_estimators", "asof_last_k", "asof_join_multi", "asof_join_snapshot",
-    "snapshot_events", "curation", "sessionize_lag", "iceberg_scan",
-    "transcripts_backfill", "mutations_temporal", "snapshot_entities",
-    "staging_query", "label_join", "bootstrap_backfill", "external_parts",
-    "join_chain", "cumulative_source", "skew_join", "text_features",
-    "dedup_exact", "dedup_ngram", "dedup_minhash_lsh", "dedup_components",
-    "knn", "neardup_pairs", "multimodal", "corpus_rewrite",
-    "corpus_select", "lsh_knn", "upload_fetch", "collection_agg",
-    "asof_derivations", "semijoin_reduce", "relational_edge", "text_quality_ext",
-    "approx_percentile_exact", "approx_unique_exact", "mg_histogram",
-    "log_flatten", "selection_part", "cdc_join_part",
-]
-
-assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
-assert all(n in ORACLES for n in DRIVER_WINDOW), [
-    n for n in DRIVER_WINDOW if n not in ORACLES
-]
-QUERIES = {
-    **{n: QUERIES[n] for n in DRIVER_WINDOW},
-    **{n: f for n, f in QUERIES.items() if n not in DRIVER_WINDOW},
-}
 
 
-def _release_before(fn):
-    """Each driver query starts by releasing the previous query's estimator-
-    internal cached frames (plans/cache registry): the harness runs dozens of
-    queries in one session, and dead cache blocks from completed plans would
-    otherwise accumulate for the session's lifetime."""
 
-    def wrapped(spark, sf_dir, _fn=fn):
-        from chronon_spark.plans.cache import release_plan_caches
-
-        release_plan_caches()
-        return _fn(spark, sf_dir)
-
-    wrapped.__name__ = getattr(fn, "__name__", "q")
-    wrapped.__doc__ = fn.__doc__
-    return wrapped
-
-
-QUERIES = {n: _release_before(f) for n, f in QUERIES.items()}
 
 
 def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3780,3 +3736,126 @@ FROM pair QUALIFY rank <= 5
 
 QUERIES["bm25_retrieve"] = q_bm25_retrieve
 ORACLES["bm25_retrieve"] = SQL_BM25_RETRIEVE
+
+def q_scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments (variance/skew/kurtosis), exact percentiles, and first/last
+    in one labeled union — consolidating three scalar-aggregation gates
+    into a single driver row (standalone variants stay registered past the
+    window for pytest)."""
+    mo = q_moments(spark, sf_dir).select(
+        F.lit("moments").alias("op"), F.col("user_id").cast("string").alias("key"),
+        F.col("value_variance").alias("v1"), F.col("value_skew").alias("v2"),
+        F.col("value_kurtosis").alias("v3"), F.lit("").alias("tag"),
+    )
+    pc = q_percentile(spark, sf_dir).select(
+        F.lit("percentile").alias("op"), F.col("event_type").alias("key"),
+        F.col("p25").alias("v1"), F.col("p50").alias("v2"),
+        F.col("p75").alias("v3"), F.lit("").alias("tag"),
+    )
+    fl = q_first_last(spark, sf_dir).select(
+        F.lit("first_last").alias("op"), F.col("user_id").cast("string").alias("key"),
+        F.col("value_first").alias("v1"), F.col("value_last").alias("v2"),
+        F.lit(0.0).alias("v3"),
+        F.concat_ws(":", "event_type_first", "event_type_last").alias("tag"),
+    )
+    return mo.unionByName(pc).unionByName(fl)
+
+
+SQL_SCALAR_AGGS = """
+SELECT 'moments' AS op, CAST(user_id AS VARCHAR) AS key,
+       value_variance AS v1, value_skew AS v2, value_kurtosis AS v3, '' AS tag
+FROM ({sql_mo})
+UNION ALL
+SELECT 'percentile' AS op, event_type AS key, p25 AS v1, p50 AS v2, p75 AS v3, '' AS tag
+FROM ({sql_pc})
+UNION ALL
+SELECT 'first_last' AS op, CAST(user_id AS VARCHAR) AS key,
+       value_first AS v1, value_last AS v2, 0.0 AS v3,
+       event_type_first || ':' || event_type_last AS tag
+FROM ({sql_fl})
+""".format(sql_mo=ORACLES["moments"], sql_pc=ORACLES["percentile"],
+           sql_fl=ORACLES["first_last"])
+
+
+def q_retrieval_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval and SFT pair extraction in one labeled union — the
+    two transcript/corpus training-data prep surfaces added late in round
+    4, pulled inside the driver window."""
+    bm = q_bm25_retrieve(spark, sf_dir).select(
+        F.lit("bm25").alias("op"), F.col("query_id").cast("string").alias("key"),
+        F.col("doc_id").alias("idx"), F.col("score_q").alias("n"),
+        F.col("rank").cast("string").alias("tag"),
+    )
+    sf = q_sft_pairs(spark, sf_dir).select(
+        F.lit("sft").alias("op"), F.col("conv_id").alias("key"),
+        F.col("turn_idx").cast("long").alias("idx"),
+        F.col("n_history").alias("n"),
+        F.concat_ws("\x1f", "prompt", "response").alias("tag"),
+    )
+    return bm.unionByName(sf)
+
+
+SQL_RETRIEVAL_SFT = """
+SELECT 'bm25' AS op, CAST(query_id AS VARCHAR) AS key, doc_id AS idx,
+       score_q AS n, CAST(rank AS VARCHAR) AS tag
+FROM ({sql_bm})
+UNION ALL
+SELECT 'sft' AS op, conv_id AS key, CAST(turn_idx AS BIGINT) AS idx,
+       n_history AS n, prompt || chr(31) || response AS tag
+FROM ({sql_sf})
+""".format(sql_bm=SQL_BM25_RETRIEVE, sql_sf=SQL_SFT_PAIRS)
+
+
+QUERIES["scalar_aggs"] = q_scalar_aggs
+ORACLES["scalar_aggs"] = SQL_SCALAR_AGGS
+QUERIES["retrieval_sft"] = q_retrieval_sft
+ORACLES["retrieval_sft"] = SQL_RETRIEVAL_SFT
+
+
+#: the first 50 registry names — every one oracle-backed — form the driver's
+#: CORRECTNESS window; everything after is pytest-parity-only (rows-only
+#: diagnostics and the standalone halves of the combined gates)
+DRIVER_WINDOW = [
+    "tpch_q1", "join_pricing", "groupby_lifetime", "scalar_aggs", "retrieval_sft",
+    "kv_roundtrip", "topk_per_user", "histogram", "groupby_buckets",
+    "asof_estimators", "asof_last_k", "asof_join_multi", "asof_join_snapshot",
+    "snapshot_events", "curation", "sessionize_lag", "iceberg_scan",
+    "transcripts_backfill", "mutations_temporal", "snapshot_entities",
+    "staging_query", "label_join", "bootstrap_backfill", "external_parts",
+    "join_chain", "cumulative_source", "skew_join", "text_features",
+    "dedup_exact", "dedup_ngram", "dedup_minhash_lsh", "dedup_components",
+    "knn", "neardup_pairs", "multimodal", "corpus_rewrite",
+    "corpus_select", "lsh_knn", "upload_fetch", "collection_agg",
+    "asof_derivations", "semijoin_reduce", "relational_edge", "text_quality_ext",
+    "approx_percentile_exact", "approx_unique_exact", "mg_histogram",
+    "log_flatten", "selection_part", "cdc_join_part",
+]
+
+assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+assert all(n in ORACLES for n in DRIVER_WINDOW), [
+    n for n in DRIVER_WINDOW if n not in ORACLES
+]
+QUERIES = {
+    **{n: QUERIES[n] for n in DRIVER_WINDOW},
+    **{n: f for n, f in QUERIES.items() if n not in DRIVER_WINDOW},
+}
+
+
+def _release_before(fn):
+    """Each driver query starts by releasing the previous query's estimator-
+    internal cached frames (plans/cache registry): the harness runs dozens of
+    queries in one session, and dead cache blocks from completed plans would
+    otherwise accumulate for the session's lifetime."""
+
+    def wrapped(spark, sf_dir, _fn=fn):
+        from chronon_spark.plans.cache import release_plan_caches
+
+        release_plan_caches()
+        return _fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "q")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+QUERIES = {n: _release_before(f) for n, f in QUERIES.items()}
