@@ -37,14 +37,24 @@ def _resolve(spark: SparkSession, table, q: Query | None = None) -> DataFrame:
         from chronon_spark.sources.iceberg import IcebergTable
 
         t = IcebergTable(table[len("iceberg:") :])
-        filters = []
-        if q is not None and q.partition_column in t.partition_columns():
-            if q.start_partition is not None:
-                filters.append((q.partition_column, ">=", q.start_partition))
-            if q.end_partition is not None:
-                filters.append((q.partition_column, "<=", q.end_partition))
-        return t.scan(spark, filters=filters or None)
+        return t.scan(spark, filters=_partition_bounds(t, q) or None)
+    if isinstance(table, str) and table.startswith("delta:"):
+        # same metadata-only pushdown through the Delta transaction log
+        from chronon_spark.sources.delta import DeltaTable
+
+        t = DeltaTable(table[len("delta:") :])
+        return t.scan(spark, filters=_partition_bounds(t, q) or None)
     return spark.table(table)
+
+
+def _partition_bounds(t, q: Query | None) -> list[tuple]:
+    filters: list[tuple] = []
+    if q is not None and q.partition_column in t.partition_columns():
+        if q.start_partition is not None:
+            filters.append((q.partition_column, ">=", q.start_partition))
+        if q.end_partition is not None:
+            filters.append((q.partition_column, "<=", q.end_partition))
+    return filters
 
 
 def _apply_query(df: DataFrame, q: Query, keep: tuple[str, ...] = ()) -> DataFrame:

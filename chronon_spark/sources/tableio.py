@@ -149,6 +149,11 @@ def resolve_table(
 
         root = out_root.split(":", 1)[1]
         return IcebergPartitionedTable(os.path.join(root, name), ds_col)
+    if out_root.startswith("delta:"):
+        from chronon_spark.sources.delta import DeltaPartitionedTable
+
+        root = out_root.split(":", 1)[1]
+        return DeltaPartitionedTable(os.path.join(root, name), ds_col)
     return PartitionedTable(os.path.join(out_root, name), ds_col)
 
 
