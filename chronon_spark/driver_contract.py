@@ -3812,6 +3812,81 @@ QUERIES["retrieval_sft"] = q_retrieval_sft
 ORACLES["retrieval_sft"] = SQL_RETRIEVAL_SFT
 
 
+def q_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed Delta Lake round trip (sources/delta.py, jar-free): write
+    the documents table as a REAL Delta table (_delta_log JSON commits per
+    the public protocol spec, partitioned on a derived ds, one dynamic
+    partition-overwrite commit on top), then scan it back through
+    metadata-only planning with a partition filter AND a doc_id stats-bounds
+    filter — log replay, tombstone reconciliation, partition pruning,
+    footer-stats pruning, and hive-path type restoration all sit on the
+    hash-gated path. Reference: TableUtils.scala:104-282 (pluggable
+    hive/iceberg/delta providers)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from chronon_spark.sources.delta import DeltaTable, create_table, overwrite_partitions
+
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        "chronon_delta_gate_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        F.concat(
+            F.lit("2024-01-0"), ((F.col("doc_id") % 5) + 1).cast("string")
+        ).alias("ds"),
+    )
+    create_table(docs, loc, partition_by=["ds"])
+    # dynamic partition overwrite: ds=2024-01-03 rewritten with upper-cased
+    # lang — the scan below must see the POST-overwrite rows only
+    overwrite_partitions(
+        docs.where(F.col("ds") == "2024-01-03").withColumn("lang", F.upper("lang")),
+        loc,
+    )
+    t = DeltaTable(loc)
+    out = t.scan(spark, filters=[("ds", "=", "2024-01-03"), ("doc_id", ">=", 100)])
+    return out.select("doc_id", "ds", "lang", F.md5("text").alias("text_fp"))
+
+
+SQL_DELTA_SCAN = """
+SELECT doc_id, '2024-01-03' AS ds, upper(lang) AS lang, md5(text) AS text_fp
+FROM documents
+WHERE (doc_id % 5) + 1 = 3 AND doc_id >= 100
+"""
+
+QUERIES["delta_scan"] = q_delta_scan
+ORACLES["delta_scan"] = SQL_DELTA_SCAN
+
+
+def q_table_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both jar-free open table formats in one labeled union — the Iceberg
+    v2 scan (Avro manifests) and the Delta scan (JSON log + overwrite
+    commit) each hash-gated end-to-end."""
+    ice = q_iceberg_scan(spark, sf_dir).select(
+        F.lit("iceberg").alias("fmt"), "doc_id", "ds", "lang", "text_fp"
+    )
+    de = q_delta_scan(spark, sf_dir).select(
+        F.lit("delta").alias("fmt"), "doc_id", "ds", "lang", "text_fp"
+    )
+    return ice.unionByName(de)
+
+
+SQL_TABLE_FORMATS = """
+SELECT 'iceberg' AS fmt, * FROM ({sql_ice})
+UNION ALL
+SELECT 'delta' AS fmt, * FROM ({sql_de})
+""".format(sql_ice=SQL_ICEBERG_SCAN, sql_de=SQL_DELTA_SCAN)
+
+QUERIES["table_formats"] = q_table_formats
+ORACLES["table_formats"] = SQL_TABLE_FORMATS
+
+
 #: the first 50 registry names — every one oracle-backed — form the driver's
 #: CORRECTNESS window; everything after is pytest-parity-only (rows-only
 #: diagnostics and the standalone halves of the combined gates)
@@ -3819,7 +3894,7 @@ DRIVER_WINDOW = [
     "tpch_q1", "join_pricing", "groupby_lifetime", "scalar_aggs", "retrieval_sft",
     "kv_roundtrip", "topk_per_user", "histogram", "groupby_buckets",
     "asof_estimators", "asof_last_k", "asof_join_multi", "asof_join_snapshot",
-    "snapshot_events", "curation", "sessionize_lag", "iceberg_scan",
+    "snapshot_events", "curation", "sessionize_lag", "table_formats",
     "transcripts_backfill", "mutations_temporal", "snapshot_entities",
     "staging_query", "label_join", "bootstrap_backfill", "external_parts",
     "join_chain", "cumulative_source", "skew_join", "text_features",
