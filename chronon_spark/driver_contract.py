@@ -2951,7 +2951,16 @@ def q_text_quality_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(scrub_pii(c)).alias("scrub_fp"),
     )
     rep = repetition_stats(planted)
-    return pii.join(rep, "doc_id")
+    # the full Gopher rule battery over the SAME planted text — signature
+    # columns + the keep verdict ride this in-window row (the complete
+    # metric set is the standalone gopher_quality gate)
+    from chronon_spark.operators.text_ops import gopher_filter
+
+    gq = gopher_filter(planted).select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_frac", "stop_hits",
+        "top3gram_char_frac", "dup5gram_frac", "n_rules_failed", "gopher_keep",
+    )
+    return pii.join(rep, "doc_id").join(gq, "doc_id")
 
 
 # single-sourced from the engine (same pattern as split_case_sql above):
@@ -3885,6 +3894,191 @@ SELECT 'delta' AS fmt, * FROM ({sql_de})
 
 QUERIES["table_formats"] = q_table_formats
 ORACLES["table_formats"] = SQL_TABLE_FORMATS
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Gopher quality-rule battery (text_ops.gopher_filter,
+    Rae et al. 2021 §A1.1): word-count/word-length/symbol/bullet/ellipsis/
+    alpha/stopword rules + duplicate-line fractions + top-{2,3,4}-gram char
+    fractions + duplicate-{5..10}-gram coverage fractions, with the per-doc
+    keep verdict. Every fraction is one integer/integer division (IEEE-exact
+    cross-engine) and rule booleans compare unrounded quotients, so the
+    verdict column is hash-gated too."""
+    from chronon_spark.operators.text_ops import gopher_filter
+
+    return gopher_filter(_t(spark, sf_dir, "documents"))
+
+
+def _sql_gopher(source_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """DuckDB twin of gopher_filter, parameterized over the input relation
+    (single-sourced so tests can replay it over seeded frames)."""
+    from chronon_spark.operators.text_ops import (
+        GOPHER_STOPWORDS,
+        GOPHER_THRESHOLDS,
+    )
+
+    th = GOPHER_THRESHOLDS
+    top_ns = sorted(th["max_top_gram_char_frac"])
+    dup_ns = sorted(th["max_dup_gram_frac"])
+    all_ns = sorted({*top_ns, *dup_ns})
+    stop_sum = " + ".join(
+        f"(CASE WHEN contains(' ' || nt || ' ', ' {w} ') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    )
+    topw = ",\n         ".join(
+        f"COALESCE(max(CASE WHEN n = {n} THEN top_chars END), 0) AS top{n}_chars"
+        for n in top_ns
+    )
+    dupw = ",\n         ".join(
+        f"COALESCE(max(CASE WHEN n = {n} THEN covered END), 0) AS dup{n}_cov"
+        for n in dup_ns
+    )
+    top_frac_cols = ",\n       ".join(
+        f"round(CASE WHEN n_chars > 0 THEN COALESCE(top{n}_chars, 0) / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6) AS top{n}gram_char_frac"
+        for n in top_ns
+    )
+    dup_frac_cols = ",\n       ".join(
+        f"round(CASE WHEN n_words > 0 THEN COALESCE(dup{n}_cov, 0) / CAST(n_words AS DOUBLE) ELSE 0.0 END, 6) AS dup{n}gram_frac"
+        for n in dup_ns
+    )
+    rules = [
+        f"n_words >= {th['min_words']}",
+        f"n_words <= {th['max_words']}",
+        f"(CASE WHEN n_words > 0 THEN word_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END) >= {th['min_mean_word_len']}",
+        f"(CASE WHEN n_words > 0 THEN word_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END) <= {th['max_mean_word_len']}",
+        f"(CASE WHEN n_words > 0 THEN n_symbols / CAST(n_words AS DOUBLE) ELSE 0.0 END) <= {th['max_symbol_word_ratio']}",
+        f"(CASE WHEN n_lines > 0 THEN n_bullet_lines / CAST(n_lines AS DOUBLE) ELSE 0.0 END) <= {th['max_bullet_line_frac']}",
+        f"(CASE WHEN n_lines > 0 THEN n_ellipsis / CAST(n_lines AS DOUBLE) ELSE 0.0 END) <= {th['max_ellipsis_line_frac']}",
+        f"(CASE WHEN n_words > 0 THEN n_alpha_words / CAST(n_words AS DOUBLE) ELSE 0.0 END) >= {th['min_alpha_word_frac']}",
+        f"stop_hits >= {th['min_stop_hits']}",
+        f"(CASE WHEN n_lines > 0 THEN (n_lines - n_distinct_lines) / CAST(n_lines AS DOUBLE) ELSE 0.0 END) <= {th['max_dup_line_frac']}",
+        f"(CASE WHEN line_chars > 0 THEN dup_line_chars / CAST(line_chars AS DOUBLE) ELSE 0.0 END) <= {th['max_dup_line_char_frac']}",
+        *[
+            f"(CASE WHEN n_chars > 0 THEN COALESCE(top{n}_chars, 0) / CAST(n_chars AS DOUBLE) ELSE 0.0 END) <= {th['max_top_gram_char_frac'][n]}"
+            for n in top_ns
+        ],
+        *[
+            f"(CASE WHEN n_words > 0 THEN COALESCE(dup{n}_cov, 0) / CAST(n_words AS DOUBLE) ELSE 0.0 END) <= {th['max_dup_gram_frac'][n]}"
+            for n in dup_ns
+        ],
+    ]
+    n_failed = " + ".join(f"(CASE WHEN NOT ({r}) THEN 1 ELSE 0 END)" for r in rules)
+    return f"""
+WITH src AS ({source_sql}),
+normd AS (
+  SELECT doc_id, text AS t,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt
+  FROM src
+), wordsx AS (
+  SELECT doc_id, t, nt,
+         CASE WHEN length(nt) > 0 THEN string_split(nt, ' ')
+              ELSE CAST([] AS VARCHAR[]) END AS ws
+  FROM normd
+), lvl AS (
+  SELECT doc_id,
+         length(nt) AS n_chars,
+         len(ws) AS n_words,
+         length(nt) - (len(ws) - 1) AS word_chars,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words,
+         CAST((length(t) - length(replace(t, '#', ''))) AS BIGINT)
+           + CAST((length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+         CAST((length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT) AS n_ellipsis,
+         {stop_sum} AS stop_hits
+  FROM wordsx
+), lines0 AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(t, '.')) AS l FROM normd)
+  WHERE length(trim(l)) > 0
+), per_line AS (
+  SELECT doc_id, line, count(*) AS cnt FROM lines0 GROUP BY 1, 2
+), line_stats AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+         count(*) AS n_distinct_lines,
+         sum(CASE WHEN cnt >= 2 THEN (cnt - 1) * length(line) ELSE 0 END) AS dup_line_chars,
+         sum(cnt * length(line)) AS line_chars,
+         sum(cnt * (CASE WHEN substr(line, 1, 1) IN ('-', '*', '•') THEN 1 ELSE 0 END)) AS n_bullet_lines
+  FROM per_line GROUP BY 1
+), nsx AS (
+  SELECT unnest([{', '.join(str(n) for n in all_ns)}]) AS n
+), gp AS (
+  SELECT w.doc_id, nsx.n, p.pos,
+         array_to_string(list_slice(w.ws, p.pos, p.pos + nsx.n - 1), ' ') AS gram
+  FROM wordsx w, nsx,
+       LATERAL unnest(range(1, greatest(len(w.ws) - nsx.n + 1, 0) + 1)) AS p(pos)
+  WHERE len(w.ws) >= nsx.n
+), cnts AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM gp GROUP BY 1, 2, 3
+), topg AS (
+  SELECT doc_id, n, max(cnt * length(gram)) AS top_chars FROM cnts GROUP BY 1, 2
+), dupcov AS (
+  SELECT g.doc_id, g.n, count(DISTINCT wp.wpos) AS covered
+  FROM gp g
+  JOIN cnts c ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram,
+       LATERAL unnest(range(g.pos, g.pos + g.n)) AS wp(wpos)
+  WHERE c.cnt >= 2 AND g.n >= {min(dup_ns)}
+  GROUP BY 1, 2
+), topw AS (
+  SELECT doc_id,
+         {topw}
+  FROM topg GROUP BY 1
+), dupw AS (
+  SELECT doc_id,
+         {dupw}
+  FROM dupcov GROUP BY 1
+), joined AS (
+  SELECT l.*,
+         COALESCE(ls.n_lines, 0) AS n_lines,
+         COALESCE(ls.n_distinct_lines, 0) AS n_distinct_lines,
+         COALESCE(ls.dup_line_chars, 0) AS dup_line_chars,
+         COALESCE(ls.line_chars, 0) AS line_chars,
+         COALESCE(ls.n_bullet_lines, 0) AS n_bullet_lines,
+         {', '.join(f'COALESCE(tw.top{n}_chars, 0) AS top{n}_chars' for n in top_ns)},
+         {', '.join(f'COALESCE(dw.dup{n}_cov, 0) AS dup{n}_cov' for n in dup_ns)}
+  FROM lvl l
+  LEFT JOIN line_stats ls USING (doc_id)
+  LEFT JOIN topw tw USING (doc_id)
+  LEFT JOIN dupw dw USING (doc_id)
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(CASE WHEN n_words > 0 THEN word_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END, 6) AS mean_word_len,
+       round(CASE WHEN n_words > 0 THEN n_symbols / CAST(n_words AS DOUBLE) ELSE 0.0 END, 6) AS symbol_word_ratio,
+       round(CASE WHEN n_words > 0 THEN n_alpha_words / CAST(n_words AS DOUBLE) ELSE 0.0 END, 6) AS alpha_word_frac,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       round(CASE WHEN n_lines > 0 THEN n_bullet_lines / CAST(n_lines AS DOUBLE) ELSE 0.0 END, 6) AS bullet_line_frac,
+       round(CASE WHEN n_lines > 0 THEN n_ellipsis / CAST(n_lines AS DOUBLE) ELSE 0.0 END, 6) AS ellipsis_line_frac,
+       round(CASE WHEN n_lines > 0 THEN (n_lines - n_distinct_lines) / CAST(n_lines AS DOUBLE) ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN line_chars > 0 THEN dup_line_chars / CAST(line_chars AS DOUBLE) ELSE 0.0 END, 6) AS dup_line_char_frac,
+       {top_frac_cols},
+       {dup_frac_cols},
+       CAST({n_failed} AS BIGINT) AS n_rules_failed,
+       ({n_failed}) = 0 AS gopher_keep
+FROM joined
+"""
+
+
+SQL_GOPHER_QUALITY = _sql_gopher()
+
+QUERIES["gopher_quality"] = q_gopher_quality
+ORACLES["gopher_quality"] = SQL_GOPHER_QUALITY
+
+# text_quality_ext (in-window) now also carries the gopher signature
+# columns — extend its oracle with the same planted-text gopher subquery
+# (defined here because _sql_gopher lives below the original literal)
+_SQL_PLANTED_DOCS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0
+            THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or +1415555' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE text END AS text
+FROM documents
+"""
+ORACLES["text_quality_ext"] = f"""
+SELECT b.*, g.n_words, g.mean_word_len, g.alpha_word_frac, g.stop_hits,
+       g.top3gram_char_frac, g.dup5gram_frac, g.n_rules_failed, g.gopher_keep
+FROM ({SQL_TEXT_QUALITY_EXT}) b
+JOIN ({_sql_gopher(_SQL_PLANTED_DOCS)}) g USING (doc_id)
+"""
 
 
 #: the first 50 registry names — every one oracle-backed — form the driver's

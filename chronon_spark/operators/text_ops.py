@@ -230,6 +230,273 @@ def repetition_stats(
     )
 
 
+#: the paper's required-stopword list (Rae et al. 2021 §A1.1): a document
+#: must contain at least 2 of these to pass the stopword rule
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: published thresholds, overridable per call
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_hits": 2,
+    "max_dup_line_frac": 0.3,
+    "max_dup_line_char_frac": 0.2,
+    "max_top_gram_char_frac": {2: 0.20, 3: 0.18, 4: 0.16},
+    "max_dup_gram_frac": {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10},
+}
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """The complete Gopher quality-rule battery (Rae et al. 2021 §A1.1,
+    public paper): word-count bounds, mean word length, symbol-to-word
+    ratio, bullet/ellipsis line fractions, alphabetic-word fraction,
+    required-stopword presence, duplicate-line fractions, top-{2,3,4}-gram
+    character fractions, and duplicate-{5..10}-gram coverage fractions —
+    per-doc metrics plus one ``gopher_keep`` verdict.
+
+    Exactness contract: every fraction is ONE division of two integers
+    computed identically in Spark and DuckDB (IEEE-exact cross-engine — the
+    repo-wide oracle pattern), and the rule booleans compare the UNROUNDED
+    quotients, so verdicts are bit-stable. Adaptations for a corpus whose
+    texts carry no newlines are documented inline: "lines" are the
+    '.'-split sentence units repetition_stats already uses, and the
+    ellipsis rule counts '...' occurrences against the line count (a
+    '.'-split can never see a trailing ellipsis).
+
+    Plan shape (100TB): word-level rules are pure native expressions (no
+    shuffle); ALL nine gram sizes ride ONE explode → groupBy(id, n, gram)
+    → groupBy(id) chain, so the whole battery costs one hash-partitioning
+    of the doc ids no matter how many n's are enabled; shuffles carry
+    (id, gram) counts, never documents.
+    """
+    th = {**GOPHER_THRESHOLDS, **(thresholds or {})}
+    top_ns = sorted(th["max_top_gram_char_frac"])
+    dup_ns = sorted(th["max_dup_gram_frac"])
+    all_ns = sorted({*top_ns, *dup_ns})
+
+    c = F.col(text_col)
+    norm = normalize_for_grams(c)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        c.alias("t"),
+        norm.alias("nt"),
+        F.split(norm, " ").alias("ws"),
+    )
+
+    # -- word-level metrics: native expressions, zero shuffle --------------
+    n_words = F.when(F.length("nt") > 0, F.size("ws")).otherwise(F.lit(0))
+    # norm is single-space-joined, so total word chars = len - (n_words - 1)
+    word_chars = F.length("nt") - (n_words - 1)
+    n_alpha = F.size(F.filter(F.col("ws"), lambda w: w.rlike("[a-z]")))
+    ct = F.col("t")
+    n_symbols = occurrence_count(ct, "#") + occurrence_count(ct, "...")
+    padded = F.concat(F.lit(" "), F.col("nt"), F.lit(" "))
+    stop_hits = sum_cols(
+        [
+            F.when(padded.contains(f" {w} "), F.lit(1)).otherwise(F.lit(0))
+            for w in GOPHER_STOPWORDS
+        ]
+    )
+    lvl = base.select(
+        "id",
+        F.length("nt").alias("n_chars"),
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        stop_hits.alias("stop_hits"),
+        occurrence_count(ct, "...").alias("n_ellipsis"),
+    )
+
+    # -- line-level: the '.'-split sentence units (corpus has no newlines) --
+    lines = (
+        base.select("id", F.explode(F.split(F.col("t"), r"\.")).alias("line"))
+        .select("id", F.trim("line").alias("line"))
+        .where(F.length("line") > 0)
+    )
+    per_line = lines.groupBy("id", "line").agg(F.count(F.lit(1)).alias("cnt"))
+    line_stats = per_line.groupBy("id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct_lines"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, (F.col("cnt") - 1) * F.length("line")).otherwise(0)
+        ).alias("dup_line_chars"),
+        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
+        F.sum(
+            F.col("cnt")
+            * F.when(F.substring("line", 1, 1).isin("-", "*", "•"), 1).otherwise(0)
+        ).alias("n_bullet_lines"),
+    )
+
+    # -- ONE gram pass for every n: explode(n) then posexplode(grams_of_n) --
+    # top-n-gram: count * gram-chars (the common executable reading of the
+    # paper's rule — can exceed 1 on degenerate one-word docs, which only
+    # strengthens rejection). dup-n-gram: COVERAGE — distinct word positions
+    # inside any n-gram occurring >= 2 times, so the fraction is the paper's
+    # "fraction contained in duplicates" (word granularity, overlap counted
+    # once, always <= 1).
+    with_n = base.select(
+        "id", "ws", F.explode(F.array(*[F.lit(n) for n in all_ns])).alias("n")
+    )
+    grams = with_n.select(
+        "id",
+        "n",
+        F.posexplode(
+            F.when(
+                F.size("ws") >= F.col("n"),
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - F.col("n") + 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("ws"), i, F.col("n")), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    per_gram = grams.groupBy("id", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    top_per_n = per_gram.groupBy("id", "n").agg(
+        F.max(F.col("cnt") * F.length("gram")).alias("top_chars")
+    )
+    dup_cov = (
+        grams.join(
+            per_gram.where((F.col("cnt") >= 2) & (F.col("n").isin(*dup_ns))),
+            ["id", "n", "gram"],
+        )
+        .select(
+            "id",
+            "n",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+            ).alias("wpos"),
+        )
+        .groupBy("id", "n")
+        .agg(F.count_distinct("wpos").alias("covered_words"))
+    )
+    gram_wide = (
+        top_per_n.groupBy("id")
+        .agg(
+            *[
+                F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(
+                    f"top{n}_chars"
+                )
+                for n in top_ns
+            ]
+        )
+        .join(
+            dup_cov.groupBy("id").agg(
+                *[
+                    F.max(
+                        F.when(F.col("n") == n, F.col("covered_words"))
+                    ).alias(f"dup{n}_covered")
+                    for n in dup_ns
+                ]
+            ),
+            "id",
+            "left",
+        )
+    )
+
+    out = (
+        lvl.join(line_stats, "id", "left")
+        .join(gram_wide, "id", "left")
+        .na.fill(
+            {
+                "n_lines": 0,
+                "n_distinct_lines": 0,
+                "dup_line_chars": 0,
+                "line_chars": 0,
+                "n_bullet_lines": 0,
+                **{f"top{n}_chars": 0 for n in top_ns},
+                **{f"dup{n}_covered": 0 for n in dup_ns},
+            }
+        )
+    )
+
+    nw = F.col("n_words").cast("double")
+    nc = F.col("n_chars").cast("double")
+    nl = F.col("n_lines").cast("double")
+    mean_wl = F.when(F.col("n_words") > 0, F.col("word_chars") / nw)
+    sym_ratio = F.when(F.col("n_words") > 0, F.col("n_symbols") / nw)
+    alpha_frac = F.when(F.col("n_words") > 0, F.col("n_alpha_words") / nw)
+    bullet_frac = F.when(F.col("n_lines") > 0, F.col("n_bullet_lines") / nl)
+    ellipsis_frac = F.when(F.col("n_lines") > 0, F.col("n_ellipsis") / nl)
+    dup_line_frac = F.when(
+        F.col("n_lines") > 0, (F.col("n_lines") - F.col("n_distinct_lines")) / nl
+    )
+    dup_line_cf = F.when(
+        F.col("line_chars") > 0,
+        F.col("dup_line_chars") / F.col("line_chars").cast("double"),
+    )
+    top_fracs = {
+        n: F.when(F.col("n_chars") > 0, F.col(f"top{n}_chars") / nc) for n in top_ns
+    }
+    # coverage fraction: distinct duplicated-gram word positions / words
+    dup_fracs = {
+        n: F.when(F.col("n_words") > 0, F.col(f"dup{n}_covered") / nw) for n in dup_ns
+    }
+
+    rules = [
+        F.col("n_words") >= th["min_words"],
+        F.col("n_words") <= th["max_words"],
+        F.coalesce(mean_wl, F.lit(0.0)) >= th["min_mean_word_len"],
+        F.coalesce(mean_wl, F.lit(0.0)) <= th["max_mean_word_len"],
+        F.coalesce(sym_ratio, F.lit(0.0)) <= th["max_symbol_word_ratio"],
+        F.coalesce(bullet_frac, F.lit(0.0)) <= th["max_bullet_line_frac"],
+        F.coalesce(ellipsis_frac, F.lit(0.0)) <= th["max_ellipsis_line_frac"],
+        F.coalesce(alpha_frac, F.lit(0.0)) >= th["min_alpha_word_frac"],
+        F.col("stop_hits") >= th["min_stop_hits"],
+        F.coalesce(dup_line_frac, F.lit(0.0)) <= th["max_dup_line_frac"],
+        F.coalesce(dup_line_cf, F.lit(0.0)) <= th["max_dup_line_char_frac"],
+        *[
+            F.coalesce(top_fracs[n], F.lit(0.0)) <= th["max_top_gram_char_frac"][n]
+            for n in top_ns
+        ],
+        *[
+            F.coalesce(dup_fracs[n], F.lit(0.0)) <= th["max_dup_gram_frac"][n]
+            for n in dup_ns
+        ],
+    ]
+    n_failed = sum_cols([F.when(~r, F.lit(1)).otherwise(F.lit(0)) for r in rules])
+
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(F.coalesce(mean_wl, F.lit(0.0)), 6).alias("mean_word_len"),
+        F.round(F.coalesce(sym_ratio, F.lit(0.0)), 6).alias("symbol_word_ratio"),
+        F.round(F.coalesce(alpha_frac, F.lit(0.0)), 6).alias("alpha_word_frac"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        F.round(F.coalesce(bullet_frac, F.lit(0.0)), 6).alias("bullet_line_frac"),
+        F.round(F.coalesce(ellipsis_frac, F.lit(0.0)), 6).alias("ellipsis_line_frac"),
+        F.round(F.coalesce(dup_line_frac, F.lit(0.0)), 6).alias("dup_line_frac"),
+        F.round(F.coalesce(dup_line_cf, F.lit(0.0)), 6).alias("dup_line_char_frac"),
+        *[
+            F.round(F.coalesce(top_fracs[n], F.lit(0.0)), 6).alias(
+                f"top{n}gram_char_frac"
+            )
+            for n in top_ns
+        ],
+        *[
+            F.round(F.coalesce(dup_fracs[n], F.lit(0.0)), 6).alias(
+                f"dup{n}gram_frac"
+            )
+            for n in dup_ns
+        ],
+        n_failed.cast("long").alias("n_rules_failed"),
+        (n_failed == 0).alias("gopher_keep"),
+    )
+
+
 def normalize_for_grams(col: Column) -> Column:
     """THE dedup normal form (operators/dedup.normalize_text), re-exported
     under a gram-flavored name so repetition grams and dedup shingles can
