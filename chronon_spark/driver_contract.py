@@ -4081,6 +4081,150 @@ JOIN ({_sql_gopher(_SQL_PLANTED_DOCS)}) g USING (doc_id)
 """
 
 
+# --- C4 cleaning pipeline (text_ops.c4_clean) --------------------------------
+# The synthetic corpus carries no newlines or terminal punctuation, so the
+# gate PLANTS line structure deterministically (the established planted-PII
+# pattern): ' merge ' occurrences become '.'-terminated line breaks, the tail
+# line gains a '.', and doc_id residues append one line each that trips a
+# specific rule — policy boilerplate, a javascript mention, a lorem-ipsum
+# page drop, an ellipsis ending, a curly-brace page drop, a too-short line,
+# and a bad-word page drop. Both engines build the identical string.
+_C4_PLANT_LINES = [
+    (5, "we use cookies on this site."),
+    (6, "enable javascript to view this content."),
+    (7, "lorem ipsum dolor sit amet."),
+    (9, "and the story trails off..."),
+    (11, "schema { nested field } follows."),
+    (13, "too short."),
+    (17, "this page contains badword material."),
+]
+
+
+def _plant_c4_spark(docs: DataFrame) -> DataFrame:
+    t = F.concat(F.replace(F.col("text"), F.lit(" merge "), F.lit(".\n")), F.lit("."))
+    for mod, line in _C4_PLANT_LINES:
+        t = F.when(F.col("doc_id") % mod == 0, F.concat(t, F.lit("\n" + line))).otherwise(t)
+    return docs.select("doc_id", t.alias("text"))
+
+
+_SQL_C4_PLANTED_DOCS = "SELECT doc_id, " + (
+    "replace(text, ' merge ', '.' || chr(10)) || '.'"
+    + "".join(
+        f" || CASE WHEN doc_id % {mod} = 0 THEN chr(10) || '{line}' ELSE '' END"
+        for mod, line in _C4_PLANT_LINES
+    )
+    + " AS text FROM documents"
+)
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning pipeline (text_ops.c4_clean, Raffel et al. 2020
+    §2.2): line-level filtering with cleaned-text reconstruction + the
+    page-level drop rules, over deterministically line-planted documents so
+    every rule fires at sf scale. The cleaned text is hash-gated as an
+    exact string; counters are integers and kept_line_frac one
+    integer/integer division."""
+    from chronon_spark.operators.text_ops import c4_clean
+
+    return c4_clean(_plant_c4_spark(_t(spark, sf_dir, "documents")))
+
+
+def _sql_c4(source_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """DuckDB twin of c4_clean, parameterized over the input relation
+    (single-sourced so tests replay it over seeded frames)."""
+    from chronon_spark.operators.text_ops import C4_PARAMS
+
+    p = C4_PARAMS
+    marks = ", ".join("'" + m.replace("'", "''") + "'" for m in p["end_marks"])
+    minw = p["min_words_per_line"]
+    policy = " OR ".join(
+        f"contains(lower(l), '{s}')" for s in p["policy_substrings"]
+    )
+    keep = (
+        f"(right(l, 1) IN ({marks})) AND NOT (l LIKE '%...') "
+        f"AND len(regexp_split_to_array(l, '\\s+')) >= {minw} "
+        f"AND NOT contains(lower(l), 'javascript') AND NOT ({policy})"
+    )
+    badword = " OR ".join(
+        f"contains(' ' || regexp_replace(trim(lower(t)), '\\s+', ' ', 'g') || ' ', ' {w} ')"
+        for w in p["badwords"]
+    )
+    return f"""
+WITH src AS ({source_sql}),
+base AS (
+  SELECT doc_id, text AS t,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> length(l) > 0) AS tls
+  FROM src
+), linework AS (
+  SELECT doc_id, t, tls, list_filter(tls, l -> {keep}) AS kept
+  FROM base
+), agg AS (
+  SELECT doc_id, t,
+         CAST(len(tls) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         CAST(len(list_filter(tls, l -> len(regexp_split_to_array(l, '\\s+')) < {minw})) AS BIGINT) AS n_short_lines,
+         CAST(len(list_filter(tls, l -> NOT (right(l, 1) IN ({marks})))) AS BIGINT) AS n_unterminated_lines,
+         CAST(len(list_filter(tls, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis_lines,
+         CAST(len(list_filter(tls, l -> contains(lower(l), 'javascript'))) AS BIGINT) AS n_js_lines,
+         CAST(len(list_filter(tls, l -> {policy})) AS BIGINT) AS n_policy_lines,
+         COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text
+  FROM linework
+), scored AS (
+  SELECT *,
+         CAST(length(cleaned_text)
+              - length(regexp_replace(cleaned_text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+         contains(lower(t), 'lorem ipsum') AS has_lorem,
+         contains(t, '{{') AS has_brace,
+         ({badword}) AS has_badword
+  FROM agg
+)
+SELECT doc_id, n_lines, n_kept_lines, n_short_lines, n_unterminated_lines,
+       n_ellipsis_lines, n_js_lines, n_policy_lines,
+       round(CASE WHEN n_lines > 0 THEN n_kept_lines / CAST(n_lines AS DOUBLE) ELSE 0.0 END, 6) AS kept_line_frac,
+       cleaned_text, n_sentences, has_lorem, has_brace, has_badword,
+       (NOT has_lorem AND NOT has_brace AND NOT has_badword
+        AND n_sentences >= {p["min_sentences"]}) AS c4_keep
+FROM scored
+"""
+
+
+SQL_C4_CLEAN = _sql_c4(_SQL_C4_PLANTED_DOCS)
+
+QUERIES["c4_clean"] = q_c4_clean
+ORACLES["c4_clean"] = SQL_C4_CLEAN
+
+# fold the c4 signature columns into the in-window text_quality_ext row
+# (same pattern as the gopher columns above): the cleaned-text md5 gates the
+# full reconstruction, the verdict + counters gate the rules
+_q_tqe_pre_c4 = QUERIES["text_quality_ext"]
+
+
+def q_text_quality_ext_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _q_tqe_pre_c4(spark, sf_dir)
+    from chronon_spark.operators.text_ops import c4_clean
+
+    cq = c4_clean(_plant_c4_spark(_t(spark, sf_dir, "documents"))).select(
+        "doc_id",
+        F.col("n_kept_lines").alias("c4_kept_lines"),
+        F.col("kept_line_frac").alias("c4_kept_line_frac"),
+        F.col("n_sentences").alias("c4_sentences"),
+        F.md5("cleaned_text").alias("c4_clean_fp"),
+        "c4_keep",
+    )
+    return base.join(cq, "doc_id")
+
+
+QUERIES["text_quality_ext"] = q_text_quality_ext_c4
+_SQL_TQE_PRE_C4 = ORACLES["text_quality_ext"]
+ORACLES["text_quality_ext"] = f"""
+SELECT b.*, c.n_kept_lines AS c4_kept_lines, c.kept_line_frac AS c4_kept_line_frac,
+       c.n_sentences AS c4_sentences, md5(c.cleaned_text) AS c4_clean_fp, c.c4_keep
+FROM ({_SQL_TQE_PRE_C4}) b
+JOIN ({_sql_c4(_SQL_C4_PLANTED_DOCS)}) c USING (doc_id)
+"""
+
+
 #: the first 50 registry names — every one oracle-backed — form the driver's
 #: CORRECTNESS window; everything after is pytest-parity-only (rows-only
 #: diagnostics and the standalone halves of the combined gates)

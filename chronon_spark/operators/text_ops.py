@@ -504,3 +504,140 @@ def normalize_for_grams(col: Column) -> Column:
     from chronon_spark.operators.dedup import normalize_text
 
     return normalize_text(col)
+
+
+#: C4 cleaning parameters (Raffel et al. 2020 §2.2, public paper, plus the
+#: two line rules its released pipeline code added: ellipsis-terminated and
+#: policy-boilerplate lines). ``badwords`` defaults to an obvious
+#: placeholder pair — production swaps in the public LDNOOBW list.
+C4_PARAMS = {
+    "min_words_per_line": 3,
+    "min_sentences": 5,
+    "end_marks": (".", "!", "?", '"'),
+    "policy_substrings": (
+        "terms of use",
+        "privacy policy",
+        "cookie policy",
+        "uses cookies",
+        "use of cookies",
+        "use cookies",
+    ),
+    "badwords": ("badword", "obscenity"),
+}
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    params: dict | None = None,
+) -> DataFrame:
+    """The C4 cleaning pipeline (Raffel et al. 2020 §2.2, public paper):
+    line-level filtering that RECONSTRUCTS the cleaned document, plus the
+    page-level drop rules — per-doc reason counters, ``cleaned_text``, and
+    one ``c4_keep`` verdict.
+
+    Line rules (a line survives iff ALL hold, on the whitespace-trimmed
+    line): ends in a terminal punctuation mark; does not end in an
+    ellipsis; has at least ``min_words_per_line`` words; does not mention
+    "javascript"; carries no policy-boilerplate substring. Page rules
+    (drop the whole doc): contains "lorem ipsum"; contains a curly
+    bracket; contains a bad word (word-boundary match on the dedup normal
+    form); or the CLEANED text has fewer than ``min_sentences`` sentences
+    (sentence count = terminal-mark characters in the cleaned text — the
+    deterministic cross-engine proxy for the original's sentence
+    tokenizer, documented divergence).
+
+    Exactness contract: counters are integers, ``kept_line_frac`` is one
+    integer/integer division (IEEE-exact cross-engine), and
+    ``cleaned_text`` is compared as an exact string — the DuckDB twin
+    rebuilds it with the same split/trim/filter/join.
+
+    Plan shape (100TB): ZERO shuffles. Lines never explode — the whole
+    battery is native array higher-order functions (split → transform →
+    filter → array_join) evaluated per input row, so the operator is
+    embarrassingly parallel and preserves the scan partitioning. HOFs are
+    interpreted rather than codegen'd (BENCH §7), but they beat the
+    alternative explode → groupBy(doc) → collect_list reconstruction,
+    which would shuffle every surviving byte of the corpus.
+    """
+    p = {**C4_PARAMS, **(params or {})}
+    marks = list(p["end_marks"])
+    c = F.col(text_col)
+
+    # trimmed, non-empty lines in original order
+    tls = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+    def n_words(l: Column) -> Column:
+        return F.size(F.split(l, r"\s+"))
+
+    def ends_mark(l: Column) -> Column:
+        return F.substring(l, -1, 1).isin(*marks)
+
+    def ellipsis_end(l: Column) -> Column:
+        return l.endswith("...")
+
+    def mentions_js(l: Column) -> Column:
+        return F.lower(l).contains("javascript")
+
+    def policy(l: Column) -> Column:
+        out = F.lit(False)
+        for s in p["policy_substrings"]:
+            out = out | F.lower(l).contains(s)
+        return out
+
+    def keeps(l: Column) -> Column:
+        return (
+            ends_mark(l)
+            & ~ellipsis_end(l)
+            & (n_words(l) >= p["min_words_per_line"])
+            & ~mentions_js(l)
+            & ~policy(l)
+        )
+
+    kept = F.filter(tls, keeps)
+    cleaned = F.array_join(kept, "\n")
+    n_sentences = F.length(cleaned) - F.length(
+        F.regexp_replace(cleaned, "[.!?]", "")
+    )
+    padded = F.concat(F.lit(" "), normalize_for_grams(c), F.lit(" "))
+    has_badword = F.lit(False)
+    for w in p["badwords"]:
+        has_badword = has_badword | padded.contains(f" {w} ")
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{")
+
+    n_lines = F.size(tls)
+    n_kept = F.size(kept)
+    base = df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        F.size(F.filter(tls, lambda l: n_words(l) < p["min_words_per_line"]))
+        .cast("long")
+        .alias("n_short_lines"),
+        F.size(F.filter(tls, lambda l: ~ends_mark(l)))
+        .cast("long")
+        .alias("n_unterminated_lines"),
+        F.size(F.filter(tls, ellipsis_end)).cast("long").alias("n_ellipsis_lines"),
+        F.size(F.filter(tls, mentions_js)).cast("long").alias("n_js_lines"),
+        F.size(F.filter(tls, policy)).cast("long").alias("n_policy_lines"),
+        F.round(
+            F.when(n_lines > 0, n_kept / n_lines.cast("double")).otherwise(0.0), 6
+        ).alias("kept_line_frac"),
+        cleaned.alias("cleaned_text"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_badword.alias("has_badword"),
+    )
+    return base.withColumn(
+        "c4_keep",
+        ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & ~F.col("has_badword")
+        & (F.col("n_sentences") >= p["min_sentences"]),
+    )
