@@ -52,6 +52,8 @@ def main() -> None:
         "dsir_select",         # DSIR importance weighting (round 4)
         "bpe_tokenize",        # pandas-UDF BPE apply over distinct words (round 4)
         "multimodal_embed",    # mapInPandas embed -> brute-force ANN (round 4)
+        "gopher_quality",      # full Gopher rule battery, one gram pass (round 4)
+        "c4_clean",            # C4 line filtering, zero-shuffle HOF plan (round 4)
     ):
         if extra in QUERIES:
             headline.append(extra)
