@@ -327,3 +327,35 @@ def test_shared_groupby_skew_filter_not_compounded(spark, events):
         for r in solo.collect()
     }
     assert got == want
+
+
+def test_c4_clean_zero_exchanges(spark):
+    """c4_clean's 100TB claim: the whole battery is narrow (native array
+    HOFs, no explode, no groupBy) — the physical plan must carry ZERO
+    exchanges and keep the scan's partitioning."""
+    from chronon_spark.operators.text_ops import c4_clean
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(c4_clean(docs))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode crept in
+
+
+def test_gopher_one_doc_partitioning(spark):
+    """gopher_filter's 100TB claim: all nine gram sizes ride one
+    explode -> groupBy(id, ...) chain — the plan may hash-partition on the
+    doc id (and gram tuples derived from it) but must never shuffle on a
+    non-id key alone, and must contain no cartesian or broadcast-nested-loop
+    join over the corpus."""
+    from chronon_spark.operators.text_ops import gopher_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(gopher_filter(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every hashpartitioning key set includes the doc id: shuffled data is
+    # always co-located by document, so the final per-doc joins are local
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "id" in m.group(1), m.group(0)
