@@ -4194,6 +4194,157 @@ SQL_C4_CLEAN = _sql_c4(_SQL_C4_PLANTED_DOCS)
 QUERIES["c4_clean"] = q_c4_clean
 ORACLES["c4_clean"] = SQL_C4_CLEAN
 
+
+# --- conversation-level transcript quality (sessionize.transcript_quality) ---
+# The event-derived transcripts carry no refusals / empty turns / copy-paste
+# loops, so the gate PLANTS them deterministically on (turn_idx, role)
+# residues — identical CASE logic in both engines.
+
+
+def _plant_tq_spark(t: DataFrame) -> DataFrame:
+    planted = (
+        F.when(
+            (F.col("turn_idx") % 7 == 3) & (F.col("role") == "assistant"),
+            F.concat(F.col("text"), F.lit(" as an ai i decline")),
+        )
+        .when(F.col("turn_idx") % 13 == 5, F.lit("  "))
+        .when(F.col("turn_idx") % 9 == 2, F.lit("Repeated  Filler Turn"))
+        .otherwise(F.col("text"))
+    )
+    return t.select("conv_id", "turn_idx", "role", planted.alias("text"))
+
+
+_SQL_TQ_PLANT = """
+SELECT conv_id, turn_idx, role,
+       CASE WHEN turn_idx % 7 = 3 AND role = 'assistant'
+                 THEN text || ' as an ai i decline'
+            WHEN turn_idx % 13 = 5 THEN '  '
+            WHEN turn_idx % 9 = 2 THEN 'Repeated  Filler Turn'
+            ELSE text END AS text
+FROM ({src}) tq_src
+"""
+
+
+def q_transcript_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level transcript quality battery
+    (sessionize.transcript_quality): turn-count/role-balance/alternation/
+    user-first rules, empty-turn and copy-paste-loop detection, refusal-rate
+    caps, and the md5 conversation fingerprint — full-column hash gate over
+    refusal/empty/dup-planted transcripts."""
+    from chronon_spark.operators.sessionize import transcript_quality
+
+    t = _plant_tq_spark(_transcripts_from_events(_t(spark, sf_dir, "events")))
+    return transcript_quality(t)
+
+
+def _sql_transcript_quality(source_sql: str) -> str:
+    """DuckDB twin of transcript_quality over (conv_id, turn_idx, role,
+    text), single-sourced from TRANSCRIPT_QUALITY_PARAMS."""
+    from chronon_spark.operators.sessionize import TRANSCRIPT_QUALITY_PARAMS as P
+
+    refusal = " OR ".join(
+        "contains(lower(txt), '" + m.replace("'", "''") + "')"
+        for m in P["refusal_markers"]
+    )
+    alt = "CASE WHEN n_turns > 1 THEN n_alternations / CAST(n_turns - 1 AS DOUBLE) ELSE 0.0 END"
+    dup = "CASE WHEN n_turns > 0 THEN (n_turns - n_distinct_turns) / CAST(n_turns AS DOUBLE) ELSE 0.0 END"
+    ref = "CASE WHEN n_assistant_turns > 0 THEN n_refusals / CAST(n_assistant_turns AS DOUBLE) ELSE 0.0 END"
+    mean_a = "CASE WHEN n_assistant_turns > 0 THEN assistant_chars / CAST(n_assistant_turns AS DOUBLE) ELSE 0.0 END"
+    mean_u = "CASE WHEN n_user_turns > 0 THEN user_chars / CAST(n_user_turns AS DOUBLE) ELSE 0.0 END"
+    rules = [
+        f"n_turns >= {P['min_turns']}",
+        f"n_turns <= {P['max_turns']}",
+        "n_user_turns > 0",
+        "n_assistant_turns > 0",
+        "starts_with_user" if P["require_user_start"] else "TRUE",
+        f"({alt}) >= {P['min_alternation_frac']}",
+        f"n_empty_turns <= {P['max_empty_turns']}",
+        f"({dup}) <= {P['max_dup_turn_frac']}",
+        f"({ref}) <= {P['max_refusal_frac']}",
+    ]
+    n_failed = " + ".join(f"(CASE WHEN NOT ({r}) THEN 1 ELSE 0 END)" for r in rules)
+    return f"""
+WITH t AS ({source_sql}),
+x AS (
+  SELECT conv_id, turn_idx, role, COALESCE(text, '') AS txt,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM t
+), y AS (
+  SELECT *, regexp_replace(trim(lower(txt)), '\\s+', ' ', 'g') AS nt,
+         (CASE WHEN role = 'assistant' AND ({refusal}) THEN 1 ELSE 0 END) AS refusal
+  FROM x
+), agg AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns,
+         CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant_turns,
+         COALESCE(max(CASE WHEN turn_idx = 0 THEN role = 'user' END), FALSE) AS starts_with_user,
+         sum(CASE WHEN prev_role IS NOT NULL AND prev_role <> role THEN 1
+                  WHEN prev_role IS NOT NULL THEN 0 END) AS n_alternations,
+         CAST(sum(CASE WHEN length(trim(txt)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_turns,
+         count(DISTINCT nt) AS n_distinct_turns,
+         sum(refusal) AS n_refusals,
+         sum(CASE WHEN role = 'assistant' THEN length(txt) ELSE 0 END) AS assistant_chars,
+         sum(CASE WHEN role = 'user' THEN length(txt) ELSE 0 END) AS user_chars,
+         md5(string_agg(role || ':' || nt, chr(30) ORDER BY turn_idx)) AS conv_fingerprint
+  FROM y GROUP BY 1
+)
+SELECT conv_id,
+       n_turns, n_user_turns, n_assistant_turns, starts_with_user,
+       round({alt}, 6) AS alternation_frac,
+       n_empty_turns,
+       round({dup}, 6) AS dup_turn_frac,
+       round({ref}, 6) AS refusal_frac,
+       round({mean_a}, 6) AS mean_assistant_chars,
+       round({mean_u}, 6) AS mean_user_chars,
+       conv_fingerprint,
+       CAST({n_failed} AS BIGINT) AS n_rules_failed,
+       ({n_failed}) = 0 AS tq_keep
+FROM agg
+"""
+
+
+SQL_TRANSCRIPT_QUALITY = _sql_transcript_quality(
+    _SQL_TQ_PLANT.format(src=TRANSCRIPTS_SQL_DUCK)
+)
+
+QUERIES["transcript_quality"] = q_transcript_quality
+ORACLES["transcript_quality"] = SQL_TRANSCRIPT_QUALITY
+
+# fold a transcript-quality leg into the in-window retrieval_sft union (the
+# transcripts training-data-prep combined gate): fingerprint + verdict +
+# rule counters hash-gated per conversation
+_q_rsft_pre_tq = QUERIES["retrieval_sft"]
+
+
+def q_retrieval_sft_tq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _q_rsft_pre_tq(spark, sf_dir)
+    tq = q_transcript_quality(spark, sf_dir).select(
+        F.lit("tq").alias("op"),
+        F.col("conv_id").alias("key"),
+        F.col("n_turns").alias("idx"),
+        F.col("alternation_frac").alias("n"),
+        F.concat_ws(
+            "\x1f",
+            "conv_fingerprint",
+            F.col("n_rules_failed").cast("string"),
+            F.col("tq_keep").cast("string"),
+        ).alias("tag"),
+    )
+    return base.unionByName(tq)
+
+
+QUERIES["retrieval_sft"] = q_retrieval_sft_tq
+_SQL_RSFT_PRE_TQ = ORACLES["retrieval_sft"]
+ORACLES["retrieval_sft"] = f"""
+SELECT * FROM ({_SQL_RSFT_PRE_TQ})
+UNION ALL
+SELECT 'tq' AS op, conv_id AS key, n_turns AS idx, alternation_frac AS n,
+       conv_fingerprint || chr(31) || CAST(n_rules_failed AS VARCHAR)
+         || chr(31) || CAST(tq_keep AS VARCHAR) AS tag
+FROM ({SQL_TRANSCRIPT_QUALITY})
+"""
+
 # fold the c4 signature columns into the in-window text_quality_ext row
 # (same pattern as the gopher columns above): the cleaned-text md5 gates the
 # full reconstruction, the verdict + counters gate the rules

@@ -151,3 +151,164 @@ def sft_pairs(
         F.col(text_col).alias("response"),
         F.size("__hist").cast("long").alias("n_history"),
     )
+
+
+#: conversation-level quality thresholds for transcript_quality, every one
+#: overridable per call. ``refusal_markers`` is a deliberately small
+#: placeholder phrase list (production swaps in its own).
+TRANSCRIPT_QUALITY_PARAMS = {
+    "min_turns": 2,
+    "max_turns": 200,
+    "min_alternation_frac": 0.5,
+    "max_dup_turn_frac": 0.5,
+    "max_refusal_frac": 0.5,
+    "max_empty_turns": 0,
+    "require_user_start": True,
+    "refusal_markers": ("i cannot help", "i can't help", "as an ai"),
+    "user_role": "user",
+    "assistant_role": "assistant",
+}
+
+
+def transcript_quality(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    params: dict | None = None,
+) -> DataFrame:
+    """Conversation-level quality filtering for multi-turn transcripts —
+    the screening pass an SFT/RLHF data pipeline runs before pair
+    extraction (public practice in every open chat-data cleaning recipe:
+    turn-count bounds, role-alternation, both-roles-present, user-first,
+    empty-turn and copy-paste-loop detection, refusal-rate caps, and an
+    exact conversation fingerprint for cross-conversation dedup).
+
+    Per conversation: ``n_turns``, per-role turn counts, ``starts_with_user``,
+    ``alternation_frac`` (adjacent turn pairs whose roles differ / pairs),
+    ``n_empty_turns`` (whitespace-only text), ``dup_turn_frac``
+    (1 - distinct normalized turns / turns: copy-paste loops),
+    ``refusal_frac`` (assistant turns carrying a refusal marker / assistant
+    turns), ``mean_assistant_chars``/``mean_user_chars`` (single
+    integer/integer divisions), ``conv_fingerprint`` (md5 over the
+    turn-order concatenation of ``role:normalized-text`` — the
+    cross-conversation exact-dedup key), ``n_rules_failed`` and the
+    ``tq_keep`` verdict.
+
+    Exactness contract: counts are integers, every fraction is ONE
+    division of two integers (IEEE-exact cross-engine), verdicts compare
+    unrounded quotients, and the fingerprint is md5 over a deterministic
+    order-preserving concatenation (DuckDB: string_agg ORDER BY turn).
+
+    Plan shape (100TB): ONE hash-partitioning of ``conv_col`` — the lag
+    window and the groupBy ride the same partitioning, so the whole
+    battery costs a single shuffle of (conv, turn) tuples; text leaves
+    the executors only inside the md5 accumulator, never raw.
+    """
+    from chronon_spark.operators.dedup import normalize_text
+
+    p = {**TRANSCRIPT_QUALITY_PARAMS, **(params or {})}
+    w = SW.partitionBy("__conv").orderBy("__turn")
+    is_assistant = F.col(role_col) == p["assistant_role"]
+    is_user = F.col(role_col) == p["user_role"]
+    # NULL text behaves as empty text everywhere (counters must never
+    # silently skip a turn)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    nt = normalize_text(txt)
+    refusal = F.lit(False)
+    for m in p["refusal_markers"]:
+        refusal = refusal | F.lower(txt).contains(m)
+
+    turns = transcripts.select(
+        F.col(conv_col).alias("__conv"),
+        F.col(turn_col).alias("__turn"),
+        F.col(role_col).alias("__role"),
+        is_assistant.alias("__is_a"),
+        is_user.alias("__is_u"),
+        (F.length(F.trim(txt)) == 0).alias("__empty"),
+        nt.alias("__nt"),
+        F.length(txt).alias("__chars"),
+        (refusal & is_assistant).alias("__refusal"),
+    ).withColumn("__prev_role", F.lag("__role").over(w))
+
+    agg = turns.groupBy("__conv").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("__is_u"), 1).otherwise(0)).alias("n_user_turns"),
+        F.sum(F.when(F.col("__is_a"), 1).otherwise(0)).alias("n_assistant_turns"),
+        F.max(F.when(F.col("__turn") == 0, F.col("__is_u"))).alias("starts_with_user"),
+        F.sum(
+            F.when(F.col("__prev_role").isNotNull() & (F.col("__prev_role") != F.col("__role")), 1)
+            .when(F.col("__prev_role").isNotNull(), 0)
+        ).alias("n_alternations"),
+        F.sum(F.when(F.col("__empty"), 1).otherwise(0)).alias("n_empty_turns"),
+        F.count_distinct("__nt").alias("n_distinct_turns"),
+        F.sum(F.when(F.col("__refusal"), 1).otherwise(0)).alias("n_refusals"),
+        F.sum(F.when(F.col("__is_a"), F.col("__chars")).otherwise(0)).alias("assistant_chars"),
+        F.sum(F.when(F.col("__is_u"), F.col("__chars")).otherwise(0)).alias("user_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__turn").alias("i"),
+                                F.concat(F.col("__role"), F.lit(":"), F.col("__nt")).alias("s"),
+                            )
+                        )
+                    ),
+                    lambda s: s["s"],
+                ),
+                "\x1e",
+            )
+        ).alias("conv_fingerprint"),
+    )
+
+    nt_ = F.col("n_turns").cast("double")
+    na = F.col("n_assistant_turns").cast("double")
+    pairs = F.col("n_turns") - 1
+    alt_frac = F.when(pairs > 0, F.col("n_alternations") / pairs.cast("double"))
+    dup_frac = F.when(
+        F.col("n_turns") > 0,
+        (F.col("n_turns") - F.col("n_distinct_turns")) / nt_,
+    )
+    ref_frac = F.when(F.col("n_assistant_turns") > 0, F.col("n_refusals") / na)
+    mean_a = F.when(F.col("n_assistant_turns") > 0, F.col("assistant_chars") / na)
+    mean_u = F.when(
+        F.col("n_user_turns") > 0,
+        F.col("user_chars") / F.col("n_user_turns").cast("double"),
+    )
+
+    rules = [
+        F.col("n_turns") >= p["min_turns"],
+        F.col("n_turns") <= p["max_turns"],
+        F.col("n_user_turns") > 0,
+        F.col("n_assistant_turns") > 0,
+        (F.coalesce(F.col("starts_with_user"), F.lit(False)))
+        if p["require_user_start"]
+        else F.lit(True),
+        F.coalesce(alt_frac, F.lit(0.0)) >= p["min_alternation_frac"],
+        F.col("n_empty_turns") <= p["max_empty_turns"],
+        F.coalesce(dup_frac, F.lit(0.0)) <= p["max_dup_turn_frac"],
+        F.coalesce(ref_frac, F.lit(0.0)) <= p["max_refusal_frac"],
+    ]
+    from chronon_spark.operators.text_ops import sum_cols
+
+    n_failed = sum_cols([F.when(~r, F.lit(1)).otherwise(F.lit(0)) for r in rules])
+
+    return agg.select(
+        F.col("__conv").alias(conv_col),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_user_turns").cast("long").alias("n_user_turns"),
+        F.col("n_assistant_turns").cast("long").alias("n_assistant_turns"),
+        F.coalesce(F.col("starts_with_user"), F.lit(False)).alias("starts_with_user"),
+        F.round(F.coalesce(alt_frac, F.lit(0.0)), 6).alias("alternation_frac"),
+        F.col("n_empty_turns").cast("long").alias("n_empty_turns"),
+        F.round(F.coalesce(dup_frac, F.lit(0.0)), 6).alias("dup_turn_frac"),
+        F.round(F.coalesce(ref_frac, F.lit(0.0)), 6).alias("refusal_frac"),
+        F.round(F.coalesce(mean_a, F.lit(0.0)), 6).alias("mean_assistant_chars"),
+        F.round(F.coalesce(mean_u, F.lit(0.0)), 6).alias("mean_user_chars"),
+        F.col("conv_fingerprint"),
+        n_failed.cast("long").alias("n_rules_failed"),
+        (n_failed == 0).alias("tq_keep"),
+    )
