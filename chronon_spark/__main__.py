@@ -53,6 +53,15 @@ Conf-module contract (only the names a given subcommand needs):
                              log), optional ``name``; args --out-root
                              [--sample 0.1]
 
+    curate                -> ``source(spark)`` + ``curation_stages``
+                             (declarative [(name, params)] specs over the
+                             CURATION_STAGES vocabulary: c4, gopher,
+                             dedup_exact, decontaminate,
+                             transcript_quality), optional ``name``/
+                             ``snapshot_ds``/``id_col``; args --out-root.
+                             Lands survivors as a snapshot table + writes
+                             the per-stage lineage report
+
     compile               -> no conf module; ``--conf-root <dir>`` walks a
                              whole conf TREE, validates every module (the
                              analyzer where data callables exist), and
@@ -872,6 +881,43 @@ def cmd_compact_table(spark, conf, args) -> dict:
     return {"location": args.location, **res}
 
 
+def cmd_curate(spark, conf, args) -> dict:
+    """Declarative corpus curation as a first-class platform job: resolve
+    the conf's stage specs against operators/curation.CURATION_STAGES, run
+    curate_pipeline (stage-true lineage), land the survivors as a
+    ds-partitioned snapshot table, and publish the lineage report both in
+    the CLI JSON and as a _curation_report.json sidecar next to the data."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.curation import build_stages, curate_pipeline
+    from chronon_spark.sources.tableio import insert_overwrite_partitions, resolve_table
+
+    docs = conf.source(spark)
+    stages = build_stages(conf.curation_stages)
+    id_col = _opt(conf, "id_col", "doc_id")
+    out, report = curate_pipeline(docs, stages, id_col=id_col)
+
+    ds = _opt(conf, "snapshot_ds", "1970-01-01")
+    name = _opt(conf, "name", "curated")
+    table = resolve_table(spark, args.out_root, name)
+    insert_overwrite_partitions(out.withColumn("ds", F.lit(ds)), table)
+    root = getattr(table, "path", None)
+    if root and os.path.isdir(root):
+        with open(os.path.join(root, "_curation_report.json"), "w") as f:
+            _json.dump(report, f)
+    return {
+        "command": "curate",
+        "output_table": _table_id(table),
+        "ds": ds,
+        "rows_in": report[0]["rows_in"] if report else out.count(),
+        "rows_out": report[-1]["rows_out"] if report else out.count(),
+        "report": report,
+    }
+
+
 COMMANDS = {
     "join": (cmd_join, True),
     "join-left": (cmd_join_left, True),
@@ -891,6 +937,7 @@ COMMANDS = {
     "group-by-streaming": (cmd_group_by_streaming, False),
     "daily-stats": (cmd_daily_stats, False),
     "log-summary": (cmd_log_summary, False),
+    "curate": (cmd_curate, False),
     "compile": (cmd_compile, False),
     "expire-snapshots": (cmd_expire_snapshots, False),
     "compact-table": (cmd_compact_table, False),
@@ -909,6 +956,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "daily-stats": ["--out-root"],
         "log-summary": ["--out-root"],
         "metadata-upload": ["--out-root"],
+        "curate": ["--out-root"],
     }
     for name, (_, needs_range) in COMMANDS.items():
         sp = sub.add_parser(name)

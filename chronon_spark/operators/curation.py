@@ -851,3 +851,132 @@ def bm25_retrieve(
             F.col("rank").cast("int"),
         )
     )
+
+
+# --- declarative stage registry (the CLI `curate` subcommand's vocabulary) ---
+# Each factory takes a plain params dict (JSON-able, straight from a conf
+# module) and returns a DataFrame -> DataFrame stage for curate_pipeline.
+# Text columns default to the documents-table shape (doc_id, text).
+
+
+def _stage_c4(params: dict):
+    from chronon_spark.operators.text_ops import c4_clean
+
+    p = dict(params)
+    id_col = p.pop("id_col", "doc_id")
+    text_col = p.pop("text_col", "text")
+    use_cleaned = p.pop("use_cleaned_text", True)
+
+    def stage(df: DataFrame) -> DataFrame:
+        scored = c4_clean(df, text_col=text_col, id_col=id_col, params=p or None)
+        kept = scored.where("c4_keep").select(id_col, "cleaned_text")
+        if use_cleaned:
+            # train on what survived the line filter, not the raw page
+            cols = [
+                F.col("cleaned_text").alias(text_col) if c == text_col else F.col(c)
+                for c in df.columns
+            ]
+            return df.drop(text_col).join(kept, id_col).select(*cols)
+        return df.join(kept.select(id_col), id_col)
+
+    return stage
+
+
+def _stage_gopher(params: dict):
+    from chronon_spark.operators.text_ops import gopher_filter
+
+    p = dict(params)
+    id_col = p.pop("id_col", "doc_id")
+    text_col = p.pop("text_col", "text")
+
+    def stage(df: DataFrame) -> DataFrame:
+        kept = (
+            gopher_filter(df, text_col=text_col, id_col=id_col, thresholds=p or None)
+            .where("gopher_keep")
+            .select(id_col)
+        )
+        return df.join(kept, id_col)
+
+    return stage
+
+
+def _stage_dedup_exact(params: dict):
+    from chronon_spark.operators.dedup import normalize_text
+
+    id_col = params.get("id_col", "doc_id")
+    text_col = params.get("text_col", "text")
+
+    def stage(df: DataFrame) -> DataFrame:
+        keep = (
+            df.groupBy(normalize_text(F.col(text_col)).alias("__nt"))
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        return df.join(keep, id_col)
+
+    return stage
+
+
+def _stage_decontaminate(params: dict):
+    id_col = params.get("id_col", "doc_id")
+    text_col = params.get("text_col", "text")
+    where = params["benchmark_where"]  # e.g. "doc_id % 37 = 0"
+    n = params.get("n", 8)
+    max_hits = params.get("max_hits", 0)
+
+    def stage(df: DataFrame) -> DataFrame:
+        bench = df.where(where)
+        deco = decontaminate(df, bench, n=n, id_col=id_col, text_col=text_col)
+        return df.join(
+            deco.where(F.col("n_hits") <= max_hits).select(id_col), id_col
+        )
+
+    return stage
+
+
+def _stage_transcript_quality(params: dict):
+    from chronon_spark.operators.sessionize import transcript_quality
+
+    p = dict(params)
+    conv_col = p.pop("conv_col", "conv_id")
+    turn_col = p.pop("turn_col", "turn_idx")
+    role_col = p.pop("role_col", "role")
+    text_col = p.pop("text_col", "text")
+
+    def stage(df: DataFrame) -> DataFrame:
+        kept = (
+            transcript_quality(
+                df, conv_col=conv_col, turn_col=turn_col,
+                role_col=role_col, text_col=text_col, params=p or None,
+            )
+            .where("tq_keep")
+            .select(conv_col)
+        )
+        return df.join(kept, conv_col)
+
+    return stage
+
+
+CURATION_STAGES = {
+    "c4": _stage_c4,
+    "gopher": _stage_gopher,
+    "dedup_exact": _stage_dedup_exact,
+    "decontaminate": _stage_decontaminate,
+    "transcript_quality": _stage_transcript_quality,
+}
+
+
+def build_stages(specs: list) -> list:
+    """Resolve a declarative stage list — [(name, params_dict), ...] from a
+    conf module — into curate_pipeline's (label, callable) form. Unknown
+    names fail fast with the available vocabulary."""
+    out = []
+    for spec in specs:
+        name, params = (spec, {}) if isinstance(spec, str) else spec
+        if name not in CURATION_STAGES:
+            raise ValueError(
+                f"unknown curation stage '{name}'; available: "
+                f"{sorted(CURATION_STAGES)}"
+            )
+        out.append((name, CURATION_STAGES[name](dict(params or {}))))
+    return out
