@@ -4311,6 +4311,79 @@ SQL_TRANSCRIPT_QUALITY = _sql_transcript_quality(
 QUERIES["transcript_quality"] = q_transcript_quality
 ORACLES["transcript_quality"] = SQL_TRANSCRIPT_QUALITY
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distribution drift (operators/drift.corpus_drift): hashed-vocab
+    token histograms of the even-id vs odd-id document halves, compared as
+    one summary row — TVD from pure-integer bucket terms (one final
+    division) and JSD from quantized-ln terms (the dsir idiom). Hash-gated
+    end-to-end."""
+    from chronon_spark.operators.drift import corpus_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _sql_corpus_drift(
+    source_a: str, source_b: str, n_buckets: int = 1024, quant: int = 10**6
+) -> str:
+    """DuckDB twin of corpus_drift over two (text)-bearing relations."""
+
+    def hist(src: str, alias: str) -> str:
+        return f"""
+  SELECT CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {n_buckets} AS bucket,
+         count(*) AS {alias}
+  FROM (SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM ({src}) h_{alias})
+  WHERE length(tok) > 0
+  GROUP BY 1"""
+
+    return f"""
+WITH ha AS ({hist(source_a, "cnt_a")}),
+hb AS ({hist(source_b, "cnt_b")}),
+j AS (
+  SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+         COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+  FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
+), tot AS (
+  SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM j
+), terms AS (
+  SELECT j.*, tot.tot_a, tot.tot_b,
+         abs(cnt_a * tot_b - cnt_b * tot_a) AS tvd_num,
+         (CASE WHEN cnt_a > 0 AND (cnt_a * tot_b + cnt_b * tot_a) > 0
+               THEN CAST(round({quant} * (cnt_a / CAST(tot_a AS DOUBLE))
+              * ln((2.0 * cnt_a * tot_b) / (cnt_a * tot_b + cnt_b * tot_a))) AS BIGINT)
+          ELSE 0 END) AS jsd_qa,
+         (CASE WHEN cnt_b > 0 AND (cnt_a * tot_b + cnt_b * tot_a) > 0
+               THEN CAST(round({quant} * (cnt_b / CAST(tot_b AS DOUBLE))
+              * ln((2.0 * cnt_b * tot_a) / (cnt_a * tot_b + cnt_b * tot_a))) AS BIGINT)
+          ELSE 0 END) AS jsd_qb
+  FROM j, tot
+)
+SELECT CAST(tot_a AS BIGINT) AS tot_a,
+       CAST(tot_b AS BIGINT) AS tot_b,
+       CAST(count(*) AS BIGINT) AS n_active_buckets,
+       CAST(sum(CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_buckets,
+       CASE WHEN tot_a > 0 AND tot_b > 0
+            THEN round(CAST(sum(tvd_num) AS DOUBLE) / (2.0 * tot_a * tot_b), 9) END AS tvd,
+       CASE WHEN tot_a > 0 AND tot_b > 0
+            THEN round((sum(jsd_qa) + sum(jsd_qb)) / (2.0 * {quant}), 9) END AS jsd
+FROM terms
+GROUP BY tot_a, tot_b
+"""
+
+
+SQL_CORPUS_DRIFT = _sql_corpus_drift(
+    "SELECT text FROM documents WHERE doc_id % 2 = 0",
+    "SELECT text FROM documents WHERE doc_id % 2 = 1",
+)
+
+QUERIES["corpus_drift"] = q_corpus_drift
+ORACLES["corpus_drift"] = SQL_CORPUS_DRIFT
+
+
 # fold a transcript-quality leg into the in-window retrieval_sft union (the
 # transcripts training-data-prep combined gate): fingerprint + verdict +
 # rule counters hash-gated per conversation

@@ -157,3 +157,119 @@ def compare_metrics(
         ]
         out = out.crossJoin(ed_cols.groupBy().agg(*ed_aggs))
     return out
+
+
+def corpus_token_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashed-vocabulary token histogram of a corpus: tokens of the dedup
+    normal form bucketed by md5 bits (bit-identical in DuckDB — the repo
+    oracle pattern), one count per bucket. The hashing bounds output
+    cardinality at ``n_buckets`` regardless of corpus vocabulary, so the
+    histogram of a 100TB snapshot is a single bounded groupBy."""
+    from chronon_spark.operators.dedup import normalize_text
+
+    toks = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return toks.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def corpus_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots (crawl versions,
+    sources, before/after a filter): hashed-vocab token histograms compared
+    bucket-wise — ONE summary row with total variation distance and
+    Jensen-Shannon divergence (natural log).
+
+    Exactness contract: TVD needs NO quantization — the per-bucket term
+    |cnt_a * tot_b - cnt_b * tot_a| is pure INTEGER arithmetic, summed as
+    integers, with ONE final division by (2 * tot_a * tot_b); JSD's log
+    terms follow the repo's quantized-ln pattern (each bucket's
+    p*ln(p/m) term is rounded to an integer at ``quant`` resolution, so
+    the sum is addition-order independent and bit-stable cross-engine;
+    resolution error <= n_buckets/quant, documented).
+
+    Plan shape (100TB): each side is one bounded groupBy (<= n_buckets
+    rows), the comparison is an outer join of two tiny frames, and the
+    totals ride a single-row cross join — nothing large ever shuffles
+    twice.
+    """
+    ha = corpus_token_histogram(df_a, text_col, n_buckets).withColumnRenamed(
+        "cnt", "cnt_a"
+    )
+    hb = corpus_token_histogram(df_b, text_col, n_buckets).withColumnRenamed(
+        "cnt", "cnt_b"
+    )
+    joined = (
+        ha.join(hb, "bucket", "full_outer")
+        .na.fill({"cnt_a": 0, "cnt_b": 0})
+    )
+    tot = joined.groupBy().agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    j = joined.crossJoin(F.broadcast(tot))
+    ca, cb = F.col("cnt_a"), F.col("cnt_b")
+    ta, tb = F.col("tot_a"), F.col("tot_b")
+    tvd_num = F.abs(ca * tb - cb * ta)  # integer, exact
+    # JSD (nats): sum_x 0.5*p*ln(p/m) + 0.5*q*ln(q/m), m = (p+q)/2.
+    # p/m = 2*ca*tb / (ca*tb + cb*ta) — integer ratio inside the ln. The
+    # denominator is 0 only when the OTHER side is an empty corpus (then
+    # the whole metric is meaningless — summary nulls it below), so the
+    # guard keeps the plan lazily safe under ANSI division semantics.
+    denom = ca * tb + cb * ta
+    pm = (2.0 * ca * tb) / denom
+    qm = (2.0 * cb * ta) / denom
+    term_a = F.when(
+        (ca > 0) & (denom > 0), F.round(F.lit(quant) * (ca / ta) * F.log(pm))
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        (cb > 0) & (denom > 0), F.round(F.lit(quant) * (cb / tb) * F.log(qm))
+    ).otherwise(F.lit(0.0))
+    per_bucket = j.select(
+        "bucket", "cnt_a", "cnt_b", "tot_a", "tot_b",
+        # decimal(38,0): the integer sum stays EXACT (and order-independent)
+        # even at counts where cnt*tot products overflow a long — DuckDB's
+        # bigint sums promote to hugeint, this is the Spark twin
+        tvd_num.cast("decimal(38,0)").alias("tvd_num"),
+        term_a.cast("long").alias("jsd_qa"),
+        term_b.cast("long").alias("jsd_qb"),
+    )
+    return per_bucket.groupBy("tot_a", "tot_b").agg(
+        F.count(F.lit(1)).alias("n_active_buckets"),
+        F.sum(
+            F.when((F.col("cnt_a") > 0) & (F.col("cnt_b") > 0), 1).otherwise(0)
+        ).alias("n_shared_buckets"),
+        (
+            F.sum("tvd_num").cast("double")
+            / (2.0 * F.first("tot_a") * F.first("tot_b"))
+        ).alias("tvd"),
+        (
+            (F.sum("jsd_qa") + F.sum("jsd_qb")) / (2.0 * quant)
+        ).alias("jsd"),
+    ).select(
+        F.col("tot_a").cast("long"),
+        F.col("tot_b").cast("long"),
+        F.col("n_active_buckets").cast("long"),
+        F.col("n_shared_buckets").cast("long"),
+        # drift against an EMPTY corpus is undefined, not zero
+        F.when(
+            (F.col("tot_a") > 0) & (F.col("tot_b") > 0), F.round("tvd", 9)
+        ).alias("tvd"),
+        F.when(
+            (F.col("tot_a") > 0) & (F.col("tot_b") > 0), F.round("jsd", 9)
+        ).alias("jsd"),
+    )
