@@ -904,10 +904,21 @@ def cmd_curate(spark, conf, args) -> dict:
     name = _opt(conf, "name", "curated")
     table = resolve_table(spark, args.out_root, name)
     insert_overwrite_partitions(out.withColumn("ds", F.lit(ds)), table)
+    drift_row = None
+    if _opt(conf, "report_drift", False):
+        # what did curation do to the token distribution? One summary row
+        # (TVD + JSD, drift.corpus_drift) of input vs survivors — the
+        # data-shift receipt a curation job should ship with its output
+        from chronon_spark.operators.drift import corpus_drift
+
+        text_col = _opt(conf, "text_col", "text")
+        (d,) = corpus_drift(docs, out, text_col=text_col).collect()
+        drift_row = {k: d[k] for k in d.asDict()}
+    payload = {"stages": report, "drift_vs_input": drift_row}
     root = getattr(table, "path", None)
     if root and os.path.isdir(root):
         with open(os.path.join(root, "_curation_report.json"), "w") as f:
-            _json.dump(report, f)
+            _json.dump(payload, f)
     return {
         "command": "curate",
         "output_table": _table_id(table),
@@ -915,6 +926,7 @@ def cmd_curate(spark, conf, args) -> dict:
         "rows_in": report[0]["rows_in"] if report else out.count(),
         "rows_out": report[-1]["rows_out"] if report else out.count(),
         "report": report,
+        "drift_vs_input": drift_row,
     }
 
 

@@ -52,6 +52,7 @@ curation_stages = [
 ]
 name = "corpus"
 snapshot_ds = "2024-06-01"
+report_drift = True
 """
 
 
@@ -96,10 +97,18 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     assert 5 not in ids
     assert res["rows_out"] == 29  # 32 - dup pair (100, 101) - benchmark 5
 
+    # curation ships its own data-shift receipt: survivors lost the
+    # bad-punctuation lines and three whole docs, so drift is nonzero
+    drift = res["drift_vs_input"]
+    assert drift["tot_a"] > drift["tot_b"] > 0
+    assert drift["tvd"] > 0 and drift["jsd"] > 0
+
     # sidecar report written next to the data
     sidecar = os.path.join(res["output_table"], "_curation_report.json")
     assert os.path.exists(sidecar)
-    assert json.load(open(sidecar)) == res["report"]
+    assert json.load(open(sidecar)) == {
+        "stages": res["report"], "drift_vs_input": drift,
+    }
 
 
 def test_cli_curate_unknown_stage_fails_fast(spark, tmp_path, capsys):
