@@ -364,20 +364,29 @@ def gopher_filter(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "gram"),
     )
-    per_gram = grams.groupBy("id", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    # positions ride the ONE gram groupBy as a collected list (bounded by a
+    # gram's occurrences inside one doc), so duplicate-coverage needs no
+    # second pass over — or join against — the full gram frame; only the
+    # few cnt>=2 grams ever explode their positions
+    per_gram = grams.groupBy("id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.collect_list("pos").alias("poss"),
+    )
     top_per_n = per_gram.groupBy("id", "n").agg(
         F.max(F.col("cnt") * F.length("gram")).alias("top_chars")
     )
     dup_cov = (
-        grams.join(
-            per_gram.where((F.col("cnt") >= 2) & (F.col("n").isin(*dup_ns))),
-            ["id", "n", "gram"],
-        )
+        per_gram.where((F.col("cnt") >= 2) & (F.col("n").isin(*dup_ns)))
         .select(
             "id",
             "n",
             F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+                F.flatten(
+                    F.transform(
+                        F.col("poss"),
+                        lambda p: F.sequence(p, p + F.col("n") - 1),
+                    )
+                )
             ).alias("wpos"),
         )
         .groupBy("id", "n")
