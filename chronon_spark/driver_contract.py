@@ -4383,6 +4383,41 @@ SQL_CORPUS_DRIFT = _sql_corpus_drift(
 QUERIES["corpus_drift"] = q_corpus_drift
 ORACLES["corpus_drift"] = SQL_CORPUS_DRIFT
 
+# fold the drift summary into the in-window scalar_aggs labeled union (it
+# IS scalar metrics): op='corpus_drift', v1=tvd, v2=jsd, totals in the tag
+_q_scalar_pre_drift = QUERIES["scalar_aggs"]
+
+
+def q_scalar_aggs_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _q_scalar_pre_drift(spark, sf_dir)
+    dr = q_corpus_drift(spark, sf_dir).select(
+        F.lit("corpus_drift").alias("op"),
+        F.lit("even_vs_odd").alias("key"),
+        F.col("tvd").alias("v1"),
+        F.col("jsd").alias("v2"),
+        F.col("n_shared_buckets").cast("double").alias("v3"),
+        F.concat_ws(
+            ":",
+            F.col("tot_a").cast("string"),
+            F.col("tot_b").cast("string"),
+            F.col("n_active_buckets").cast("string"),
+        ).alias("tag"),
+    )
+    return base.unionByName(dr)
+
+
+QUERIES["scalar_aggs"] = q_scalar_aggs_drift
+_SQL_SCALAR_PRE_DRIFT = ORACLES["scalar_aggs"]
+ORACLES["scalar_aggs"] = f"""
+SELECT * FROM ({_SQL_SCALAR_PRE_DRIFT})
+UNION ALL
+SELECT 'corpus_drift' AS op, 'even_vs_odd' AS key, tvd AS v1, jsd AS v2,
+       CAST(n_shared_buckets AS DOUBLE) AS v3,
+       CAST(tot_a AS VARCHAR) || ':' || CAST(tot_b AS VARCHAR)
+         || ':' || CAST(n_active_buckets AS VARCHAR) AS tag
+FROM ({SQL_CORPUS_DRIFT})
+"""
+
 
 # fold a transcript-quality leg into the in-window retrieval_sft union (the
 # transcripts training-data-prep combined gate): fingerprint + verdict +
