@@ -809,6 +809,28 @@ def cmd_compile(spark, conf, args) -> dict:
                         mod.staging_sql.encode()
                     ).hexdigest(),
                 }
+            if hasattr(mod, "curation_stages"):
+                from chronon_spark.operators.curation import build_stages
+
+                # resolves every stage name + params against the registry —
+                # an unknown stage or malformed params fails the compile
+                build_stages(mod.curation_stages)
+                if not hasattr(mod, "source"):
+                    conf_errors.append({
+                        "code": "MISSING_SOURCE", "conf": rel, "column": None,
+                        "message": "curation conf requires source(spark)",
+                    })
+                specs = [
+                    [s, {}] if isinstance(s, str) else [s[0], dict(s[1] or {})]
+                    for s in mod.curation_stages
+                ]
+                payload["curation"] = {
+                    "name": _opt(mod, "name", os.path.splitext(rel)[0]),
+                    "stages": [s[0] for s in specs],
+                    "semantic_hash": hashlib.sha256(
+                        json.dumps(specs, sort_keys=True).encode()
+                    ).hexdigest(),
+                }
         except Exception as e:  # noqa: BLE001
             conf_errors.append({"code": "VALIDATION_ERROR", "conf": rel,
                                 "column": None,

@@ -143,3 +143,40 @@ def test_curate_transcript_stage(spark):
     out, report = curate_pipeline(turns, stages, id_col="conv_id")
     assert report[0]["rows_in"] == 4 and report[0]["rows_out"] == 2
     assert {r["conv_id"] for r in out.collect()} == {"good"}
+
+
+def test_compile_validates_curation_confs(spark, tmp_path, capsys):
+    """The repo-wide compile step understands curation confs: good ones land
+    in the manifest with a stage list + semantic hash; an unknown stage or a
+    missing source() fails the compile (CI gate)."""
+    root = tmp_path / "confs"
+    root.mkdir()
+    src = str(tmp_path / "docs3")
+    _seed_docs(spark, src)
+    (root / "good_curate.py").write_text(
+        "def source(spark):\n"
+        f"    return spark.read.parquet({src!r})\n"
+        "curation_stages = [('c4', {}), ('dedup_exact', {})]\n"
+        "name = 'good_corpus'\n"
+    )
+    rc, res = _run(
+        spark, ["compile", "--conf-root", str(root)], capsys
+    )
+    assert rc == 0 and res["ok"] == res["confs"] == 1
+    manifest = json.load(open(res["manifest"]))
+    (entry,) = [e for e in manifest["entries"] if e["conf"] == "good_curate.py"]
+    assert entry["status"] == "ok" and entry["kinds"] == ["curation"]
+    cur = entry["entities"]["curation"]
+    assert cur["stages"] == ["c4", "dedup_exact"]
+    assert len(cur["semantic_hash"]) == 64
+
+    (root / "bad_curate.py").write_text(
+        "def source(spark):\n"
+        f"    return spark.read.parquet({src!r})\n"
+        "curation_stages = [('not_a_stage', {})]\n"
+    )
+    rc2, res2 = _run(spark, ["compile", "--conf-root", str(root)], capsys)
+    assert rc2 == 1
+    manifest2 = json.load(open(res2["manifest"]))
+    bad = [e for e in manifest2["entries"] if e["conf"] == "bad_curate.py"]
+    assert bad[0]["status"] == "error"
