@@ -4006,14 +4006,22 @@ normd AS (
   FROM wordsx w, nsx,
        LATERAL unnest(range(1, greatest(len(w.ws) - nsx.n + 1, 0) + 1)) AS p(pos)
   WHERE len(w.ws) >= nsx.n
+), gph AS (
+  -- grams reduce to the SAME md5-derived 60-bit hash the Spark plan
+  -- shuffles, so both engines group (and even collide) identically
+  SELECT doc_id, n, pos,
+         CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gh,
+         length(gram) AS glen
+  FROM gp
 ), cnts AS (
-  SELECT doc_id, n, gram, count(*) AS cnt FROM gp GROUP BY 1, 2, 3
+  SELECT doc_id, n, gh, count(*) AS cnt, max(glen) AS glen
+  FROM gph GROUP BY 1, 2, 3
 ), topg AS (
-  SELECT doc_id, n, max(cnt * length(gram)) AS top_chars FROM cnts GROUP BY 1, 2
+  SELECT doc_id, n, max(cnt * glen) AS top_chars FROM cnts GROUP BY 1, 2
 ), dupcov AS (
   SELECT g.doc_id, g.n, count(DISTINCT wp.wpos) AS covered
-  FROM gp g
-  JOIN cnts c ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram,
+  FROM gph g
+  JOIN cnts c ON g.doc_id = c.doc_id AND g.n = c.n AND g.gh = c.gh,
        LATERAL unnest(range(g.pos, g.pos + g.n)) AS wp(wpos)
   WHERE c.cnt >= 2 AND g.n >= {min(dup_ns)}
   GROUP BY 1, 2

@@ -364,29 +364,41 @@ def gopher_filter(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "gram"),
     )
-    # positions ride the ONE gram groupBy as a collected list (bounded by a
-    # gram's occurrences inside one doc), so duplicate-coverage needs no
-    # second pass over — or join against — the full gram frame; only the
-    # few cnt>=2 grams ever explode their positions
-    per_gram = grams.groupBy("id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.collect_list("pos").alias("poss"),
+    # Shuffle HASHES, not gram strings: grams reduce to a 60-bit md5-derived
+    # key + their length before any exchange, so the groupBy and the
+    # coverage join move ~16 bytes/row instead of up-to-70-byte strings.
+    # md5 is bit-identical in DuckDB, so the oracle groups by the SAME hash
+    # — even a collision collides identically in both engines, keeping the
+    # comparison exact. (A collect_list variant that avoided the second
+    # join was measured SLOWER: it forces ObjectHashAggregate and loses
+    # whole-stage codegen on the 20M-row aggregation — BENCH appendix.)
+    ghashed = grams.select(
+        "id",
+        "n",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gh"),
+        F.length("gram").alias("glen"),
+    )
+    per_gram = ghashed.groupBy("id", "n", "gh").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("glen").alias("glen")
     )
     top_per_n = per_gram.groupBy("id", "n").agg(
-        F.max(F.col("cnt") * F.length("gram")).alias("top_chars")
+        F.max(F.col("cnt") * F.col("glen")).alias("top_chars")
     )
     dup_cov = (
-        per_gram.where((F.col("cnt") >= 2) & (F.col("n").isin(*dup_ns)))
+        ghashed.join(
+            per_gram.where((F.col("cnt") >= 2) & (F.col("n").isin(*dup_ns))).select(
+                "id", "n", "gh"
+            ),
+            ["id", "n", "gh"],
+        )
         .select(
             "id",
             "n",
             F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("poss"),
-                        lambda p: F.sequence(p, p + F.col("n") - 1),
-                    )
-                )
+                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
             ).alias("wpos"),
         )
         .groupBy("id", "n")
