@@ -4319,6 +4319,54 @@ SQL_TRANSCRIPT_QUALITY = _sql_transcript_quality(
 QUERIES["transcript_quality"] = q_transcript_quality
 ORACLES["transcript_quality"] = SQL_TRANSCRIPT_QUALITY
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted chunking with overlap (curation.chunk_documents,
+    budget=64 overlap=16 so the corpus actually multi-chunks): one row per
+    (doc, chunk), chunk_text hash-gated as an exact string."""
+    from chronon_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), budget=64, overlap=16
+    )
+
+
+def _sql_doc_chunks(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    budget: int = 64,
+    overlap: int = 16,
+) -> str:
+    step = budget - overlap
+    return f"""
+WITH src AS ({source_sql}),
+normd AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g') AS nt
+  FROM src
+), w AS (
+  SELECT doc_id,
+         CASE WHEN length(nt) > 0 THEN string_split(nt, ' ')
+              ELSE CAST([] AS VARCHAR[]) END AS ws
+  FROM normd
+), m AS (
+  SELECT doc_id, ws, len(ws) AS nw,
+         greatest(1, CAST(ceil((len(ws) - {overlap}) / CAST({step} AS DOUBLE)) AS INT)) AS n_chunks
+  FROM w
+)
+SELECT doc_id,
+       CAST(r.ci AS BIGINT) AS chunk_idx,
+       COALESCE(array_to_string(list_slice(ws, r.ci * {step} + 1, r.ci * {step} + {budget}), ' '), '') AS chunk_text,
+       CAST(greatest(0, least({budget}, nw - r.ci * {step})) AS BIGINT) AS chunk_tokens,
+       CAST(r.ci * {step} AS BIGINT) AS start_token
+FROM m, LATERAL unnest(range(0, n_chunks)) AS r(ci)
+"""
+
+
+SQL_DOC_CHUNKS = _sql_doc_chunks()
+
+QUERIES["doc_chunks"] = q_doc_chunks
+ORACLES["doc_chunks"] = SQL_DOC_CHUNKS
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus distribution drift (operators/drift.corpus_drift): hashed-vocab
     token histograms of the even-id vs odd-id document halves, compared as

@@ -980,3 +980,60 @@ def build_stages(specs: list) -> list:
             )
         out.append((name, CURATION_STAGES[name](dict(params or {}))))
     return out
+
+
+def chunk_documents(
+    docs: DataFrame,
+    budget: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budgeted document chunking with overlap — the inverse of
+    ``pack_sequences``: long documents split into windows of ``budget``
+    whitespace tokens, each chunk re-starting ``overlap`` tokens before the
+    previous one ended (the standard pretraining/RAG context-window prep).
+
+    Returns one row per (doc, chunk): (id_col, chunk_idx, chunk_text,
+    chunk_tokens, start_token). The last chunk may be short; a document
+    shorter than ``budget`` yields exactly one chunk; an empty document
+    yields one empty chunk (chunk_tokens = 0) so no document silently
+    disappears from the corpus.
+
+    Plan shape (100TB): ZERO shuffles — chunk windows derive from the
+    word array with native HOFs (sequence -> slice -> array_join) and a
+    posexplode; rows multiply, data never moves between executors, scan
+    partitioning is preserved.
+    """
+    if overlap >= budget:
+        raise ValueError(f"overlap {overlap} must be < budget {budget}")
+    step = budget - overlap
+    from chronon_spark.operators.dedup import normalize_text
+
+    nt = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    ws = F.when(F.length(nt) > 0, F.split(nt, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+    base0 = docs.select(F.col(id_col), ws.alias("__ws"), F.size(ws).alias("__nw"))
+    # chunk starts: 0, step, 2*step, ... while start < max(n_words, 1)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__nw") - overlap) / F.lit(float(step))).cast("int"),
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * step, F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.array_join(F.slice(F.col("__ws"), s + 1, budget), " ").alias("txt"),
+            F.least(F.lit(budget), F.col("__nw") - s).alias("ntok"),
+        ),
+    )
+    base = base0.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
+    return base.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.txt").alias("chunk_text"),
+        F.greatest(F.lit(0), F.col("c.ntok")).cast("long").alias("chunk_tokens"),
+        F.col("c.start").cast("long").alias("start_token"),
+    )
