@@ -957,7 +957,21 @@ def _stage_transcript_quality(params: dict):
     return stage
 
 
+def _stage_scrub_pii(params: dict):
+    """Text REWRITE stage (like c4's cleaned-text mode): every row survives,
+    emails/phones/IPs in the text column are redacted in place."""
+    from chronon_spark.operators.text_ops import scrub_pii
+
+    text_col = params.get("text_col", "text")
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.withColumn(text_col, scrub_pii(F.col(text_col)))
+
+    return stage
+
+
 CURATION_STAGES = {
+    "scrub_pii": _stage_scrub_pii,
     "c4": _stage_c4,
     "gopher": _stage_gopher,
     "dedup_exact": _stage_dedup_exact,

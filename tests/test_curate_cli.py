@@ -180,3 +180,22 @@ def test_compile_validates_curation_confs(spark, tmp_path, capsys):
     manifest2 = json.load(open(res2["manifest"]))
     bad = [e for e in manifest2["entries"] if e["conf"] == "bad_curate.py"]
     assert bad[0]["status"] == "error"
+
+
+def test_curate_scrub_pii_stage(spark):
+    """The scrub_pii stage rewrites text in place (every row survives) and
+    composes with filters downstream."""
+    from chronon_spark.operators.curation import build_stages, curate_pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com for the full dataset details."),
+            (2, "no pii in this one at all, promise."),
+        ],
+        "doc_id long, text string",
+    )
+    out, report = curate_pipeline(docs, build_stages([("scrub_pii", {})]))
+    assert report[0]["rows_in"] == report[0]["rows_out"] == 2
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert "alice@example.com" not in texts[1]
+    assert "promise" in texts[2]
