@@ -4319,6 +4319,29 @@ SQL_TRANSCRIPT_QUALITY = _sql_transcript_quality(
 QUERIES["transcript_quality"] = q_transcript_quality
 ORACLES["transcript_quality"] = SQL_TRANSCRIPT_QUALITY
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle (curation.shuffle_corpus):
+    md5(seed:id) permutation positions via hash-uniform bucket prefix-sums
+    — hash-gated against DuckDB's row_number over the same md5 order."""
+    from chronon_spark.operators.curation import shuffle_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return shuffle_corpus(docs, seed="r4")
+
+
+SQL_CORPUS_SHUFFLE = """
+SELECT doc_id, source,
+       md5('r4:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(row_number() OVER (
+           ORDER BY md5('r4:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+QUERIES["corpus_shuffle"] = q_corpus_shuffle
+ORACLES["corpus_shuffle"] = SQL_CORPUS_SHUFFLE
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted chunking with overlap (curation.chunk_documents,
     budget=64 overlap=16 so the corpus actually multi-chunks): one row per

@@ -1051,3 +1051,58 @@ def chunk_documents(
         F.greatest(F.lit(0), F.col("c.ntok")).cast("long").alias("chunk_tokens"),
         F.col("c.start").cast("long").alias("start_token"),
     )
+
+
+def shuffle_corpus(
+    docs: DataFrame,
+    seed: str = "shuffle",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training shuffle: every row receives a stable
+    pseudorandom permutation position keyed on md5(seed:id) — the standard
+    pre-training corpus shuffle (epoch reshuffles = change the seed),
+    reproducible across runs and engines.
+
+    No global-order window (which would collapse to ONE partition):
+    the md5 key's first two hex chars split the corpus into 256 UNIFORM
+    range-buckets whose lexicographic order matches the full-key order, so
+    a bounded per-bucket count collect + exclusive prefix offsets
+    broadcast back, and the within-bucket rank runs as a window
+    PARTITIONED BY bucket — the pack_sequences prefix-sum pattern, with
+    hash-uniform buckets instead of id-range ones (no skew by
+    construction). Ties (duplicate ids) break on the id itself.
+
+    Returns the input columns + (shuffle_key, shuffle_pos); positions are
+    exactly 0..N-1.
+    """
+    from pyspark.sql.window import Window as _W
+
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("long")
+    bucketed = docs.select(
+        "*", key.alias("shuffle_key"), bucket.alias("__b")
+    ).persist()
+    from chronon_spark.plans import cache as _plan_cache
+
+    _plan_cache.register(bucketed)
+
+    counts = {
+        r["__b"]: r["c"]
+        for r in bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    run = 0
+    offsets = []
+    for b in range(256):
+        offsets.append((b, run))
+        run += counts.get(b, 0)
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(offsets, "__b long, __off long")
+
+    w = _W.partitionBy("__b").orderBy("shuffle_key", id_col)
+    return (
+        bucketed.join(F.broadcast(off_df), "__b")
+        .withColumn(
+            "shuffle_pos", (F.col("__off") + F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("__b", "__off")
+    )

@@ -91,3 +91,35 @@ def test_chunks_zero_exchanges(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- shuffle_corpus (same file: the two corpus-layout preparation ops) ------
+
+
+def test_shuffle_corpus_is_deterministic_permutation(spark):
+    from chronon_spark.operators.curation import shuffle_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_corpus(docs, "s1").collect()}
+    b = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_corpus(docs, "s1").collect()}
+    c = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_corpus(docs, "s2").collect()}
+    assert a == b  # reproducible
+    assert sorted(a.values()) == list(range(200))  # exact permutation
+    assert a != c  # epoch reshuffle: a different seed moves rows
+    # hash order is not id order (vanishingly unlikely for 200 rows)
+    assert [a[i] for i in range(200)] != list(range(200))
+
+
+def test_shuffle_corpus_no_single_partition_window(spark):
+    """The scale claim: the permutation is computed with a window
+    PARTITIONED BY the hash bucket — never a global-order window (which
+    Spark executes on one partition)."""
+    from chronon_spark.operators.curation import shuffle_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id long, text string"
+    )
+    plan = shuffle_corpus(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
