@@ -4342,6 +4342,7 @@ QUERIES["corpus_shuffle"] = q_corpus_shuffle
 ORACLES["corpus_shuffle"] = SQL_CORPUS_SHUFFLE
 
 
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted chunking with overlap (curation.chunk_documents,
     budget=64 overlap=16 so the corpus actually multi-chunks): one row per
@@ -4388,6 +4389,54 @@ SQL_DOC_CHUNKS = _sql_doc_chunks()
 
 QUERIES["doc_chunks"] = q_doc_chunks
 ORACLES["doc_chunks"] = SQL_DOC_CHUNKS
+
+
+# fold per-doc chunking + shuffle signatures into the in-window curation row
+# (doc-keyed like its existing decontaminate/split/pack columns)
+_q_curation_pre_fold = QUERIES["curation"]
+
+
+def q_curation_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.curation import chunk_documents, shuffle_corpus
+
+    base = _q_curation_pre_fold(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    ch = (
+        chunk_documents(docs, budget=64, overlap=16)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                        ),
+                        lambda s: s["chunk_text"],
+                    ),
+                    "\x1e",
+                )
+            ).alias("chunks_fp"),
+        )
+    )
+    sh = shuffle_corpus(docs.select("doc_id"), seed="r4").select(
+        "doc_id", "shuffle_pos"
+    )
+    return base.join(ch, "doc_id").join(sh, "doc_id")
+
+
+QUERIES["curation"] = q_curation_folded
+_SQL_CURATION_PRE_FOLD = ORACLES["curation"]
+ORACLES["curation"] = f"""
+SELECT b.*, c.n_chunks, c.chunks_fp, s.shuffle_pos
+FROM ({_SQL_CURATION_PRE_FOLD}) b
+JOIN (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         md5(string_agg(chunk_text, chr(30) ORDER BY chunk_idx)) AS chunks_fp
+  FROM ({SQL_DOC_CHUNKS}) GROUP BY doc_id
+) c ON b.doc_id = c.doc_id
+JOIN ({SQL_CORPUS_SHUFFLE}) s ON b.doc_id = s.doc_id
+"""
 
 
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
