@@ -4547,6 +4547,94 @@ FROM ({SQL_CORPUS_DRIFT})
 """
 
 
+def _plant_degen_spark(t: DataFrame) -> DataFrame:
+    planted = (
+        F.when(
+            (F.col("turn_idx") % 8 == 1) & (F.col("role") == "assistant"),
+            F.concat(F.col("text"), F.lit(" loop loop loop loop loop loop")),
+        )
+        .when(
+            F.col("turn_idx") % 10 == 7,
+            F.lit("spam spam spam spam spam spam spam spam"),
+        )
+        .otherwise(F.col("text"))
+    )
+    return t.select("conv_id", "turn_idx", "role", planted.alias("text"))
+
+
+_SQL_DEGEN_PLANT = """
+SELECT conv_id, turn_idx, role,
+       CASE WHEN turn_idx % 8 = 1 AND role = 'assistant'
+                 THEN text || ' loop loop loop loop loop loop'
+            WHEN turn_idx % 10 = 7
+                 THEN 'spam spam spam spam spam spam spam spam'
+            ELSE text END AS text
+FROM ({src}) dg_src
+"""
+
+
+def q_turn_degeneration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-generation detection (sessionize.turn_degeneration) over
+    loop/spam-planted transcripts: unbroken word-run length via one native
+    F.aggregate pass + collapsed distinct-word fraction, per turn."""
+    from chronon_spark.operators.sessionize import turn_degeneration
+
+    t = _plant_degen_spark(_transcripts_from_events(_t(spark, sf_dir, "events")))
+    return turn_degeneration(t)
+
+
+def _sql_turn_degeneration(source_sql: str) -> str:
+    from chronon_spark.operators.sessionize import DEGENERATION_PARAMS as P
+
+    return f"""
+WITH t AS ({source_sql}),
+normd AS (
+  SELECT conv_id, turn_idx, role,
+         regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g') AS nt
+  FROM t
+), w AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN length(nt) > 0 THEN string_split(nt, ' ')
+              ELSE CAST([] AS VARCHAR[]) END AS ws
+  FROM normd
+), pos AS (
+  SELECT conv_id, turn_idx, ws[r.i] AS wd, r.i
+  FROM w, LATERAL unnest(range(1, len(ws) + 1)) AS r(i)
+), isl AS (
+  SELECT conv_id, turn_idx, wd,
+         i - row_number() OVER (PARTITION BY conv_id, turn_idx, wd ORDER BY i) AS grp
+  FROM pos
+), runs AS (
+  SELECT conv_id, turn_idx, count(*) AS run
+  FROM isl GROUP BY conv_id, turn_idx, wd, grp
+), mx AS (
+  SELECT conv_id, turn_idx, max(run) AS max_word_run FROM runs GROUP BY 1, 2
+), base AS (
+  SELECT w.conv_id, CAST(w.turn_idx AS BIGINT) AS turn_idx, w.role,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+         round(CASE WHEN len(ws) > 0
+               THEN len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)
+               ELSE 0.0 END, 6) AS distinct_word_frac,
+         CAST(COALESCE(mx.max_word_run, 0) AS BIGINT) AS max_word_run
+  FROM w LEFT JOIN mx ON w.conv_id = mx.conv_id AND w.turn_idx = mx.turn_idx
+)
+SELECT *,
+       (n_words >= {P["min_words"]}
+        AND (distinct_word_frac < {P["min_distinct_word_frac"]}
+             OR max_word_run > {P["max_word_run"]})) AS degenerate
+FROM base
+"""
+
+
+SQL_TURN_DEGENERATION = _sql_turn_degeneration(
+    _SQL_DEGEN_PLANT.format(src=TRANSCRIPTS_SQL_DUCK)
+)
+
+QUERIES["turn_degeneration"] = q_turn_degeneration
+ORACLES["turn_degeneration"] = SQL_TURN_DEGENERATION
+
+
 # fold a transcript-quality leg into the in-window retrieval_sft union (the
 # transcripts training-data-prep combined gate): fingerprint + verdict +
 # rule counters hash-gated per conversation
@@ -4567,7 +4655,18 @@ def q_retrieval_sft_tq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tq_keep").cast("string"),
         ).alias("tag"),
     )
-    return base.unionByName(tq)
+    dg = q_turn_degeneration(spark, sf_dir).select(
+        F.lit("degen").alias("op"),
+        F.col("conv_id").alias("key"),
+        F.col("turn_idx").cast("long").alias("idx"),
+        F.col("max_word_run").cast("double").alias("n"),
+        F.concat_ws(
+            "\x1f",
+            F.col("degenerate").cast("string"),
+            F.col("distinct_word_frac").cast("string"),
+        ).alias("tag"),
+    )
+    return base.unionByName(tq).unionByName(dg)
 
 
 QUERIES["retrieval_sft"] = q_retrieval_sft_tq
@@ -4579,6 +4678,12 @@ SELECT 'tq' AS op, conv_id AS key, n_turns AS idx, alternation_frac AS n,
        conv_fingerprint || chr(31) || CAST(n_rules_failed AS VARCHAR)
          || chr(31) || CAST(tq_keep AS VARCHAR) AS tag
 FROM ({SQL_TRANSCRIPT_QUALITY})
+UNION ALL
+SELECT 'degen' AS op, conv_id AS key, turn_idx AS idx,
+       CAST(max_word_run AS DOUBLE) AS n,
+       CAST(degenerate AS VARCHAR) || chr(31)
+         || CAST(distinct_word_frac AS VARCHAR) AS tag
+FROM ({SQL_TURN_DEGENERATION})
 """
 
 # fold the c4 signature columns into the in-window text_quality_ext row

@@ -312,3 +312,90 @@ def transcript_quality(
         n_failed.cast("long").alias("n_rules_failed"),
         (n_failed == 0).alias("tq_keep"),
     )
+
+
+#: degeneration thresholds (overridable): a turn is flagged when its
+#: distinct-word fraction collapses or any single word repeats in an
+#: unbroken run
+DEGENERATION_PARAMS = {
+    "min_distinct_word_frac": 0.3,
+    "max_word_run": 4,
+    "min_words": 5,  # short turns are never flagged (too little signal)
+}
+
+
+def turn_degeneration(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    params: dict | None = None,
+) -> DataFrame:
+    """Degenerate-generation detection per turn — the model-output loop
+    screen an agent-transcript pipeline runs before using assistant turns
+    as training data: collapsed vocabulary (distinct-word fraction) and
+    unbroken single-word repetition runs ("the the the ..."), flagged per
+    (conversation, turn).
+
+    ``max_word_run`` is computed with ONE native ``F.aggregate`` pass over
+    the word array (state = (prev, current-run, best-run)) — no explode,
+    no shuffle; the whole operator is row-local and preserves scan
+    partitioning. The DuckDB twin computes the same run length with the
+    gaps-and-islands idiom over unnested word positions, so verdicts are
+    bit-stable cross-engine (fractions are single integer/integer
+    divisions).
+
+    Returns (conv, turn, role, n_words, n_distinct_words,
+    distinct_word_frac, max_word_run, degenerate).
+    """
+    from chronon_spark.operators.dedup import normalize_text
+
+    p = {**DEGENERATION_PARAMS, **(params or {})}
+    nt = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    ws = F.when(F.length(nt) > 0, F.split(nt, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = transcripts.select(
+        F.col(conv_col),
+        F.col(turn_col),
+        F.col(role_col),
+        ws.alias("__ws"),
+    )
+    n_words = F.size("__ws")
+    n_distinct = F.size(F.array_distinct("__ws"))
+    max_run = F.aggregate(
+        F.col("__ws"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    d_frac = F.when(n_words > 0, n_distinct / n_words.cast("double"))
+    out = base.select(
+        conv_col,
+        F.col(turn_col).cast("long").alias(turn_col),
+        role_col,
+        n_words.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct_words"),
+        F.round(F.coalesce(d_frac, F.lit(0.0)), 6).alias("distinct_word_frac"),
+        max_run.cast("long").alias("max_word_run"),
+    )
+    return out.withColumn(
+        "degenerate",
+        (F.col("n_words") >= p["min_words"])
+        & (
+            (F.col("distinct_word_frac") < p["min_distinct_word_frac"])
+            | (F.col("max_word_run") > p["max_word_run"])
+        ),
+    )

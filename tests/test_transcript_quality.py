@@ -140,3 +140,61 @@ def test_transcript_quality_one_shuffle(spark):
     )
     plan = transcript_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+# --- turn_degeneration (same transcript-screening family) -------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_degeneration_matches_duckdb_random(spark, seed):
+    from chronon_spark.driver_contract import _sql_turn_degeneration
+    from chronon_spark.operators.sessionize import turn_degeneration
+
+    rng = random.Random(seed)
+    words = ["a", "b", "loop", "the", "x"]
+    rows = []
+    for c in range(20):
+        for t in range(rng.randrange(1, 6)):
+            n = rng.randrange(0, 25)
+            txt = " ".join(rng.choice(words) for _ in range(n))
+            if rng.random() < 0.1:
+                txt = None
+            rows.append((f"c{c}", t, rng.choice(["user", "assistant"]), txt))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    sdf = spark.createDataFrame(pdf.astype({"turn_idx": "int64"}))
+    _compare(
+        turn_degeneration(sdf), pdf,
+        _sql_turn_degeneration("SELECT conv_id, turn_idx, role, text FROM turns_in"),
+    )
+
+
+def test_degeneration_semantics(spark):
+    from chronon_spark.operators.sessionize import turn_degeneration
+
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "assistant", "a healthy varied reply with many words here"),
+            ("c", 1, "assistant", "go go go go go go stop"),  # 6-run
+            ("c", 2, "assistant", "spam spam spam ham spam spam spam spam"),  # collapse
+            ("c", 3, "assistant", "ok ok ok ok ok"),  # 5-run at min_words
+            ("c", 4, "assistant", "no no no"),  # short: never flagged
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {r["turn_idx"]: r for r in turn_degeneration(df).collect()}
+    assert out[0]["degenerate"] is False
+    assert out[1]["max_word_run"] == 6 and out[1]["degenerate"] is True
+    assert out[2]["distinct_word_frac"] == 0.25 and out[2]["degenerate"] is True
+    assert out[3]["max_word_run"] == 5 and out[3]["degenerate"] is True
+    assert out[4]["max_word_run"] == 3 and out[4]["degenerate"] is False
+
+
+def test_degeneration_zero_exchanges(spark):
+    from chronon_spark.operators.sessionize import turn_degeneration
+
+    df = spark.createDataFrame(
+        [("c", 0, "assistant", "x y z")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = turn_degeneration(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
