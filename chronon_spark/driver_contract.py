@@ -3909,9 +3909,18 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_filter(_t(spark, sf_dir, "documents"))
 
 
-def _sql_gopher(source_sql: str = "SELECT doc_id, text FROM documents") -> str:
+def _sql_gopher(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    gram_group: str = "raw",
+) -> str:
     """DuckDB twin of gopher_filter, parameterized over the input relation
-    (single-sourced so tests can replay it over seeded frames)."""
+    (single-sourced so tests can replay it over seeded frames).
+
+    ``gram_group`` mirrors the engine strategy: ``raw`` groups gram
+    STRINGS (the default ``local`` counts path — no hashing scheme at
+    all), ``md5`` groups the 60-bit md5-derived key the ``shuffle`` plan
+    exchanges (so even a hash collision collides identically in both
+    engines)."""
     from chronon_spark.operators.text_ops import (
         GOPHER_STOPWORDS,
         GOPHER_THRESHOLDS,
@@ -3921,6 +3930,12 @@ def _sql_gopher(source_sql: str = "SELECT doc_id, text FROM documents") -> str:
     top_ns = sorted(th["max_top_gram_char_frac"])
     dup_ns = sorted(th["max_dup_gram_frac"])
     all_ns = sorted({*top_ns, *dup_ns})
+    if gram_group == "raw":
+        gram_key = "gram"
+    elif gram_group == "md5":
+        gram_key = "CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)"
+    else:
+        raise ValueError(f"unknown gram_group {gram_group!r}")
     stop_sum = " + ".join(
         f"(CASE WHEN contains(' ' || nt || ' ', ' {w} ') THEN 1 ELSE 0 END)"
         for w in GOPHER_STOPWORDS
@@ -4007,10 +4022,11 @@ normd AS (
        LATERAL unnest(range(1, greatest(len(w.ws) - nsx.n + 1, 0) + 1)) AS p(pos)
   WHERE len(w.ws) >= nsx.n
 ), gph AS (
-  -- grams reduce to the SAME md5-derived 60-bit hash the Spark plan
-  -- shuffles, so both engines group (and even collide) identically
+  -- gram grouping key per engine strategy: raw gram strings (local
+  -- counts path) or the md5-derived 60-bit hash the shuffle plan
+  -- exchanges (collisions collide identically in both engines)
   SELECT doc_id, n, pos,
-         CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gh,
+         {gram_key} AS gh,
          length(gram) AS glen
   FROM gp
 ), cnts AS (

@@ -9,8 +9,11 @@ every SQL engine, used by the DuckDB oracles too).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # marker words per language for the n-gram language-ID heuristic
 LANG_MARKERS: dict[str, list[str]] = {
@@ -257,6 +260,7 @@ def gopher_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     thresholds: dict | None = None,
+    strategy: str = "local",
 ) -> DataFrame:
     """The complete Gopher quality-rule battery (Rae et al. 2021 §A1.1,
     public paper): word-count bounds, mean word length, symbol-to-word
@@ -274,17 +278,46 @@ def gopher_filter(
     ellipsis rule counts '...' occurrences against the line count (a
     '.'-split can never see a trailing ellipsis).
 
-    Plan shape (100TB): word-level rules are pure native expressions (no
-    shuffle); ALL nine gram sizes ride ONE explode → groupBy(id, n, gram)
-    → groupBy(id) chain, so the whole battery costs one hash-partitioning
-    of the doc ids no matter how many n's are enabled; shuffles carry
-    (id, gram) counts, never documents.
+    Two physical strategies produce the identical counts frame (both feed
+    one shared native finalizer, so fraction/rounding semantics cannot
+    drift):
+
+    - ``local`` (default): every metric in the battery is doc-local, so
+      ONE Arrow-batched ``mapInPandas`` pass computes all integer counts
+      per document with ZERO shuffles — the scan partitioning flows
+      straight through. At 100TB this moves nothing over the network
+      (the shuffle plan moves ~16 bytes x total-gram-count, i.e. ~9x the
+      corpus word count); locally it replaces the 20M-row gram
+      aggregation with embarrassingly parallel per-doc counting.
+    - ``shuffle``: the all-native-JVM plan — word-level rules as pure
+      expressions, ALL nine gram sizes riding ONE explode →
+      groupBy(id, n, md5-hash) → groupBy(id) chain (one
+      hash-partitioning of doc ids; shuffles carry hashed gram counts,
+      never documents). Kept as the no-Python-boundary alternative and
+      as the differential twin for the local path.
     """
     th = {**GOPHER_THRESHOLDS, **(thresholds or {})}
     top_ns = sorted(th["max_top_gram_char_frac"])
     dup_ns = sorted(th["max_dup_gram_frac"])
     all_ns = sorted({*top_ns, *dup_ns})
+    if strategy not in ("local", "shuffle"):
+        raise ValueError(f"unknown gopher strategy {strategy!r}")
+    if strategy == "local":
+        counts = _gopher_counts_local(df, text_col, id_col, top_ns, dup_ns, all_ns)
+    else:
+        counts = _gopher_counts_shuffle(df, text_col, id_col, top_ns, dup_ns, all_ns)
+    return _gopher_finalize(counts, th, top_ns, dup_ns, id_col)
 
+
+def _gopher_counts_shuffle(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_ns: list,
+    dup_ns: list,
+    all_ns: list,
+) -> DataFrame:
+    """All-native counts plan: see gopher_filter ``shuffle`` strategy."""
     c = F.col(text_col)
     norm = normalize_for_grams(c)
     base = df.select(
@@ -428,7 +461,7 @@ def gopher_filter(
         )
     )
 
-    out = (
+    return (
         lvl.join(line_stats, "id", "left")
         .join(gram_wide, "id", "left")
         .na.fill(
@@ -444,6 +477,131 @@ def gopher_filter(
         )
     )
 
+
+def _gopher_counts_local(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_ns: list,
+    dup_ns: list,
+    all_ns: list,
+) -> DataFrame:
+    """Zero-shuffle counts plan: one Arrow-batched ``mapInPandas`` pass
+    computes every integer count per document (all metrics in the battery
+    are doc-local). Python-side semantics replicate the native expressions
+    EXACTLY — ASCII ``\\s`` class (Java's), space-only trim, non-overlapping
+    '...' counting — and the counts are handed back to the shared native
+    finalizer, so the two strategies cannot diverge on rounding or rule
+    evaluation. Grams are counted as interned-int tuples (no hashing
+    scheme at all — exact string grouping, which the DuckDB oracle
+    replicates by grouping raw gram strings).
+    """
+    import pandas as pd
+
+    from chronon_spark.operators.dedup import _spread_by_id
+
+    id_field = df.schema[id_col]
+    top_cols = [f"top{n}_chars" for n in top_ns]
+    dup_cols = [f"dup{n}_covered" for n in dup_ns]
+    count_cols = [
+        "n_chars", "n_words", "word_chars", "n_alpha_words", "n_symbols",
+        "stop_hits", "n_ellipsis", "n_lines", "n_distinct_lines",
+        "dup_line_chars", "line_chars", "n_bullet_lines", *top_cols, *dup_cols,
+    ]
+    out_schema = T.StructType(
+        [T.StructField("id", id_field.dataType)]
+        + [T.StructField(n, T.LongType()) for n in count_cols]
+    )
+    # closure-captured constants (shipped by value — workers never import)
+    stopwords = GOPHER_STOPWORDS
+    ws_re = re.compile(r"\s+", re.ASCII)  # Java \s == ASCII \s here
+    alpha_re = re.compile(r"[a-z]")
+    top_set, dup_set = set(top_ns), set(dup_ns)
+
+    def doc_counts(t):
+        t = t if isinstance(t, str) else ""
+        nt = ws_re.sub(" ", t.lower().strip(" "))
+        ws = nt.split(" ") if nt else []
+        n_words = len(ws)
+        rec = {
+            "n_chars": len(nt),
+            "n_words": n_words,
+            "word_chars": len(nt) - (n_words - 1),
+            "n_alpha_words": sum(1 for w in ws if alpha_re.search(w)),
+            "n_symbols": t.count("#") + t.count("..."),
+            "stop_hits": sum(1 for w in stopwords if f" {w} " in f" {nt} "),
+            "n_ellipsis": t.count("..."),
+        }
+        line_cnt = {}
+        for raw in t.split("."):
+            line = raw.strip(" ")
+            if line:
+                line_cnt[line] = line_cnt.get(line, 0) + 1
+        rec["n_lines"] = sum(line_cnt.values())
+        rec["n_distinct_lines"] = len(line_cnt)
+        rec["dup_line_chars"] = sum(
+            (c - 1) * len(l) for l, c in line_cnt.items() if c >= 2
+        )
+        rec["line_chars"] = sum(c * len(l) for l, c in line_cnt.items())
+        rec["n_bullet_lines"] = sum(
+            c for l, c in line_cnt.items() if l[0] in "-*•"
+        )
+        # intern words to small ints: tuple-of-int keys hash ~3x faster
+        # than tuple-of-str and gram lengths become table lookups
+        idx: dict = {}
+        wid = [idx.setdefault(w, len(idx)) for w in ws]
+        wlen = [0] * len(idx)
+        for w, i in idx.items():
+            wlen[i] = len(w)
+        for n in all_ns:
+            top_key, dup_key = f"top{n}_chars", f"dup{n}_covered"
+            if n_words < n:
+                if n in top_set:
+                    rec[top_key] = 0
+                if n in dup_set:
+                    rec[dup_key] = 0
+                continue
+            grams = list(zip(*(wid[i:] for i in range(n))))
+            cnt = {}
+            for g in grams:
+                cnt[g] = cnt.get(g, 0) + 1
+            if n in top_set:
+                rec[top_key] = max(
+                    c * (sum(wlen[i] for i in g) + n - 1) for g, c in cnt.items()
+                )
+            if n in dup_set:
+                dup = {g for g, c in cnt.items() if c >= 2}
+                if dup:
+                    cov = bytearray(n_words)
+                    one = b"\x01" * n
+                    for i, g in enumerate(grams):
+                        if g in dup:
+                            cov[i : i + n] = one
+                    rec[dup_key] = sum(cov)
+                else:
+                    rec[dup_key] = 0
+        return rec
+
+    def compute(batches):
+        for pdf in batches:
+            recs = [doc_counts(t) for t in pdf[text_col].tolist()]
+            out = pd.DataFrame(
+                {"id": pdf[id_col].values}
+                | {c: [r[c] for r in recs] for c in count_cols}
+            )
+            yield out
+
+    return _spread_by_id(df.select(id_col, text_col), id_col).mapInPandas(
+        compute, schema=out_schema
+    )
+
+
+def _gopher_finalize(
+    out: DataFrame, th: dict, top_ns: list, dup_ns: list, id_col: str
+) -> DataFrame:
+    """Shared fraction/rule evaluation over the integer counts frame —
+    native expressions only, so both counts strategies finalize through
+    the identical arithmetic."""
     nw = F.col("n_words").cast("double")
     nc = F.col("n_chars").cast("double")
     nl = F.col("n_lines").cast("double")

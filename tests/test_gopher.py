@@ -58,7 +58,8 @@ def _random_text(rng: random.Random) -> str:
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_gopher_matches_duckdb_random(spark, seed):
+@pytest.mark.parametrize("strategy,gram_group", [("local", "raw"), ("shuffle", "md5")])
+def test_gopher_matches_duckdb_random(spark, seed, strategy, gram_group):
     from chronon_spark.driver_contract import _sql_gopher
 
     rng = random.Random(seed)
@@ -68,8 +69,26 @@ def test_gopher_matches_duckdb_random(spark, seed):
     rows.append((9002, "word " * 80))  # pure repetition
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     sdf = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
-    out = gopher_filter(sdf)
-    _compare(out, pdf, _sql_gopher("SELECT doc_id, text FROM docs_in"))
+    out = gopher_filter(sdf, strategy=strategy)
+    _compare(out, pdf, _sql_gopher("SELECT doc_id, text FROM docs_in", gram_group))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_gopher_local_equals_shuffle(spark, seed):
+    """The two physical strategies (zero-shuffle mapInPandas counts vs the
+    all-native explode/groupBy plan) produce row-identical batteries —
+    including on whitespace-edge and repetition-planted docs."""
+    rng = random.Random(100 + seed)
+    rows = [(i, _random_text(rng)) for i in range(30)]
+    rows.append((9100, "  \t mixed   WHITESPACE runs \t "))
+    rows.append((9101, "- bullet line. - bullet line. * star... the end"))
+    rows.append((9102, ("five gram phrase repeats here " * 12) + "tail words"))
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype({"doc_id": "int64"})
+    )
+    a = {r["doc_id"]: tuple(r) for r in gopher_filter(sdf, strategy="local").collect()}
+    b = {r["doc_id"]: tuple(r) for r in gopher_filter(sdf, strategy="shuffle").collect()}
+    assert a == b
 
 
 def test_gopher_rule_semantics(spark):
