@@ -55,9 +55,10 @@ Conf-module contract (only the names a given subcommand needs):
 
     curate                -> ``source(spark)`` + ``curation_stages``
                              (declarative [(name, params)] specs over the
-                             CURATION_STAGES vocabulary: c4, gopher,
-                             dedup_exact, decontaminate,
-                             transcript_quality), optional ``name``/
+                             CURATION_STAGES vocabulary: scrub_pii, c4,
+                             gopher, dedup_exact, decontaminate,
+                             transcript_quality, classifier_select),
+                             optional ``name``/
                              ``snapshot_ds``/``id_col``; args --out-root.
                              Lands survivors as a snapshot table + writes
                              the per-stage lineage report

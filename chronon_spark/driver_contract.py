@@ -4733,6 +4733,120 @@ JOIN ({_sql_c4(_SQL_C4_PLANTED_DOCS)}) c USING (doc_id)
 """
 
 
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style supervised quality/domain classifier
+    (curation.nb_classifier_train/score): hashed unigram+bigram multinomial
+    NB trained on the documents table with lang as the label, self-scored —
+    integer-exact weights/scores, so predicted label AND margin are
+    hash-gated (reference slot: the GPT-3/LLaMA-style quality-classifier
+    selection stage; training is deterministic by construction)."""
+    from chronon_spark.operators.curation import (
+        nb_classifier_score,
+        nb_classifier_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    weights, stats = nb_classifier_train(docs, label_col="lang", buckets=2048)
+    return nb_classifier_score(docs, weights, stats, buckets=2048)
+
+
+SQL_NB_CLASSIFIER = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) > 0
+              THEN string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')
+              ELSE CAST([] AS VARCHAR[]) END AS tk
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(
+           list_transform(tk, t ->
+             CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 2048),
+           CASE WHEN len(tk) >= 2 THEN
+             list_transform(range(1, len(tk)), i ->
+               2048 + CAST(concat('0x', substr(md5(tk[i] || ' ' || tk[i+1]), 1, 8)) AS BIGINT) % 2048)
+           ELSE CAST([] AS BIGINT[]) END)) AS f
+  FROM toks
+), cnt AS (
+  SELECT lang AS label, f, count(*) AS c FROM feats GROUP BY 1, 2
+), tot AS (
+  SELECT label, sum(c) AS t FROM cnt GROUP BY 1
+), weights AS (
+  SELECT label, f,
+         CAST(round(1000000.0 * (ln(CAST(c + 1 AS DOUBLE))
+              - ln(CAST(t + 4096 AS DOUBLE)))) AS BIGINT) AS weight_q
+  FROM cnt JOIN tot USING (label)
+), ndocs AS (
+  SELECT lang AS label, count(*) AS nl FROM documents GROUP BY 1
+), ntotal AS (SELECT count(*) AS n FROM documents),
+stats AS (
+  SELECT t.label,
+         CAST(round(-1000000.0 * ln(CAST(t.t + 4096 AS DOUBLE))) AS BIGINT) AS default_q,
+         CAST(round(1000000.0 * (ln(CAST(d.nl AS DOUBLE)) - ln(CAST(n.n AS DOUBLE)))) AS BIGINT) AS prior_q
+  FROM tot t JOIN ndocs d USING (label) CROSS JOIN ntotal n
+), nf AS (
+  SELECT doc_id, count(*) AS n_feats FROM feats GROUP BY 1
+), matched AS (
+  SELECT fe.doc_id, w.label, sum(w.weight_q) AS mq, count(*) AS n_m
+  FROM feats fe JOIN weights w USING (f) GROUP BY 1, 2
+), grid AS (
+  SELECT d.doc_id, s.label, s.default_q, s.prior_q FROM documents d CROSS JOIN stats s
+), scores AS (
+  SELECT g.doc_id, g.label,
+         g.prior_q + COALESCE(m.mq, 0)
+           + (COALESCE(nf.n_feats, 0) - COALESCE(m.n_m, 0)) * g.default_q AS score_q,
+         COALESCE(nf.n_feats, 0) AS n_feats
+  FROM grid g
+  LEFT JOIN nf ON g.doc_id = nf.doc_id
+  LEFT JOIN matched m ON g.doc_id = m.doc_id AND g.label = m.label
+), best AS (
+  SELECT doc_id, max(score_q) AS best_q FROM scores GROUP BY 1
+), pred AS (
+  SELECT s.doc_id,
+         min(CASE WHEN s.score_q = b.best_q THEN s.label END) AS predicted_label,
+         max(b.best_q) AS best_q, max(s.n_feats) AS n_feats
+  FROM scores s JOIN best b USING (doc_id) GROUP BY 1
+), runner AS (
+  SELECT s.doc_id, max(s.score_q) AS second_q
+  FROM scores s JOIN pred p ON s.doc_id = p.doc_id AND s.label <> p.predicted_label
+  GROUP BY 1
+)
+SELECT p.doc_id, CAST(p.n_feats AS BIGINT) AS n_feats, p.predicted_label,
+       CAST(p.best_q AS BIGINT) AS best_q,
+       CAST(p.best_q - COALESCE(r.second_q, p.best_q) AS BIGINT) AS margin_q
+FROM pred p LEFT JOIN runner r USING (doc_id)
+"""
+
+QUERIES["nb_classifier"] = q_nb_classifier
+ORACLES["nb_classifier"] = SQL_NB_CLASSIFIER
+
+# fold the classifier signature into the in-window text_quality_ext row so
+# the supervised-classifier stage gets a driver CORRECTNESS row (the same
+# pattern as the gopher/c4 folds above)
+_q_tqe_pre_nb = QUERIES["text_quality_ext"]
+
+
+def q_text_quality_ext_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _q_tqe_pre_nb(spark, sf_dir)
+    nb = q_nb_classifier(spark, sf_dir).select(
+        "doc_id",
+        F.col("predicted_label").alias("nb_label"),
+        F.col("best_q").alias("nb_best_q"),
+        F.col("margin_q").alias("nb_margin_q"),
+    )
+    return base.join(nb, "doc_id")
+
+
+QUERIES["text_quality_ext"] = q_text_quality_ext_nb
+_SQL_TQE_PRE_NB = ORACLES["text_quality_ext"]
+ORACLES["text_quality_ext"] = f"""
+SELECT b.*, n.predicted_label AS nb_label, n.best_q AS nb_best_q,
+       n.margin_q AS nb_margin_q
+FROM ({_SQL_TQE_PRE_NB}) b
+JOIN ({SQL_NB_CLASSIFIER}) n USING (doc_id)
+"""
+
+
 #: the first 50 registry names — every one oracle-backed — form the driver's
 #: CORRECTNESS window; everything after is pytest-parity-only (rows-only
 #: diagnostics and the standalone halves of the combined gates)

@@ -737,6 +737,172 @@ def lm_perplexity(
     )
 
 
+def _nb_features(
+    d: DataFrame, text_col: str, id_col: str, buckets: int
+) -> DataFrame:
+    """Hashed unigram + bigram feature occurrences per document (the
+    fastText ``wordNgrams=2`` feature space, Joulin et al. 2016): tokens
+    hash to ``buckets`` unigram ids, adjacent-token pairs to a second
+    ``buckets``-sized band offset by ``buckets`` — total feature space
+    2*buckets regardless of vocabulary. One native pass, one explode."""
+    from chronon_spark.operators.dedup import normalize_text
+
+    b32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % buckets
+    toks = d.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            F.length(normalize_text(F.col(text_col))) > 0,
+            F.split(normalize_text(F.col(text_col)), " "),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("tk"),
+    )
+    n = F.size("tk")
+    uni = F.transform(F.col("tk"), lambda t: b32(t))
+    big = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("tk", 1, n - 1),
+            F.slice("tk", 2, n - 1),
+            lambda a, b: F.lit(buckets) + b32(F.concat(a, F.lit(" "), b)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return toks.select("id", F.explode(F.concat(uni, big)).alias("f"))
+
+
+def nb_classifier_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    buckets: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a fastText-style supervised linear text classifier — the
+    quality/domain classifier slot of a pre-training pipeline (GPT-3 /
+    LLaMA-style "looks like the reference corpus" filters; Joulin et al.
+    2016) — as a multinomial Naive Bayes over hashed unigram+bigram
+    features with add-1 smoothing. NB instead of SGD because training is
+    then pure integer counting: per-(label, feature) counts and label
+    totals are exact under ANY aggregation order, and the per-feature
+    log-weights round(quant*(ln(c+1) - ln(T+2B))) are bit-identical in
+    every engine (the lm_perplexity / dsir_weights contract) — so the
+    trained model itself is deterministic and SQL-replicable, which no
+    float-SGD trainer can promise.
+
+    Returns ``(weights, label_stats)``: weights = (label, f, weight_q);
+    label_stats = (label, default_q, prior_q) where default_q is the
+    unseen-feature weight for that label and prior_q the quantized
+    log-prior. Both frames are bounded (L x 2*buckets and L rows) —
+    broadcastable at any corpus scale.
+    """
+    feats = _nb_features(docs, text_col, id_col, buckets)
+    labeled = feats.join(
+        docs.select(F.col(id_col).alias("id"), F.col(label_col).alias("label")),
+        "id",
+    )
+    cnt = labeled.groupBy("label", "f").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("label").agg(F.sum("c").alias("t"))
+    denom = F.log((F.col("t") + 2 * buckets).cast("double"))
+    weights = cnt.join(tot, "label").select(
+        "label",
+        "f",
+        F.round(F.lit(float(quant)) * (F.log((F.col("c") + 1).cast("double")) - denom))
+        .cast("long")
+        .alias("weight_q"),
+    )
+    n_docs = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    n_total = docs.count()
+    label_stats = tot.join(n_docs, "label").select(
+        "label",
+        F.round(-F.lit(float(quant)) * denom).cast("long").alias("default_q"),
+        F.round(
+            F.lit(float(quant))
+            * (F.log(F.col("nl").cast("double")) - F.log(F.lit(float(n_total))))
+        )
+        .cast("long")
+        .alias("prior_q"),
+    )
+    return weights, label_stats
+
+
+def nb_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    label_stats: DataFrame,
+    buckets: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a trained NB classifier: per-label score =
+    prior_q + sum(matched feature weights) + (unmatched occurrences) x
+    default_q — an INTEGER per (doc, label), so the argmax and margin are
+    exact. Ties break to the lexicographically smallest label.
+
+    Returns (id_col, n_feats, predicted_label, best_q, margin_q); margin_q
+    is best minus runner-up (0 when only one label exists) — the
+    classifier-confidence column a selection stage thresholds on.
+
+    Shuffle shape at 100TB: the model (L x 2B weights + L stats) is
+    BROADCAST; the feature explode never leaves its scan partitions until
+    one groupBy(id, label) of narrow int rows; the label grid is
+    |docs| x L. No corpus-sized sort, no window over the corpus.
+    """
+    feats = _nb_features(docs, text_col, id_col, buckets)
+    nf = feats.groupBy("id").agg(F.count(F.lit(1)).alias("n_feats"))
+    matched = (
+        feats.join(F.broadcast(weights), "f")
+        .groupBy("id", "label")
+        .agg(F.sum("weight_q").alias("mq"), F.count(F.lit(1)).alias("n_m"))
+    )
+    grid = docs.select(F.col(id_col).alias("id")).crossJoin(
+        F.broadcast(label_stats)
+    )
+    scores = (
+        grid.join(nf, "id", "left")
+        .join(matched, ["id", "label"], "left")
+        .select(
+            "id",
+            "label",
+            (
+                F.col("prior_q")
+                + F.coalesce("mq", F.lit(0))
+                + (
+                    F.coalesce("n_feats", F.lit(0)) - F.coalesce("n_m", F.lit(0))
+                )
+                * F.col("default_q")
+            ).alias("score_q"),
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        )
+    )
+    best = scores.groupBy("id").agg(F.max("score_q").alias("best_q"))
+    j = scores.join(best, "id")
+    pred = j.groupBy("id").agg(
+        F.min(F.when(F.col("score_q") == F.col("best_q"), F.col("label"))).alias(
+            "predicted_label"
+        ),
+        F.max("best_q").alias("best_q"),
+        F.max("n_feats").alias("n_feats"),
+    )
+    second = (
+        j.join(pred.select("id", "predicted_label"), "id")
+        .where(F.col("label") != F.col("predicted_label"))
+        .groupBy("id")
+        .agg(F.max("score_q").alias("second_q"))
+    )
+    return pred.join(second, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("n_feats").cast("long").alias("n_feats"),
+        "predicted_label",
+        F.col("best_q").cast("long").alias("best_q"),
+        (F.col("best_q") - F.coalesce("second_q", F.col("best_q")))
+        .cast("long")
+        .alias("margin_q"),
+    )
+
+
 def curate_pipeline(
     docs: DataFrame,
     stages: list[tuple],
@@ -970,6 +1136,39 @@ def _stage_scrub_pii(params: dict):
     return stage
 
 
+def _stage_classifier(params: dict):
+    """Supervised classifier selection (the GPT-3/LLaMA quality-classifier
+    stage): train the NB classifier on the incoming frame's ``label_col``,
+    self-score, and keep documents predicted into ``keep_labels`` with
+    margin >= ``min_margin``."""
+    p = dict(params)
+    id_col = p.pop("id_col", "doc_id")
+    text_col = p.pop("text_col", "text")
+    label_col = p.pop("label_col", "lang")
+    keep_labels = p.pop("keep_labels", None)
+    if not keep_labels:
+        raise ValueError("classifier_select stage requires keep_labels")
+    min_margin = int(p.pop("min_margin", 0))
+    buckets = int(p.pop("buckets", 2048))
+    if p:
+        raise ValueError(f"unknown classifier_select params: {sorted(p)}")
+
+    def stage(df: DataFrame) -> DataFrame:
+        w, s = nb_classifier_train(
+            df, label_col=label_col, buckets=buckets, text_col=text_col, id_col=id_col
+        )
+        scored = nb_classifier_score(
+            df, w, s, buckets=buckets, text_col=text_col, id_col=id_col
+        )
+        kept = scored.where(
+            F.col("predicted_label").isin(list(keep_labels))
+            & (F.col("margin_q") >= min_margin)
+        ).select(id_col)
+        return df.join(kept, id_col)
+
+    return stage
+
+
 CURATION_STAGES = {
     "scrub_pii": _stage_scrub_pii,
     "c4": _stage_c4,
@@ -977,6 +1176,7 @@ CURATION_STAGES = {
     "dedup_exact": _stage_dedup_exact,
     "decontaminate": _stage_decontaminate,
     "transcript_quality": _stage_transcript_quality,
+    "classifier_select": _stage_classifier,
 }
 
 
