@@ -4847,6 +4847,160 @@ JOIN ({SQL_NB_CLASSIFIER}) n USING (doc_id)
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (similarity.semdedup, Abbas et al.
+    2023): integer-quantized deterministic k-means + within-cluster
+    cosine-eps drop keeping the centroid-farthest example. Near-dups are
+    PLANTED (the embedding_neardup scheme: every 25th vector re-inserted
+    under vec_id+100000) so the drop rule has work to do; the oracle
+    replays the ENTIRE fit — seeds, both Lloyd rounds, grid-rounded
+    centroids — plus every verdict, bit-for-bit."""
+    from chronon_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.unionByName(
+        emb.where(F.col("vec_id") % 25 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(100000)
+        )
+    )
+    return semdedup(planted, eps=0.9, n_clusters=8, n_iters=2)
+
+
+def _sql_semdedup(
+    source_sql: str = (
+        "SELECT vec_id, embedding FROM embeddings UNION ALL "
+        "SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0"
+    ),
+    eps: float = 0.9,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    quant: int = 1_000_000,
+) -> str:
+    """DuckDB twin of similarity.semdedup with the Lloyd rounds UNROLLED
+    as chained CTEs (fixed n_iters — part of the determinism contract)."""
+    iters = []
+    prev = "cent0"
+    for i in range(1, n_iters + 1):
+        iters.append(f"""
+a{i} AS (
+  SELECT t.id, t.nq, c.cid,
+         list_sum(list_transform(range(1, len(t.qv) + 1),
+           j -> (t.qv[j] - c.cv[j]) * (t.qv[j] - c.cv[j]))) AS d
+  FROM qn t CROSS JOIN {prev} c
+), m{i} AS (
+  SELECT id, min(d) AS md FROM a{i} GROUP BY 1
+), asg{i} AS (
+  SELECT a.id, min(a.cid) AS cid
+  FROM a{i} a JOIN m{i} m ON a.id = m.id AND a.d = m.md
+  GROUP BY 1
+), sums{i} AS (
+  SELECT g.cid, u.j, sum(t.qv[u.j]) AS s, count(*) AS n
+  FROM asg{i} g JOIN qn t ON g.id = t.id,
+       LATERAL unnest(range(1, len(t.qv) + 1)) AS u(j)
+  GROUP BY 1, 2
+), centagg{i} AS (
+  SELECT cid, list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY j) AS cv
+  FROM sums{i} GROUP BY cid
+), cent{i} AS (
+  SELECT c0.cid, COALESCE(a.cv, c0.cv) AS cv
+  FROM {prev} c0 LEFT JOIN centagg{i} a USING (cid)
+)""")
+        prev = f"cent{i}"
+    return f"""
+WITH src AS ({source_sql}),
+q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {quant}.0) AS BIGINT)) AS qv
+  FROM src
+), qn AS (
+  SELECT id, qv, list_sum(list_transform(qv, v -> v * v)) AS nq FROM q
+), seedrank AS (
+  SELECT id, qv,
+         row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid
+  FROM qn
+), cent0 AS (
+  SELECT cid, qv AS cv FROM seedrank WHERE cid < {n_clusters}
+),{','.join(iters)},
+af AS (
+  -- final assignment against the LAST recomputed centroids (the engine
+  -- assigns once more after the Lloyd rounds)
+  SELECT t.id, c.cid,
+         list_sum(list_transform(range(1, len(t.qv) + 1),
+           j -> (t.qv[j] - c.cv[j]) * (t.qv[j] - c.cv[j]))) AS d
+  FROM qn t CROSS JOIN {prev} c
+), mf AS (
+  SELECT id, min(d) AS md FROM af GROUP BY 1
+), asgf AS (
+  SELECT a.id, min(a.cid) AS cid
+  FROM af a JOIN mf m ON a.id = m.id AND a.d = m.md
+  GROUP BY 1
+), centn AS (
+  SELECT cid, cv, list_sum(list_transform(cv, v -> v * v)) AS ncv FROM {prev}
+), fin AS (
+  SELECT g.id, g.cid,
+         round(CAST(list_sum(list_transform(range(1, len(t.qv) + 1),
+                 j -> t.qv[j] * c.cv[j])) AS DOUBLE)
+               / (sqrt(CAST(t.nq AS DOUBLE)) * sqrt(CAST(c.ncv AS DOUBLE))), 6)
+           AS centroid_sim
+  FROM asgf g JOIN qn t ON g.id = t.id JOIN centn c ON g.cid = c.cid
+), pairs AS (
+  SELECT x.id AS id_a, x.centroid_sim AS cs_a, y.id AS id_b, y.centroid_sim AS cs_b
+  FROM fin x JOIN fin y ON x.cid = y.cid AND x.id < y.id
+  JOIN qn qx ON x.id = qx.id JOIN qn qy ON y.id = qy.id
+  WHERE round(CAST(list_sum(list_transform(range(1, len(qx.qv) + 1),
+          j -> qx.qv[j] * qy.qv[j])) AS DOUBLE)
+        / (sqrt(CAST(qx.nq AS DOUBLE)) * sqrt(CAST(qy.nq AS DOUBLE))), 6) >= {eps}
+), losers AS (
+  SELECT DISTINCT CASE WHEN cs_a > cs_b OR (cs_a = cs_b AND id_a > id_b)
+                       THEN id_a ELSE id_b END AS id
+  FROM pairs
+)
+SELECT f.id AS vec_id, CAST(f.cid AS INTEGER) AS cluster_id, f.centroid_sim,
+       l.id IS NULL AS is_kept
+FROM fin f LEFT JOIN losers l ON f.id = l.id
+"""
+
+
+SQL_SEMDEDUP = _sql_semdedup()
+
+QUERIES["semdedup"] = q_semdedup
+ORACLES["semdedup"] = SQL_SEMDEDUP
+
+# fold a semdedup signature leg into the in-window neardup_pairs union so
+# the semantic-dedup stage gets a driver CORRECTNESS row: one row per
+# vector with (cluster, centroid_sim, keep-verdict-in-id_b-sign) — id_b
+# carries cluster_id, metric carries centroid_sim, and dropped vectors
+# negate id_b so the verdict is hash-gated without widening the schema
+_q_ndp_pre_sd = QUERIES["neardup_pairs"]
+
+
+def q_neardup_pairs_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _q_ndp_pre_sd(spark, sf_dir)
+    sd = q_semdedup(spark, sf_dir).select(
+        F.lit("semdedup").alias("op"),
+        F.col("vec_id").alias("id_a"),
+        F.when(F.col("is_kept"), F.col("cluster_id").cast("long"))
+        .otherwise(-(F.col("cluster_id").cast("long") + 1))
+        .alias("id_b"),
+        F.col("centroid_sim").alias("metric"),
+    )
+    return base.unionByName(sd)
+
+
+QUERIES["neardup_pairs"] = q_neardup_pairs_sd
+_SQL_NDP_PRE_SD = ORACLES["neardup_pairs"]
+ORACLES["neardup_pairs"] = f"""
+SELECT * FROM ({_SQL_NDP_PRE_SD})
+UNION ALL
+SELECT 'semdedup' AS op, vec_id AS id_a,
+       CASE WHEN is_kept THEN CAST(cluster_id AS BIGINT)
+            ELSE -(CAST(cluster_id AS BIGINT) + 1) END AS id_b,
+       centroid_sim AS metric
+FROM ({SQL_SEMDEDUP})
+"""
+
+
 #: the first 50 registry names — every one oracle-backed — form the driver's
 #: CORRECTNESS window; everything after is pytest-parity-only (rows-only
 #: diagnostics and the standalone halves of the combined gates)

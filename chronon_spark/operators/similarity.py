@@ -327,3 +327,165 @@ def cosine_neardup_pairs(
         res.where((F.col("sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
         .select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"), "sim")
     )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product over quantized (long) vectors — order-
+    independent and bit-identical in any engine, unlike float folds."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def semdedup(
+    vectors: DataFrame,
+    eps: float = 0.9,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication by
+    k-means clustering the embedding space, then dropping within-cluster
+    pairs whose cosine exceeds ``eps`` — keeping, per the paper, the
+    example FARTHEST from its cluster centroid (low centroid similarity =
+    more informative outlier).
+
+    Determinism contract (the repo-wide oracle pattern): components are
+    QUANTIZED to integers (round(x*quant)), so every squared distance and
+    dot product is an exact integer sum — order-independent and
+    bit-identical in DuckDB; k-means runs a FIXED number of Lloyd rounds
+    from deterministic seeds (the ``n_clusters`` vectors with smallest
+    (md5(id), id)), with centroids rounded back to the integer grid each
+    round (half-away-from-zero, both engines' round()); cosines divide
+    integer dots under one round(x, 6). The fitted model and every
+    keep/drop verdict are therefore reproducible bit-for-bit across
+    engines and partitionings.
+
+    Keep rule: a vector is dropped iff some same-cluster vector with
+    strictly smaller (centroid_sim, id) has cosine >= eps with it — the
+    non-iterative reading of the paper's keep-one-per-duplicate-set (a
+    deterministic tournament rather than a sequential greedy, so it needs
+    one self-join, not a per-cluster loop).
+
+    Returns (id_col, cluster_id, centroid_sim, is_kept).
+
+    Scale shape (100TB): the model is ``n_clusters`` centroids (broadcast,
+    recomputed via an explode + groupBy of bounded k x dim rows per
+    round); candidate pairs are WITHIN-CLUSTER self-joins on cluster_id —
+    size sum_c (N_c^2), never the corpus square; choose n_clusters ~
+    N/target_cluster_size so clusters stay bounded (the paper's regime),
+    and the pair stage is an equi-join Spark shuffles by cluster.
+    """
+    spark = vectors.sparkSession
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * quant).cast("long")
+    )
+    q = _spread(
+        vectors.select(F.col(id_col).alias("id"), qv.alias("qv")), "id"
+    ).withColumn("nq", _int_dot(F.col("qv"), F.col("qv"))).localCheckpoint()
+
+    seeds = (
+        q.select("id", "qv", F.md5(F.col("id").cast("string")).alias("h"))
+        .orderBy("h", "id")
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = [(ci, list(r["qv"])) for ci, r in enumerate(seeds)]
+
+    def _round_half_away(x: float) -> int:
+        import math
+
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    def assign(cent_rows):
+        cent_df = spark.createDataFrame(cent_rows, "cid int, cv array<long>")
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        scored = q.crossJoin(F.broadcast(cent_df)).select(
+            "id", "qv", "nq", F.struct(d.alias("d"), F.col("cid").alias("cid")).alias("dc")
+        )
+        return scored.groupBy("id", "qv", "nq").agg(
+            F.min("dc").getField("cid").alias("cid")
+        )
+
+    for _ in range(n_iters):
+        a = assign(cents)
+        sums = (
+            a.select("cid", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = (r["s"], r["n"])
+        new_cents = []
+        for ci, old in cents:
+            comp = by_cid.get(ci)
+            if comp is None:  # empty cluster: centroid carries forward
+                new_cents.append((ci, old))
+            else:
+                new_cents.append(
+                    (ci, [
+                        _round_half_away(comp[p][0] / comp[p][1])
+                        for p in range(len(old))
+                    ])
+                )
+        cents = new_cents
+
+    cent_df = spark.createDataFrame(cents, "cid int, cv array<long>").withColumn(
+        "ncv", _int_dot(F.col("cv"), F.col("cv"))
+    )
+    final = (
+        assign(cents)
+        .join(F.broadcast(cent_df), "cid")
+        .select(
+            "id", "qv", "nq", "cid",
+            F.round(
+                _int_dot(F.col("qv"), F.col("cv")).cast("double")
+                / (F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("ncv").cast("double"))),
+                6,
+            ).alias("centroid_sim"),
+        )
+        .localCheckpoint()
+    )
+    x, y = final.alias("x"), final.alias("y")
+    sim = F.round(
+        _int_dot(F.col("x.qv"), F.col("y.qv")).cast("double")
+        / (F.sqrt(F.col("x.nq").cast("double")) * F.sqrt(F.col("y.nq").cast("double"))),
+        6,
+    )
+    pairs = (
+        x.join(y, (F.col("x.cid") == F.col("y.cid")) & (F.col("x.id") < F.col("y.id")))
+        .where(sim >= eps)
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("x.centroid_sim").alias("cs_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("y.centroid_sim").alias("cs_b"),
+        )
+    )
+    # the pair's LOSER (dropped side) is the one closer to its centroid;
+    # ties break to the larger id
+    loser = F.when(
+        (F.col("cs_a") > F.col("cs_b"))
+        | ((F.col("cs_a") == F.col("cs_b")) & (F.col("id_a") > F.col("id_b"))),
+        F.col("id_a"),
+    ).otherwise(F.col("id_b"))
+    losers = pairs.select(loser.alias("id")).distinct()
+    return (
+        final.join(losers.withColumn("__drop", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cid").cast("int").alias("cluster_id"),
+            "centroid_sim",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+        )
+    )
