@@ -41,6 +41,17 @@ class Op(str, enum.Enum):
     LAST_K = "last_k"
     TOP_K = "top_k"
     BOTTOM_K = "bottom_k"
+    # Recency-weighted aggregations (beyond the reference's 19 ops — the
+    # classic ranking-feature primitive the reference lacks; e.g. "decayed
+    # purchase count, halflife 1 day"). An event aged ``a`` halflives at
+    # query time contributes weight 2^-min(floor(a), decay_cap), with age
+    # quantized to whole halflife buckets (floor(q/H) - floor(t/H)) so the
+    # op is tile-mergeable AND bit-reproducible: weights are exact powers
+    # of two applied to integer-scaled sums, so every estimator — exact
+    # range join, hop-cascade tiles — and a SQL oracle agree exactly on
+    # integral inputs. Requires ``halflife``; see ``decay_cap``.
+    TIME_DECAYED_SUM = "time_decayed_sum"
+    TIME_DECAYED_COUNT = "time_decayed_count"
 
 
 class TimeUnit(str, enum.Enum):
@@ -132,6 +143,20 @@ class Aggregation:
     # the tiled plan (reference ItemsSketch size, SimpleAggregators.scala:
     # 458-600). None = exact counts (unbounded tile state, truncate-at-end).
     mg_cap: int | None = None
+    # TIME_DECAYED_* only (required for those ops): the decay halflife. An
+    # event's weight is 2^-min(age, decay_cap) with age = whole halflives
+    # elapsed, bucket-quantized as floor(q_ts/H) - floor(event_ts/H) — the
+    # quantization that makes the op tile-mergeable: every tile whose
+    # resolution divides H has a single weight relative to any query. On
+    # the tile estimator the halflife must be a whole multiple of every
+    # cascade resolution the window uses (1d halflife always qualifies);
+    # otherwise the op transparently falls back to the exact estimator.
+    halflife: Window | None = None
+    # TIME_DECAYED_* only: ages >= decay_cap halflives all take weight
+    # 2^-decay_cap (~1e-6 at the default 20) instead of decaying further.
+    # This keeps the integer-scaled sum (sum of value<<(cap-age)) inside
+    # int64 — raise it only if inputs are small; 1 <= decay_cap <= 40.
+    decay_cap: int = 20
 
     def output_name(self, window: Window | None, bucket: str | None) -> str:
         """`{input}_{op}[{k}][_{window}][_by_{bucket}]` — reference naming
@@ -143,6 +168,9 @@ class Aggregation:
         name = f"{self.input_column}_{opname}"
         if self.k is not None:
             name += str(self.k)
+        if self.halflife is not None:
+            # decayed ops with different halflives must not collide
+            name += f"_hl{self.halflife.suffix}"
         if window is not None:
             name += f"_{window.suffix}"
         if bucket is not None:
@@ -234,6 +262,13 @@ class GroupBy:
                         "lg_k": a.lg_k,
                         "mg_cap": a.mg_cap,
                         "accuracy": a.accuracy,
+                        # conditional so pre-existing definitions keep their
+                        # materialized-partition hashes
+                        **(
+                            {"halflife": a.halflife.suffix, "decay_cap": a.decay_cap}
+                            if a.halflife is not None
+                            else {}
+                        ),
                     }
                     for a in self.aggregations or []
                 ],

@@ -308,9 +308,44 @@ def _purchase_left(ev: DataFrame) -> DataFrame:
     return ev.where(F.col("event_type") == "purchase").select("user_id", "ts").distinct()
 
 
+#: TIME_DECAYED aggs shared by the three estimator gates: recency-weighted
+#: count + sum (halflife 1 day, weight 2^-min(whole-days-old, 20)) — integer
+#: exact, so the same DuckDB expression hash-matches every estimator. The
+#: sum rides floor(value) (v_int) because double sums are order-dependent.
+DECAYED_AGGS = (
+    Aggregation(Op.TIME_DECAYED_COUNT, "value", windows=(W7D,), halflife=W1D),
+    Aggregation(Op.TIME_DECAYED_SUM, "v_int", windows=(W7D,), halflife=W1D),
+)
+
+#: DuckDB twin of ops.decayed_weight for halflife 1d / cap 20 (q, t in ms)
+DECAYED_W_SQL = (
+    "CAST(pow(2, 20 - least(q.ts_ms // 86400000 - e.ems // 86400000, 20)) AS BIGINT)"
+)
+
+
+def _with_v_int(ev: DataFrame) -> DataFrame:
+    return ev.withColumn("v_int", F.floor("value").cast("long"))
+
+
+def _decayed_selects() -> list:
+    return [
+        F.col("value_time_decayed_count_hl1d_7d").alias("value_decayed_cnt_7d"),
+        F.col("v_int_time_decayed_sum_hl1d_7d").alias("vint_decayed_sum_7d"),
+    ]
+
+
+DECAYED_SQL_COLS = f"""
+       sum(CASE WHEN e.ems >= {{tail7}} THEN {DECAYED_W_SQL} END) / 1048576.0
+           AS value_decayed_cnt_7d,
+       sum(CASE WHEN e.ems >= {{tail7}} THEN CAST(floor(e.value) AS BIGINT) * {DECAYED_W_SQL} END) / 1048576.0
+           AS vint_decayed_sum_7d
+"""
+
+
 def q_asof_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count/sum/avg over sawtooth 7d & 1d windows + lifetime, strict <."""
-    ev = _t(spark, sf_dir, "events")
+    """count/sum/avg over sawtooth 7d & 1d windows + lifetime + recency-
+    decayed count/sum (TIME_DECAYED ops, halflife 1d), strict <."""
+    ev = _with_v_int(_t(spark, sf_dir, "events"))
     gb = GroupBy(
         name="user_events",
         keys=["user_id"],
@@ -320,6 +355,7 @@ def q_asof_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(Op.SUM, "value", windows=(W1D,)),
             Aggregation(Op.COUNT, "value"),
             Aggregation(Op.MAX, "value", windows=(W6H,)),
+            *DECAYED_AGGS,
         ],
     )
     out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id", strategy="exact")
@@ -335,6 +371,7 @@ def q_asof_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_average_1d"),
         F.col("value_count"),
         _r(F.col("value_max_6h"), 2).alias("value_max_6h"),
+        *_decayed_selects(),
     )
 
 
@@ -351,7 +388,8 @@ SELECT q.user_id, q.ts_ms,
        round(round(sum(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END), 3)
              / nullif(count(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END), 0), 6) AS value_average_1d,
        count(e.value) AS value_count,
-       round(max(CASE WHEN e.ems >= {TAIL_6H} THEN e.value END), 2) AS value_max_6h
+       round(max(CASE WHEN e.ems >= {TAIL_6H} THEN e.value END), 2) AS value_max_6h,
+{DECAYED_SQL_COLS.format(tail7=TAIL_7D)}
 FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
 GROUP BY q.user_id, q.ts_ms
 """
@@ -360,13 +398,14 @@ GROUP BY q.user_id, q.ts_ms
 def q_asof_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics computed by the HOP-TILE estimator (the scale path) —
     must hash-match the same oracle as the exact estimator."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _with_v_int(_t(spark, sf_dir, "events"))
     gb = GroupBy(
         name="user_events",
         keys=["user_id"],
         aggregations=[
             Aggregation(Op.COUNT, "value", windows=(W7D, W1D)),
             Aggregation(Op.SUM, "value", windows=(W7D,)),
+            *DECAYED_AGGS,
         ],
     )
     out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id", strategy="hops")
@@ -376,6 +415,7 @@ def q_asof_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_count_7d"),
         F.col("value_count_1d"),
         _r(F.col("value_sum_7d")).alias("value_sum_7d"),
+        *_decayed_selects(),
     )
 
 
@@ -388,7 +428,8 @@ WITH q AS (
 SELECT q.user_id, q.ts_ms,
        count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS value_count_7d,
        count(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END) AS value_count_1d,
-       round(sum(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END), 3) AS value_sum_7d
+       round(sum(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END), 3) AS value_sum_7d,
+{DECAYED_SQL_COLS.format(tail7=TAIL_7D)}
 FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
 GROUP BY q.user_id, q.ts_ms
 """
@@ -2293,13 +2334,16 @@ def q_asof_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same sawtooth semantics computed by the SLIDING-TILE estimator (the
     skew-proof scale path: densified window passes, no range joins) — must
     hash-match the same oracle as the exact and cascade estimators."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _with_v_int(_t(spark, sf_dir, "events"))
     gb = GroupBy(
         name="user_events",
         keys=["user_id"],
         aggregations=[
             Aggregation(Op.COUNT, "value", windows=(W7D, W1D)),
             Aggregation(Op.SUM, "value", windows=(W7D,)),
+            # decayed ops are not sliding-capable: under strategy='sliding'
+            # they exercise the router's exact fallback inside this leg
+            *DECAYED_AGGS,
         ],
     )
     out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id", strategy="sliding")
@@ -2309,6 +2353,7 @@ def q_asof_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_count_7d"),
         F.col("value_count_1d"),
         _r(F.col("value_sum_7d")).alias("value_sum_7d"),
+        *_decayed_selects(),
     )
 
 
@@ -2641,7 +2686,18 @@ def q_asof_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the same oracle (reference GroupBy.scala:170-273 /
     SawtoothAggregator; the per-estimator queries stay registered past the
     driver window for pytest)."""
-    common = ["user_id", "ts_ms", "value_count_7d", "value_count_1d", "value_sum_7d"]
+    common = [
+        "user_id",
+        "ts_ms",
+        "value_count_7d",
+        "value_count_1d",
+        "value_sum_7d",
+        # TIME_DECAYED ops: integer-exact recency weighting, hash-gated on
+        # the exact (leg 1), cascade-tile (leg 2) and router-fallback
+        # (leg 3, sliding strategy) paths in one row
+        "value_decayed_cnt_7d",
+        "vint_decayed_sum_7d",
+    ]
     parts = [
         q_asof_window_agg(spark, sf_dir).select(*common).withColumn("estimator", F.lit("exact")),
         q_asof_hops(spark, sf_dir).withColumn("estimator", F.lit("hops")),
@@ -4999,6 +5055,71 @@ SELECT 'semdedup' AS op, vec_id AS id_a,
        centroid_sim AS metric
 FROM ({SQL_SEMDEDUP})
 """
+
+
+def q_time_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone TIME_DECAYED gate (richer than the asof_estimators legs):
+    windowed + lifetime decayed features at two halflives through the AUTO
+    router (cascade tiles for the aligned ops). Weights are exact powers of
+    two on integer-scaled sums, so DuckDB reproduces every value exactly.
+    Registered past the driver window; tests/test_entry_parity.py runs it."""
+    ev = _with_v_int(_t(spark, sf_dir, "events"))
+    gb = GroupBy(
+        name="user_decay",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.TIME_DECAYED_COUNT, "value", windows=(W7D,), halflife=W1D),
+            Aggregation(Op.TIME_DECAYED_SUM, "v_int", windows=(W7D,), halflife=W1D),
+            # lifetime + coarser halflife (2d divides every cascade level)
+            Aggregation(
+                Op.TIME_DECAYED_SUM, "v_int", halflife=Window(2, TimeUnit.DAYS)
+            ),
+        ],
+        derivations={
+            "*": "*",
+            # EWMA-style recency-weighted mean as a derivation
+            "value_ewma_7d": (
+                "v_int_time_decayed_sum_hl1d_7d / value_time_decayed_count_hl1d_7d"
+            ),
+        },
+    )
+    out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("value_time_decayed_count_hl1d_7d").alias("decayed_cnt_7d"),
+        F.col("v_int_time_decayed_sum_hl1d_7d").alias("decayed_sum_7d"),
+        F.col("v_int_time_decayed_sum_hl2d").alias("decayed_sum_life"),
+        F.round(F.col("value_ewma_7d"), 6).alias("value_ewma_7d"),
+    )
+
+
+SQL_TIME_DECAYED = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value FROM events
+), m AS (
+  SELECT q.user_id, q.ts_ms,
+         sum(CASE WHEN e.ems >= {TAIL_7D} THEN {DECAYED_W_SQL} END) AS cnt_sc,
+         sum(CASE WHEN e.ems >= {TAIL_7D}
+                  THEN CAST(floor(e.value) AS BIGINT) * {DECAYED_W_SQL} END) AS sum_sc,
+         sum(CAST(floor(e.value) AS BIGINT)
+             * CAST(pow(2, 20 - least(q.ts_ms // 172800000 - e.ems // 172800000, 20)) AS BIGINT)
+         ) AS life_sc
+  FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
+  GROUP BY q.user_id, q.ts_ms
+)
+SELECT user_id, ts_ms,
+       cnt_sc / 1048576.0 AS decayed_cnt_7d,
+       sum_sc / 1048576.0 AS decayed_sum_7d,
+       life_sc / 1048576.0 AS decayed_sum_life,
+       round((sum_sc / 1048576.0) / (cnt_sc / 1048576.0), 6) AS value_ewma_7d
+FROM m
+"""
+
+QUERIES["time_decayed"] = q_time_decayed
+ORACLES["time_decayed"] = SQL_TIME_DECAYED
 
 
 #: the first 50 registry names — every one oracle-backed — form the driver's

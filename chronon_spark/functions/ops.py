@@ -26,20 +26,72 @@ from chronon_spark.api import Aggregation, Op
 # ops requiring a two-phase (keys+value grouping) plan
 MAP_OPS = {Op.HISTOGRAM, Op.APPROX_HISTOGRAM_K}
 
+# recency-weighted ops: need the QUERY timestamp at finalize time (weights
+# depend on event age at the query), tile-mergeable because the age is
+# quantized to halflife buckets
+DECAYED_OPS = {Op.TIME_DECAYED_SUM, Op.TIME_DECAYED_COUNT}
+
+
+def _decay_params(agg: Aggregation) -> tuple[int, int]:
+    """(halflife_ms, cap) with validation shared by every estimator."""
+    if agg.halflife is None:
+        raise ValueError(
+            f"{agg.operation.value}('{agg.input_column}') requires halflife "
+            "(e.g. halflife=Window(1, TimeUnit.DAYS))"
+        )
+    cap = agg.decay_cap
+    if not (1 <= cap <= 40):
+        # cap > 40 risks int64 overflow in the scaled sum (value << cap per
+        # event); cap < 1 would zero every weight
+        raise ValueError(f"decay_cap must be in [1, 40]; got {cap}")
+    return agg.halflife.millis, cap
+
+
+def decayed_weight(agg: Aggregation, q_ts: Column, t_ts: Column) -> Column:
+    """Integer weight 2^(cap - min(age, cap)) for an event/tile at ``t_ts``
+    observed from ``q_ts``; age = floor(q/H) - floor(t/H) whole halflives
+    (bucket-quantized so one tile has one weight). Exact: pow(2, k) is an
+    exact double for k <= 62, and the long cast restores the integer.
+    ``t_ts`` may be a tile start at any resolution dividing H — floor(t/H)
+    is constant across such a tile, which is what makes the op mergeable."""
+    h_ms, cap = _decay_params(agg)
+    qb = (q_ts - F.pmod(q_ts, F.lit(h_ms))) / F.lit(h_ms)
+    tb = (t_ts - F.pmod(t_ts, F.lit(h_ms))) / F.lit(h_ms)
+    age = (qb - tb).cast("long")
+    exp = (F.lit(cap) - F.least(age, F.lit(cap))).cast("double")
+    return F.pow(F.lit(2.0), exp).cast("long")
+
+
+def decayed_finalize(agg: Aggregation, scaled_sum: Column) -> Column:
+    """scaled integer sum -> user-facing double (divide by 2^cap; exact
+    exponent shift). NULL in == NULL out (zero qualifying events)."""
+    _, cap = _decay_params(agg)
+    return scaled_sum / F.lit(float(1 << cap))
+
 
 def direct_agg(
     agg: Aggregation,
     value: Column,
     ts: Column,
     tiebreak: Column | None = None,
+    q_ts: Column | None = None,
 ) -> Column:
     """Build the aggregate Column for one (op, masked value, masked ts).
 
     ``tiebreak`` breaks ordering ties for FIRST/LAST/*_K determinism (the
     reference keeps first-seen on ts ties, which is partition-order dependent;
     we instead demand an explicit total order so results are reproducible).
+    ``q_ts`` (the query timestamp) is required only by the TIME_DECAYED ops.
     """
     op = agg.operation
+    if op in DECAYED_OPS:
+        if q_ts is None:
+            raise ValueError(f"{op.value} needs the query timestamp (q_ts)")
+        w = decayed_weight(agg, q_ts, ts)
+        base = F.lit(1).cast("long") if op == Op.TIME_DECAYED_COUNT else value
+        # integral inputs promote to long*long: bit-exact, order-independent
+        scaled = F.sum(F.when(value.isNotNull() & ts.isNotNull(), base * w))
+        return decayed_finalize(agg, scaled)
     if op == Op.COUNT:
         return F.count(value)
     if op == Op.SUM:
@@ -136,13 +188,18 @@ HOP_MERGEABLE_OPS = {
     # lossless cap (accuracy >= group size) it equals the exact discrete
     # quantile, so the oracle-gated exact parameterization stays exact.
     Op.APPROX_PERCENTILE,
+    # tile IR is the plain SUM/COUNT partial (one weight per tile at any
+    # resolution dividing the halflife); the weighting happens entirely in
+    # the merge, so decayed ops ride the cascade at zero extra tile state
+    Op.TIME_DECAYED_SUM,
+    Op.TIME_DECAYED_COUNT,
 }
 
-#: ops the SERVING upload/fetch path can split into mergeable IRs — same
-#: set; kept as its own name because serving has no exact fallback and the
-#: two gates may diverge again (e.g. ops mergeable offline but too stateful
-#: for a KV row)
-SERVING_MERGEABLE_OPS = frozenset(HOP_MERGEABLE_OPS)
+#: ops the SERVING upload/fetch path can split into mergeable IRs; decayed
+#: ops are excluded for now — their fetch-time merge needs the request
+#: timestamp woven into the lambda merge (collapsed IRs span many halflife
+#: buckets, so the batch-collapsed region cannot be pre-weighted)
+SERVING_MERGEABLE_OPS = frozenset(HOP_MERGEABLE_OPS - DECAYED_OPS)
 
 #: default KMV sample size (quantile rank error ~ sqrt(p(1-p)/k), so 10k ->
 #: ~0.5% rank error) — deliberately the same number as percentile_approx's
@@ -214,9 +271,9 @@ def partial_cols(agg: Aggregation, value: Column, ts: Column, tiebreak: Column |
     k = agg.k or 1
     ordk = F.struct(ts.alias("t"), (tiebreak if tiebreak is not None else F.lit(0)).alias("tb"))
     ordk = F.when(value.isNotNull() & ts.isNotNull(), ordk)
-    if op == Op.COUNT:
+    if op in (Op.COUNT, Op.TIME_DECAYED_COUNT):
         return {f"{slot}__n": F.count(value)}
-    if op == Op.SUM:
+    if op in (Op.SUM, Op.TIME_DECAYED_SUM):
         return {f"{slot}__s": F.sum(value)}
     if op == Op.AVERAGE:
         return {f"{slot}__s": F.sum(value), f"{slot}__n": F.count(value)}
@@ -329,9 +386,9 @@ def partial_merge_cols(agg: Aggregation, slot: str) -> dict[str, Column]:
     def c(suffix: str) -> Column:
         return F.col(f"{slot}__{suffix}")
 
-    if op == Op.COUNT:
+    if op in (Op.COUNT, Op.TIME_DECAYED_COUNT):
         return {f"{slot}__n": F.sum(c("n"))}
-    if op == Op.SUM:
+    if op in (Op.SUM, Op.TIME_DECAYED_SUM):
         return {f"{slot}__s": F.sum(c("s"))}
     if op == Op.AVERAGE:
         return {f"{slot}__s": F.sum(c("s")), f"{slot}__n": F.sum(c("n"))}

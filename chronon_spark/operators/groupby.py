@@ -186,7 +186,11 @@ def _agg_exprs_exact(
             mask = W.in_window(e_ts, q_ts, w)
             val = F.when(mask, F.col(a.input_column))
             ts = F.when(mask, e_ts)
-            out.append(O.direct_agg(a, val, ts, F.when(mask, tiebreak)).alias(a.output_name(w, None)))
+            out.append(
+                O.direct_agg(a, val, ts, F.when(mask, tiebreak), q_ts=q_ts).alias(
+                    a.output_name(w, None)
+                )
+            )
     return out
 
 
@@ -397,6 +401,14 @@ def _merge_with_masked_cols(a: Aggregation, slot: str, mask: Column) -> Column:
         return F.coalesce(F.sum(c("n")), F.lit(0))
     if op == Op.SUM:
         return F.sum(c("s"))
+    if op in O.DECAYED_OPS:
+        # one weight per tile: TILE is the tile start (head rows carry
+        # TILE = floor(q, finest), same halflife bucket as q => age 0), and
+        # every resolution in play divides the halflife (_hop_aligned), so
+        # floor(tile_ts/H) equals floor(event_ts/H) for every event inside
+        w_t = O.decayed_weight(a, F.col(QTS), F.col(TILE))
+        src = c("n") if op == Op.TIME_DECAYED_COUNT else c("s")
+        return O.decayed_finalize(a, F.sum(src * w_t))
     if op == Op.AVERAGE:
         return F.sum(c("s")) / F.when(F.sum(c("n")) > 0, F.sum(c("n")))
     if op == Op.VARIANCE:
@@ -588,10 +600,25 @@ def _assemble_value_maps(
 def _hop_aligned(a: Aggregation) -> bool:
     """True iff every window is a whole multiple of its sawtooth tail hop —
     the identity sawtooth_tail(q, w) = floor(q, hop) - w the tile estimators
-    rely on. Lifetime (None) windows are trivially aligned."""
-    if a.windows is None:
-        return True
-    return all(w.millis % w.tail_hop_millis() == 0 for w in a.windows)
+    rely on. Lifetime (None) windows are trivially aligned.
+
+    TIME_DECAYED ops additionally require the halflife to be a whole
+    multiple of every cascade resolution their windows consume (so each
+    tile sits inside one halflife bucket and has a single weight); when it
+    is not, the op transparently takes the exact estimator instead."""
+    wins: list = list(a.windows) if a.windows is not None else [None]
+    if a.windows is not None and any(
+        w.millis % w.tail_hop_millis() != 0 for w in a.windows
+    ):
+        return False
+    if a.operation in O.DECAYED_OPS:
+        h_ms = a.halflife.millis if a.halflife is not None else 0
+        if h_ms <= 0:
+            return False  # direct_agg raises the descriptive error
+        for w in wins:
+            if any(h_ms % r != 0 for r in _levels_for(w)):
+                return False
+    return True
 
 
 def _presence_window_aligned(gb: GroupBy):
@@ -838,6 +865,8 @@ def snapshot_entities(
                 )
             val = F.when(mask, F.col(a.input_column))
             ts = F.when(mask, F.col(ETS))
-            exprs.append(O.direct_agg(a, val, ts, None).alias(a.output_name(w, None)))
+            exprs.append(
+                O.direct_agg(a, val, ts, None, q_ts=F.col(QTS)).alias(a.output_name(w, None))
+            )
     out = ev.groupBy(*gb.keys, ds_column).agg(*exprs)
     return _apply_derivations(out, gb, keep=[*gb.keys, ds_column])

@@ -50,8 +50,11 @@ DAY_MS = 86_400_000
 
 # ops the sliding estimator supports (hop-mergeable minus sketches whose IRs
 # cannot be merged as window-function expressions — HLL buffers and KMV
-# sample arrays ride the cascade tile estimator instead)
-SLIDING_OPS = O.HOP_MERGEABLE_OPS - {Op.APPROX_UNIQUE_COUNT, Op.APPROX_PERCENTILE}
+# sample arrays ride the cascade tile estimator instead; TIME_DECAYED ops
+# need a per-(query, tile) weight, which a plain window-frame sum over
+# pre-computed tile IRs cannot express without int64-overflowing rescales,
+# so they ride the cascade too)
+SLIDING_OPS = O.HOP_MERGEABLE_OPS - {Op.APPROX_UNIQUE_COUNT, Op.APPROX_PERCENTILE} - O.DECAYED_OPS
 
 
 # ---------------------------------------------------------------------------

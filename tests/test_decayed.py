@@ -1,0 +1,331 @@
+"""TIME_DECAYED_SUM / TIME_DECAYED_COUNT — recency-weighted aggregation.
+
+Semantics: an event aged ``a`` whole halflives at query time contributes
+weight 2^-min(a, decay_cap), a = floor(q/H) - floor(t/H) (bucket-quantized
+age). Integer-exact on integral inputs: the engine sums value << (cap-age)
+as int64 and divides by 2^cap once at finalize, so every estimator (exact
+range join, hop-cascade tiles) and a naive python oracle agree bit-for-bit.
+
+This op goes beyond the reference's 19 operations (api/thrift/api.thrift:
+136-165) — it is the classic recency-feature primitive (decayed counts for
+ranking) built on the same sawtooth/tile machinery.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+import chronon_spark.operators.groupby as G
+from chronon_spark.api import Accuracy, Aggregation, GroupBy, Op, TimeUnit, Window
+
+DAY = 86_400_000
+HOUR = 3_600_000
+CAP = 20
+
+
+def _data(n_users=6, n_events=150, seed=11, span_days=40):
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for uid in range(n_users):
+        for _ in range(n_events):
+            ts = rng.randrange(0, span_days * DAY)
+            rows.append((eid, uid, ts, rng.randrange(0, 1000)))
+            eid += 1
+    return rows
+
+
+def _naive(rows, uid, qts, window_ms, halflife_ms, cap=CAP):
+    """(decayed_count, decayed_sum) with the sawtooth tail of the window."""
+    if window_ms is None:
+        tail = None
+    else:
+        hop = HOUR if window_ms < 12 * DAY else DAY
+        x = qts - window_ms
+        tail = x - x % hop
+    c = s = None
+    for _eid, u, ts, v in rows:
+        if u != uid or ts >= qts:
+            continue
+        if tail is not None and ts < tail:
+            continue
+        age = qts // halflife_ms - ts // halflife_ms
+        w = 1 << (cap - min(age, cap))
+        c = (c or 0) + w
+        s = (s or 0) + v * w
+    f = 1 << cap
+    return (None if c is None else c / f, None if s is None else s / f)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    rows = _data()
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts long, v long").cache()
+    # every 3rd event time is a query point (deterministic — no limit())
+    q = (
+        ev.where(F.col("event_id") % 3 == 0)
+        .select("user_id", "ts")
+        .distinct()
+        .cache()
+    )
+    return rows, ev, q
+
+
+GB = GroupBy(
+    name="dk",
+    keys=["user_id"],
+    aggregations=[
+        Aggregation(
+            Op.TIME_DECAYED_COUNT,
+            "v",
+            windows=(Window(7, TimeUnit.DAYS),),
+            halflife=Window(1, TimeUnit.DAYS),
+        ),
+        Aggregation(
+            Op.TIME_DECAYED_SUM,
+            "v",
+            windows=(Window(7, TimeUnit.DAYS), Window(30, TimeUnit.DAYS)),
+            halflife=Window(1, TimeUnit.DAYS),
+        ),
+        # lifetime + a coarser halflife (2d divides every cascade resolution)
+        Aggregation(Op.TIME_DECAYED_SUM, "v", halflife=Window(2, TimeUnit.DAYS)),
+        # mixed with a plain op to exercise shared passes
+        Aggregation(Op.SUM, "v", windows=(Window(7, TimeUnit.DAYS),)),
+    ],
+)
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def test_estimators_agree_and_match_naive(frames):
+    rows, ev, q = frames
+    outs = {
+        s: G.temporal_events(q, ev, GB, tiebreak="event_id", strategy=s)
+        for s in ("exact", "hops", "auto")
+    }
+    collected = {s: _collect(df) for s, df in outs.items()}
+    assert collected["exact"] == collected["hops"] == collected["auto"]
+    # bit-exact vs the python oracle on every row (integer-scaled weights)
+    cols = sorted(outs["exact"].columns)
+    i = {c: cols.index(c) for c in cols}
+    for row in collected["exact"]:
+        uid, qts = row[i["user_id"]], row[i["ts"]]
+        c7, s7 = _naive(rows, uid, qts, 7 * DAY, DAY)
+        _, s30 = _naive(rows, uid, qts, 30 * DAY, DAY)
+        _, slife = _naive(rows, uid, qts, None, 2 * DAY)
+        assert row[i["v_time_decayed_count_hl1d_7d"]] == c7
+        assert row[i["v_time_decayed_sum_hl1d_7d"]] == s7
+        assert row[i["v_time_decayed_sum_hl1d_30d"]] == s30
+        assert row[i["v_time_decayed_sum_hl2d"]] == slife
+
+
+def test_unaligned_halflife_falls_back_to_exact(frames):
+    rows, ev, q = frames
+    # 7h halflife: 7h % 1h != 0, so the cascade cannot tile it for a 7d
+    # window (levels 1h+5m) — 'auto'/'hops' must transparently fall back to
+    # the exact estimator and still produce identical results
+    gb = GroupBy(
+        name="dk7h",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(
+                Op.TIME_DECAYED_SUM,
+                "v",
+                windows=(Window(7, TimeUnit.DAYS),),
+                halflife=Window(7, TimeUnit.HOURS),
+            )
+        ],
+    )
+    a = _collect(G.temporal_events(q, ev, gb, strategy="exact"))
+    b = _collect(G.temporal_events(q, ev, gb, strategy="auto"))
+    assert a == b
+    for row, (uid, qts) in zip(
+        a, [(r[1], r[0]) for r in a]
+    ):  # cols sorted: ts, user_id, v_...
+        _, s = _naive(rows, uid, qts, 7 * DAY, 7 * HOUR)
+        assert row[2] == s
+
+
+def test_aligned_12h_halflife_rides_tiles(frames):
+    rows, ev, q = frames
+    # 12h % 1h == 0 and a 7d window uses 1h+5m levels only -> tiled OK
+    gb = GroupBy(
+        name="dk12h",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(
+                Op.TIME_DECAYED_COUNT,
+                "v",
+                windows=(Window(7, TimeUnit.DAYS),),
+                halflife=Window(12, TimeUnit.HOURS),
+            )
+        ],
+    )
+    a = _collect(G.temporal_events(q, ev, gb, strategy="exact"))
+    b = _collect(G.temporal_events(q, ev, gb, strategy="hops"))
+    assert a == b
+    for row in a:
+        c, _ = _naive(rows, row[1], row[0], 7 * DAY, 12 * HOUR)
+        assert row[2] == c
+
+
+def test_leakage_and_empty(spark):
+    ev = spark.createDataFrame(
+        [(1, 10, 1000, 5), (2, 20, 2000, 7)], "event_id long, user_id long, ts long, v long"
+    )
+    q = spark.createDataFrame([(10, 1000), (30, 5000)], "user_id long, ts long")
+    gb = GroupBy(
+        name="dkl",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.TIME_DECAYED_SUM, "v", halflife=Window(1, TimeUnit.DAYS))
+        ],
+    )
+    for s in ("exact", "hops"):
+        got = {
+            r["user_id"]: r["v_time_decayed_sum_hl1d"]
+            for r in G.temporal_events(q, ev, gb, strategy=s).collect()
+        }
+        # user 10's only event is AT the query ts: strict < excludes it
+        assert got[10] is None
+        # user 30 has no events at all
+        assert got[30] is None
+
+
+def test_decayed_average_via_derivation(frames):
+    rows, ev, q = frames
+    gb = GroupBy(
+        name="dkavg",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(
+                Op.TIME_DECAYED_SUM,
+                "v",
+                windows=(Window(7, TimeUnit.DAYS),),
+                halflife=Window(1, TimeUnit.DAYS),
+            ),
+            Aggregation(
+                Op.TIME_DECAYED_COUNT,
+                "v",
+                windows=(Window(7, TimeUnit.DAYS),),
+                halflife=Window(1, TimeUnit.DAYS),
+            ),
+        ],
+        derivations={
+            "*": "*",  # keep the base features alongside the derived EWMA
+            "v_ewma_7d": "v_time_decayed_sum_hl1d_7d / v_time_decayed_count_hl1d_7d"
+        },
+    )
+    out = G.temporal_events(q, ev, gb, strategy="auto")
+    for r in out.collect():
+        c, s = (
+            r["v_time_decayed_count_hl1d_7d"],
+            r["v_time_decayed_sum_hl1d_7d"],
+        )
+        if c is None:
+            assert r["v_ewma_7d"] is None
+        else:
+            assert r["v_ewma_7d"] == pytest.approx(s / c)
+
+
+def test_snapshot_events_decayed(spark):
+    # EOD semantics: snapshot at ds == temporal query at next midnight
+    ev = spark.createDataFrame(
+        [(1, 5, 100, 10), (2, 5, DAY + 100, 20)],
+        "event_id long, user_id long, ts long, v long",
+    )
+    gb = GroupBy(
+        name="dks",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(
+                Op.TIME_DECAYED_SUM,
+                "v",
+                windows=(Window(14, TimeUnit.DAYS),),
+                halflife=Window(1, TimeUnit.DAYS),
+            )
+        ],
+        accuracy=Accuracy.SNAPSHOT,
+    )
+    out = {
+        (r["user_id"], r["ds"]): r["v_time_decayed_sum_hl1d_14d"]
+        for r in G.snapshot_events(ev, gb).collect()
+    }
+    # day 0 EOD (q = 1*DAY): event day0 age floor(1d/1d)-0 = 1 -> w = 1/2
+    assert out[(5, "1970-01-01")] == 10 / 2
+    # day 1 EOD (q = 2*DAY): ages 2 and 1 -> 10/4 + 20/2
+    assert out[(5, "1970-01-02")] == 10 / 4 + 20 / 2
+
+
+def test_validation_errors(spark):
+    ev = spark.createDataFrame([(1, 1, 100, 1)], "event_id long, user_id long, ts long, v long")
+    q = spark.createDataFrame([(1, 200)], "user_id long, ts long")
+    no_hl = GroupBy(
+        name="bad1",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.TIME_DECAYED_SUM, "v")],
+    )
+    with pytest.raises(ValueError, match="requires halflife"):
+        G.temporal_events(q, ev, no_hl, strategy="exact").collect()
+    bad_cap = GroupBy(
+        name="bad2",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(
+                Op.TIME_DECAYED_SUM,
+                "v",
+                halflife=Window(1, TimeUnit.DAYS),
+                decay_cap=63,
+            )
+        ],
+    )
+    with pytest.raises(ValueError, match="decay_cap"):
+        G.temporal_events(q, ev, bad_cap, strategy="exact").collect()
+
+
+def test_serving_rejects_decayed(spark):
+    from chronon_spark.operators.upload import upload_batch_irs
+
+    ev = spark.createDataFrame([(1, 1, 100, 1)], "event_id long, user_id long, ts long, v long")
+    gb = GroupBy(
+        name="dkserve",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(
+                Op.TIME_DECAYED_SUM,
+                "v",
+                windows=(Window(1, TimeUnit.DAYS),),
+                halflife=Window(1, TimeUnit.DAYS),
+            )
+        ],
+    )
+    with pytest.raises(ValueError, match="mergeable"):
+        upload_batch_irs(ev, gb, batch_end_ds="1970-01-05")
+
+
+def test_weight_cap_and_exact_pow(spark):
+    # pow(2, k) cast long must be exactly 1 << k for the whole cap range,
+    # and ages past the cap must clamp (weight floor, no further decay)
+    from chronon_spark.functions.ops import decayed_weight
+
+    agg = Aggregation(
+        Op.TIME_DECAYED_COUNT, "v", halflife=Window(1, TimeUnit.DAYS), decay_cap=40
+    )
+    df = spark.range(0, 64).select(
+        (F.lit(50 * DAY) + F.lit(10)).alias("q"),
+        (F.lit(50 * DAY) - F.col("id") * DAY).alias("t"),
+        F.col("id").alias("age"),
+    )
+    got = {
+        r["age"]: r["w"]
+        for r in df.select(
+            "age", decayed_weight(agg, F.col("q"), F.col("t")).alias("w")
+        ).collect()
+    }
+    for age in range(64):
+        assert got[age] == 1 << (40 - min(age, 40))
