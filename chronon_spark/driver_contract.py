@@ -4548,9 +4548,13 @@ j AS (
          COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
   FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
 ), tot AS (
-  SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM j
+  SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b, count(*) AS nb FROM j
 ), terms AS (
   SELECT j.*, tot.tot_a, tot.tot_b,
+         CAST(round({quant} * (CAST(cnt_a + 1 AS DOUBLE) / (tot_a + nb)
+                               - CAST(cnt_b + 1 AS DOUBLE) / (tot_b + nb))
+              * ln((CAST(cnt_a + 1 AS DOUBLE) * (tot_b + nb))
+                   / (CAST(cnt_b + 1 AS DOUBLE) * (tot_a + nb)))) AS BIGINT) AS psi_q,
          abs(cnt_a * tot_b - cnt_b * tot_a) AS tvd_num,
          (CASE WHEN cnt_a > 0 AND (cnt_a * tot_b + cnt_b * tot_a) > 0
                THEN CAST(round({quant} * (cnt_a / CAST(tot_a AS DOUBLE))
@@ -4569,7 +4573,9 @@ SELECT CAST(tot_a AS BIGINT) AS tot_a,
        CASE WHEN tot_a > 0 AND tot_b > 0
             THEN round(CAST(sum(tvd_num) AS DOUBLE) / (2.0 * tot_a * tot_b), 9) END AS tvd,
        CASE WHEN tot_a > 0 AND tot_b > 0
-            THEN round((sum(jsd_qa) + sum(jsd_qb)) / (2.0 * {quant}), 9) END AS jsd
+            THEN round((sum(jsd_qa) + sum(jsd_qb)) / (2.0 * {quant}), 9) END AS jsd,
+       CASE WHEN tot_a > 0 AND tot_b > 0
+            THEN round(sum(psi_q) / CAST({quant} AS DOUBLE), 9) END AS psi
 FROM terms
 GROUP BY tot_a, tot_b
 """
@@ -4590,7 +4596,8 @@ _q_scalar_pre_drift = QUERIES["scalar_aggs"]
 
 def q_scalar_aggs_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _q_scalar_pre_drift(spark, sf_dir)
-    dr = q_corpus_drift(spark, sf_dir).select(
+    drift_df = q_corpus_drift(spark, sf_dir)
+    dr = drift_df.select(
         F.lit("corpus_drift").alias("op"),
         F.lit("even_vs_odd").alias("key"),
         F.col("tvd").alias("v1"),
@@ -4603,7 +4610,16 @@ def q_scalar_aggs_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active_buckets").cast("string"),
         ).alias("tag"),
     )
-    return base.unionByName(dr)
+    # PSI rides the same summary row as its own labeled leg (round 4)
+    psi = drift_df.select(
+        F.lit("corpus_psi").alias("op"),
+        F.lit("even_vs_odd").alias("key"),
+        F.col("psi").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.col("n_active_buckets").cast("double").alias("v3"),
+        F.lit("laplace+1").alias("tag"),
+    )
+    return base.unionByName(dr).unionByName(psi)
 
 
 QUERIES["scalar_aggs"] = q_scalar_aggs_drift
@@ -4615,6 +4631,11 @@ SELECT 'corpus_drift' AS op, 'even_vs_odd' AS key, tvd AS v1, jsd AS v2,
        CAST(n_shared_buckets AS DOUBLE) AS v3,
        CAST(tot_a AS VARCHAR) || ':' || CAST(tot_b AS VARCHAR)
          || ':' || CAST(n_active_buckets AS VARCHAR) AS tag
+FROM ({SQL_CORPUS_DRIFT})
+UNION ALL
+SELECT 'corpus_psi' AS op, 'even_vs_odd' AS key, psi AS v1,
+       CAST(NULL AS DOUBLE) AS v2, CAST(n_active_buckets AS DOUBLE) AS v3,
+       'laplace+1' AS tag
 FROM ({SQL_CORPUS_DRIFT})
 """
 

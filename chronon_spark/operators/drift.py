@@ -219,7 +219,10 @@ def corpus_drift(
         .na.fill({"cnt_a": 0, "cnt_b": 0})
     )
     tot = joined.groupBy().agg(
-        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+        F.sum("cnt_a").alias("tot_a"),
+        F.sum("cnt_b").alias("tot_b"),
+        # active-bucket count: the PSI Laplace-smoothing denominator share
+        F.count(F.lit(1)).alias("nb"),
     )
     j = joined.crossJoin(F.broadcast(tot))
     ca, cb = F.col("cnt_a"), F.col("cnt_b")
@@ -239,6 +242,19 @@ def corpus_drift(
     term_b = F.when(
         (cb > 0) & (denom > 0), F.round(F.lit(quant) * (cb / tb) * F.log(qm))
     ).otherwise(F.lit(0.0))
+    # PSI (population stability index, the classic feature-monitoring drift
+    # score): sum (p - q) * ln(p/q) with Laplace-smoothed proportions
+    # p = (cnt_a+1)/(tot_a+nb), q = (cnt_b+1)/(tot_b+nb) over the nb ACTIVE
+    # buckets (the +1 keeps one-sided buckets finite — the standard PSI
+    # zero-bin convention, made deterministic). Same quantized-ln idiom as
+    # JSD: each bucket term rounds to an integer at ``quant`` resolution so
+    # the sum is order-independent; doubles enter only through identical
+    # IEEE expressions on both engines.
+    nb = F.col("nb")
+    sa, sb = (ca + F.lit(1)).cast("double"), (cb + F.lit(1)).cast("double")
+    da, db = ta + nb, tb + nb
+    psi_ratio = (sa * db) / (sb * da)
+    psi_term = F.round(F.lit(quant) * (sa / da - sb / db) * F.log(psi_ratio))
     per_bucket = j.select(
         "bucket", "cnt_a", "cnt_b", "tot_a", "tot_b",
         # decimal(38,0): the integer sum stays EXACT (and order-independent)
@@ -247,6 +263,7 @@ def corpus_drift(
         tvd_num.cast("decimal(38,0)").alias("tvd_num"),
         term_a.cast("long").alias("jsd_qa"),
         term_b.cast("long").alias("jsd_qb"),
+        psi_term.cast("long").alias("psi_q"),
     )
     return per_bucket.groupBy("tot_a", "tot_b").agg(
         F.count(F.lit(1)).alias("n_active_buckets"),
@@ -260,6 +277,7 @@ def corpus_drift(
         (
             (F.sum("jsd_qa") + F.sum("jsd_qb")) / (2.0 * quant)
         ).alias("jsd"),
+        (F.sum("psi_q") / F.lit(float(quant))).alias("psi"),
     ).select(
         F.col("tot_a").cast("long"),
         F.col("tot_b").cast("long"),
@@ -272,4 +290,7 @@ def corpus_drift(
         F.when(
             (F.col("tot_a") > 0) & (F.col("tot_b") > 0), F.round("jsd", 9)
         ).alias("jsd"),
+        F.when(
+            (F.col("tot_a") > 0) & (F.col("tot_b") > 0), F.round("psi", 9)
+        ).alias("psi"),
     )

@@ -65,6 +65,8 @@ def test_corpus_drift_boundaries(spark):
     )
     r0 = corpus_drift(same, same).collect()[0]
     assert r0["tvd"] == 0.0 and r0["jsd"] == 0.0
+    # identical corpora: p == q in every bucket, every PSI term is ln(1)*0
+    assert r0["psi"] == 0.0
     assert r0["n_shared_buckets"] == r0["n_active_buckets"]
 
     a = spark.createDataFrame([(1, "aaa bbb ccc")], "doc_id long, text string")
@@ -74,6 +76,12 @@ def test_corpus_drift_boundaries(spark):
     # disjoint supports: JSD = ln 2 up to quantization resolution
     assert abs(r1["jsd"] - math.log(2)) < 1e-5
     assert r1["n_shared_buckets"] == 0
+    # PSI on fully drifted corpora clears the conventional 0.25 "major
+    # shift" bar (finite because smoothed); and PSI is symmetric — (p-q)
+    # and ln(p/q) flip sign together
+    assert r1["psi"] > 0.25
+    r1r = corpus_drift(b, a).collect()[0]
+    assert r1r["psi"] == r1["psi"]
 
 
 def test_corpus_drift_bounded_output(spark):
@@ -96,4 +104,4 @@ def test_corpus_drift_empty_side_is_null_not_zero(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     r = corpus_drift(a, empty).collect()[0]
     assert r["tot_b"] == 0
-    assert r["tvd"] is None and r["jsd"] is None
+    assert r["tvd"] is None and r["jsd"] is None and r["psi"] is None
