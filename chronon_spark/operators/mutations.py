@@ -64,8 +64,19 @@ DAY_MS = W.MS_PER_DAY
 # the reference's deletable aggregators (abelian-group IRs that support
 # `delete`): only these may be used over a mutation source
 # (aggregator/.../row/ColumnAggregator.scala sum/count/average/variance
-# deletable dispatch; Analyzer rejects the rest for mutation sources)
-DELETABLE_OPS = {Op.COUNT, Op.SUM, Op.AVERAGE, Op.VARIANCE}
+# deletable dispatch; Analyzer rejects the rest for mutation sources).
+# TIME_DECAYED ops are signed WEIGHTED sums — an abelian group too — so a
+# reversal cancels its insert exactly at any halflife; they require a
+# window (CDC lifetime visibility is mutation-time-based, and the age
+# weighting needs the event-time mask to guarantee non-negative ages).
+DELETABLE_OPS = {
+    Op.COUNT,
+    Op.SUM,
+    Op.AVERAGE,
+    Op.VARIANCE,
+    Op.TIME_DECAYED_SUM,
+    Op.TIME_DECAYED_COUNT,
+}
 
 
 def _signed_agg(a: Aggregation, w, value: Column, ets: Column, qts: Column, sign: Column) -> Column:
@@ -89,6 +100,22 @@ def _signed_agg(a: Aggregation, w, value: Column, ets: Column, qts: Column, sign
         d = v.cast("double")
         n, sm, sq = F.sum(s), F.sum(d * sign), F.sum(d * d * sign)
         return F.when(n > 0, sq / n - (sm / n) * (sm / n))
+    if op in (Op.TIME_DECAYED_SUM, Op.TIME_DECAYED_COUNT):
+        from chronon_spark.functions import ops as O
+
+        if w is None:
+            raise ValueError(
+                f"{op.value} on a mutation (CDC) source requires a window: "
+                "lifetime visibility is mutation-time-based, but the decay "
+                "weighting needs the event-time mask (non-negative ages)"
+            )
+        wt = O.decayed_weight(a, qts, F.when(mask, ets))
+        base = (
+            F.when(mask & value.isNotNull(), F.lit(1).cast("long"))
+            if op == Op.TIME_DECAYED_COUNT
+            else v
+        )
+        return O.decayed_finalize(a, F.sum(base * sign * wt))
     raise ValueError(
         f"{op} is not deletable — mutation (CDC) sources support only {sorted(o.value for o in DELETABLE_OPS)}"
     )

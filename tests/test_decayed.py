@@ -329,3 +329,84 @@ def test_weight_cap_and_exact_pow(spark):
     }
     for age in range(64):
         assert got[age] == 1 << (40 - min(age, 40))
+
+
+DAY10 = 1704844800000  # 2024-01-10 00:00:00 UTC
+DAY11 = DAY10 + DAY
+
+
+def test_cdc_decayed(spark):
+    """TIME_DECAYED over a mutation (CDC) source: signed weighted sums — a
+    reversal cancels its insert at the insert's OWN age weight exactly."""
+    from chronon_spark.operators.mutations import temporal_entities
+
+    snap = spark.createDataFrame(
+        [
+            ("a", 10.0, DAY10 + 8 * HOUR, "2024-01-10"),
+            ("a", 20.0, DAY10 + 9 * HOUR, "2024-01-10"),
+        ],
+        "k string, v double, ets long, ds string",
+    ).select("k", "v", F.timestamp_millis("ets").alias("ts"), "ds")
+    mut = spark.createDataFrame(
+        [
+            ("a", 30.0, DAY11 + 10 * HOUR, DAY11 + 10 * HOUR, False, "2024-01-11"),
+            ("a", 20.0, DAY10 + 9 * HOUR, DAY11 + 11 * HOUR, True, "2024-01-11"),
+        ],
+        "k string, v double, ets long, mts long, is_before boolean, ds string",
+    ).select(
+        "k", "v",
+        F.timestamp_millis("ets").alias("ts"),
+        F.timestamp_millis("mts").alias("mutation_ts"),
+        "is_before", "ds",
+    )
+    q = spark.createDataFrame(
+        [("a", DAY11 + 10 * HOUR + 1800_000), ("a", DAY11 + 12 * HOUR)],
+        "k string, qts long",
+    ).select("k", F.timestamp_millis("qts").alias("ts"), "qts")
+    gb = GroupBy(
+        name="mdk",
+        keys=["k"],
+        aggregations=[
+            Aggregation(
+                Op.TIME_DECAYED_SUM, "v",
+                windows=(Window(7, TimeUnit.DAYS),), halflife=Window(1, TimeUnit.DAYS),
+            ),
+            Aggregation(
+                Op.TIME_DECAYED_COUNT, "v",
+                windows=(Window(7, TimeUnit.DAYS),), halflife=Window(1, TimeUnit.DAYS),
+            ),
+        ],
+    )
+    rows = {
+        r["qts"]: r
+        for r in temporal_entities(q, snap, mut, gb, left_time_column="ts").collect()
+    }
+    # 10:30 Jan11 (insert visible, reversal not yet): {10, 20}@age1, {30}@age0
+    assert rows[DAY11 + 10 * HOUR + 1800_000]["v_time_decayed_sum_hl1d_7d"] == 45.0
+    assert rows[DAY11 + 10 * HOUR + 1800_000]["v_time_decayed_count_hl1d_7d"] == 2.0
+    # 12:00 Jan11 (reversal visible): 20 cancelled at ITS age-1 weight
+    assert rows[DAY11 + 12 * HOUR]["v_time_decayed_sum_hl1d_7d"] == 35.0
+    assert rows[DAY11 + 12 * HOUR]["v_time_decayed_count_hl1d_7d"] == 1.5
+
+
+def test_cdc_decayed_lifetime_rejected(spark):
+    from chronon_spark.operators.mutations import temporal_entities
+
+    snap = spark.createDataFrame(
+        [("a", 1.0, DAY10, "2024-01-10")], "k string, v double, ets long, ds string"
+    ).select("k", "v", F.timestamp_millis("ets").alias("ts"), "ds")
+    mut = spark.createDataFrame(
+        [], "k string, v double, ts timestamp, mutation_ts timestamp, is_before boolean, ds string"
+    )
+    q = spark.createDataFrame([("a", DAY11)], "k string, qts long").select(
+        "k", F.timestamp_millis("qts").alias("ts")
+    )
+    gb = GroupBy(
+        name="mdkl",
+        keys=["k"],
+        aggregations=[
+            Aggregation(Op.TIME_DECAYED_SUM, "v", halflife=Window(1, TimeUnit.DAYS))
+        ],
+    )
+    with pytest.raises(ValueError, match="requires a window"):
+        temporal_entities(q, snap, mut, gb, left_time_column="ts").collect()
