@@ -47,6 +47,20 @@ def _decay_params(agg: Aggregation) -> tuple[int, int]:
     return agg.halflife.millis, cap
 
 
+def halflife_bucket(agg: Aggregation, ts: Column) -> Column:
+    """floor(ts / halflife) as an exact integer (pmod arithmetic, no float
+    division of raw epoch values)."""
+    h_ms, _ = _decay_params(agg)
+    return ((ts - F.pmod(ts, F.lit(h_ms))) / F.lit(h_ms)).cast("long")
+
+
+def decayed_weight_from_age(agg: Aggregation, age: Column) -> Column:
+    """Integer weight 2^(cap - min(age, cap)) from a whole-halflives age."""
+    _, cap = _decay_params(agg)
+    exp = (F.lit(cap) - F.least(age, F.lit(cap))).cast("double")
+    return F.pow(F.lit(2.0), exp).cast("long")
+
+
 def decayed_weight(agg: Aggregation, q_ts: Column, t_ts: Column) -> Column:
     """Integer weight 2^(cap - min(age, cap)) for an event/tile at ``t_ts``
     observed from ``q_ts``; age = floor(q/H) - floor(t/H) whole halflives
@@ -54,12 +68,8 @@ def decayed_weight(agg: Aggregation, q_ts: Column, t_ts: Column) -> Column:
     exact double for k <= 62, and the long cast restores the integer.
     ``t_ts`` may be a tile start at any resolution dividing H — floor(t/H)
     is constant across such a tile, which is what makes the op mergeable."""
-    h_ms, cap = _decay_params(agg)
-    qb = (q_ts - F.pmod(q_ts, F.lit(h_ms))) / F.lit(h_ms)
-    tb = (t_ts - F.pmod(t_ts, F.lit(h_ms))) / F.lit(h_ms)
-    age = (qb - tb).cast("long")
-    exp = (F.lit(cap) - F.least(age, F.lit(cap))).cast("double")
-    return F.pow(F.lit(2.0), exp).cast("long")
+    age = halflife_bucket(agg, q_ts) - halflife_bucket(agg, t_ts)
+    return decayed_weight_from_age(agg, age)
 
 
 def decayed_finalize(agg: Aggregation, scaled_sum: Column) -> Column:
@@ -195,10 +205,12 @@ HOP_MERGEABLE_OPS = {
     Op.TIME_DECAYED_COUNT,
 }
 
-#: ops the SERVING upload/fetch path can split into mergeable IRs; decayed
-#: ops are excluded for now — their fetch-time merge needs the request
-#: timestamp woven into the lambda merge (collapsed IRs span many halflife
-#: buckets, so the batch-collapsed region cannot be pre-weighted)
+#: ops the SERVING upload/fetch path serves through the generic scalar
+#: partial-IR slots. DECAYED ops are served too, but through their own IR
+#: kind (operators/upload._dk_slots): a bounded halflife-bucket map for the
+#: collapsed region (weights depend on the request time, so it cannot be
+#: pre-weighted) + unweighted tail-tile sums weighted at fetch — they are
+#: intercepted before this set is consulted.
 SERVING_MERGEABLE_OPS = frozenset(HOP_MERGEABLE_OPS - DECAYED_OPS)
 
 #: default KMV sample size (quantile rank error ~ sqrt(p(1-p)/k), so 10k ->

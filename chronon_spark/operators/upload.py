@@ -84,13 +84,28 @@ def _check_aligned(w: Window | None, horizon_ms: int | None):
 
 
 def _pairs(gb: GroupBy, horizon_ms: int | None = None):
-    """(scalar_pairs, mg_pairs): scalar pairs carry ops.partial_cols slot
-    IRs; mg pairs are APPROX_HISTOGRAM_K aggregations served as bounded
-    Misra-Gries map<string,bigint> IR columns (one per pair). Slot indices
-    number scalar pairs first, then mg pairs, so IR column names stay stable
-    whichever mix a GroupBy declares."""
-    scalar, mg = [], []
+    """(scalar_pairs, mg_pairs, dk_pairs): scalar pairs carry
+    ops.partial_cols slot IRs; mg pairs are APPROX_HISTOGRAM_K aggregations
+    served as bounded Misra-Gries map<string,bigint> IR columns; dk pairs
+    are TIME_DECAYED aggregations served as bounded halflife-bucket maps
+    (collapsed region) + unweighted tail-tile sums weighted at fetch time.
+    Slot indices number scalar pairs first, then mg, then dk, so IR column
+    names stay stable whichever mix a GroupBy declares."""
+    scalar, mg, dk = [], [], []
     for a in gb.aggregations:
+        if a.operation in O.DECAYED_OPS and not a.buckets:
+            h_ms, _cap = O._decay_params(a)  # validates halflife + cap
+            for w, _ in a.unpacked():
+                _check_aligned(w, horizon_ms)
+                if w is not None and h_ms % w.tail_hop_millis() != 0:
+                    raise ValueError(
+                        f"serving {a.operation.value}('{a.input_column}') "
+                        f"requires halflife to be a whole multiple of the "
+                        f"window's tail hop ({w.tail_hop_millis()} ms): each "
+                        "tail tile must sit inside one halflife bucket"
+                    )
+                dk.append((a, w))
+            continue
         if a.operation == Op.APPROX_HISTOGRAM_K and not a.buckets:
             # KV rows must be HARD-bounded: require an explicit MG cap (the
             # reference's ItemsSketch map size, SimpleAggregators.scala:
@@ -114,7 +129,7 @@ def _pairs(gb: GroupBy, horizon_ms: int | None = None):
         for w, _ in a.unpacked():
             _check_aligned(w, horizon_ms)
             scalar.append((a, w))
-    return scalar, mg
+    return scalar, mg, dk
 
 
 def _stable_lo(w: Window | None, batch_end: int, horizon_ms: int) -> int | None:
@@ -155,9 +170,10 @@ def upload_batch_irs(
     ev = _normalize_events(events, gb, tiebreak)
     batch_end = _batch_end_ms(batch_end_ds)
     ev = ev.where(F.col(ETS) < batch_end)
-    pairs, mg_pairs = _pairs(gb, horizon_ms)
+    pairs, mg_pairs, dk_pairs = _pairs(gb, horizon_ms)
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
     mg_slots = [(f"p{len(pairs) + j}__mg", a, w) for j, (a, w) in enumerate(mg_pairs)]
+    dk_slots = _dk_slots(pairs, mg_pairs, dk_pairs)
 
     collapsed_exprs = {}
     for i, (a, w) in enumerate(pairs):
@@ -196,6 +212,14 @@ def upload_batch_irs(
         region = ev if lo is None else ev.where(F.col(ETS) >= F.lit(lo))
         m = _mg_region_map(region, gb.keys, a, name)
         collapsed = collapsed.join(m, gb.keys, "left")
+    # TIME_DECAYED pairs: collapsed region as a bounded halflife-bucket map
+    # (weights depend on the REQUEST time, so the region cannot be
+    # pre-weighted — but each bucket has one weight per request)
+    for slot, a, w in dk_slots:
+        lo = _stable_lo(w, batch_end, horizon_ms)
+        region = ev if lo is None else ev.where(F.col(ETS) >= F.lit(lo))
+        m = _dk_collapsed_map(region, gb, a, batch_end, f"{slot}__dm")
+        collapsed = collapsed.join(m, gb.keys, "left")
 
     # tail bands grouped by resolution; every pair's IR columns present in
     # every band table (nulls where the pair doesn't use that resolution)
@@ -203,6 +227,11 @@ def upload_batch_irs(
     for i, (a, _w) in enumerate(pairs):
         all_cols.update(O.partial_cols(a, F.col(a.input_column), F.col(ETS), tb, f"p{i}"))
     mg_nulls = {name: F.lit(None).cast(HH._MAP_T) for name, _a, _w in mg_slots}
+    dk_nulls = {
+        f"{slot}__ts": F.lit(None).cast(_dk_sum_type(ev, a))
+        for slot, a, w in dk_slots
+        if w is not None
+    }
     by_hop: dict[int, list[int]] = {}
     for i, (a, w) in enumerate(pairs):
         if w is not None:
@@ -226,6 +255,7 @@ def upload_batch_irs(
             t.withColumn(RES, F.lit(h)).select(
                 *gb.keys, RES, TILE, *all_cols,
                 *[c.alias(n) for n, c in mg_nulls.items()],
+                *[c.alias(n) for n, c in dk_nulls.items()],
             )
         )
     # MG tail tiles ride as their own rows (scalar slots null) — branch
@@ -252,6 +282,39 @@ def upload_batch_irs(
                     (F.col(n2) if n2 == name else F.lit(None).cast(HH._MAP_T)).alias(n2)
                     for n2 in mg_nulls
                 ],
+                *[c.alias(n) for n, c in dk_nulls.items()],
+            )
+        )
+    # TIME_DECAYED tail tiles: unweighted per-tile sums (one halflife bucket
+    # per tile by the _pairs alignment contract) — the request-time weight
+    # is applied entirely at fetch from the tile start
+    for slot, a, w in dk_slots:
+        if w is None:
+            continue
+        h = w.tail_hop_millis()
+        lo, hi = batch_end - w.millis, _stable_lo(w, batch_end, horizon_ms)
+        if hi <= lo:
+            continue
+        band = ev.where((F.col(ETS) >= lo) & (F.col(ETS) < hi)).withColumn(
+            TILE, W.round_down(F.col(ETS), h)
+        )
+        name = f"{slot}__ts"
+        t = (
+            band.where(F.col(a.input_column).isNotNull())
+            .groupBy(*gb.keys, TILE)
+            .agg(F.sum(_dk_base(a)).alias(name))
+        )
+        tile_frames.append(
+            t.select(
+                *gb.keys,
+                F.lit(h).alias(RES),
+                F.col(TILE),
+                *[F.lit(None).alias(n) for n in all_cols],
+                *[F.lit(None).cast(HH._MAP_T).alias(n) for n in mg_nulls],
+                *[
+                    (F.col(n2) if n2 == name else dk_nulls[n2]).alias(n2)
+                    for n2 in dk_nulls
+                ],
             )
         )
     if tile_frames:
@@ -272,6 +335,7 @@ def upload_batch_irs(
         tiles = collapsed.limit(0).select(
             *gb.keys, F.lit(0).alias(RES), F.lit(0).alias(TILE), *all_cols,
             *[c.alias(n) for n, c in mg_nulls.items()],
+            *[c.alias(n) for n, c in dk_nulls.items()],
         ).limit(0)
     return collapsed, tiles
 
@@ -294,6 +358,71 @@ def _mg_region_map(region: DataFrame, group_cols: list[str], a: Aggregation, out
     )
 
 
+def _dk_slots(pairs, mg_pairs, dk_pairs):
+    """(slot, agg, window) for TIME_DECAYED pairs; slot indices follow the
+    scalar + mg blocks so IR column names are stable."""
+    base = len(pairs) + len(mg_pairs)
+    return [(f"p{base + j}", a, w) for j, (a, w) in enumerate(dk_pairs)]
+
+
+def _dk_sum_type(ev: DataFrame, a: Aggregation) -> str:
+    """Spark type of sum(_dk_base): long for COUNT/integral inputs, double
+    otherwise (matches HashAggregate's sum promotion)."""
+    from pyspark.sql import types as ST
+
+    if a.operation == Op.TIME_DECAYED_COUNT:
+        return "long"
+    dt = ev.schema[a.input_column].dataType
+    if isinstance(dt, (ST.ByteType, ST.ShortType, ST.IntegerType, ST.LongType)):
+        return "long"
+    return "double"
+
+
+def _dk_base(a: Aggregation) -> Column:
+    """Unweighted per-event contribution (1 for COUNT, the value for SUM)."""
+    if a.operation == Op.TIME_DECAYED_COUNT:
+        return F.when(F.col(a.input_column).isNotNull(), F.lit(1).cast("long"))
+    return F.col(a.input_column)
+
+
+def _dk_collapsed_map(
+    region: DataFrame, gb: GroupBy, a: Aggregation, batch_end: int, out_name: str
+) -> DataFrame:
+    """Collapsed-region IR for one TIME_DECAYED pair: map<string halflife
+    bucket -> unweighted sum>. Buckets already >= decay_cap halflives old at
+    ``batch_end`` can only get older at fetch time — their weight is pinned
+    at 2^-cap — so they merge into ONE 'ancient' bucket, bounding the map at
+    cap + window/halflife + horizon/halflife entries even for lifetime
+    aggregations over unbounded history."""
+    h_ms, cap = O._decay_params(a)
+    ancient_b = batch_end // h_ms - cap
+    b = F.greatest(O.halflife_bucket(a, F.col(ETS)), F.lit(ancient_b))
+    per_bucket = (
+        region.where(F.col(a.input_column).isNotNull())
+        .groupBy(*gb.keys, b.alias("__hb"))
+        .agg(F.sum(_dk_base(a)).alias("__hv"))
+    )
+    return per_bucket.groupBy(*gb.keys).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__hb").cast("string"), F.col("__hv")))
+        ).alias(out_name)
+    )
+
+
+def _dk_fold_map(a: Aggregation, dm: Column, q_ts: Column, acc_type: str) -> Column:
+    """Fetch-time weighted fold of a collapsed halflife-bucket map: each
+    entry's sum scaled by 2^(cap - min(request_bucket - bucket, cap)).
+    ``acc_type`` keeps integral inputs in int64 (bit-exact vs offline)."""
+    qb = O.halflife_bucket(a, q_ts)
+    return F.aggregate(
+        F.map_entries(dm),
+        F.lit(0).cast(acc_type),
+        lambda acc, e: acc
+        + e["value"]
+        * O.decayed_weight_from_age(a, qb - e["key"].cast("long")),
+    )
+
+
 def fetch_features(
     requests: DataFrame,
     collapsed: DataFrame,
@@ -313,8 +442,9 @@ def fetch_features(
     lambdaAggregateIr)."""
     assert gb.accuracy == Accuracy.TEMPORAL
     batch_end = _batch_end_ms(batch_end_ds)
-    pairs, mg_pairs = _pairs(gb, horizon_ms)
+    pairs, mg_pairs, dk_pairs = _pairs(gb, horizon_ms)
     mg_slots = [(f"p{len(pairs) + j}__mg", a, w) for j, (a, w) in enumerate(mg_pairs)]
+    dk_slots = _dk_slots(pairs, mg_pairs, dk_pairs)
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
 
     left_n = requests.withColumn(QTS, W.ts_to_millis(requests, left_time_column))
@@ -324,21 +454,52 @@ def fetch_features(
     for i, (a, _w) in enumerate(pairs):
         all_cols.update(O.partial_cols(a, F.col(a.input_column), F.col(ETS), tb, f"p{i}"))
     ir_names = list(all_cols.keys()) + [name for name, _a, _w in mg_slots]
+    # TIME_DECAYED IR columns live in different frames: __dm maps on the
+    # collapsed row, __ts sums on tail tiles, __hs pre-weighted scaled sums
+    # on the streaming head — each branch null-fills the others' columns
+    dm_types = {
+        f"{slot}__dm": collapsed.schema[f"{slot}__dm"].dataType
+        for slot, _a, _w in dk_slots
+    }
+    ts_types = {
+        f"{slot}__ts": tail_tiles.schema[f"{slot}__ts"].dataType
+        for slot, _a, w in dk_slots
+        if w is not None
+    }
+    hs_types = {
+        f"{slot}__hs": dm_types[f"{slot}__dm"].valueType
+        for slot, _a, _w in dk_slots
+    }
+    dk_names = [*dm_types, *ts_types, *hs_types]
+
+    def _dk_fill(have: list[str]) -> list:
+        cols = []
+        for n in dk_names:
+            if n in have:
+                cols.append(F.col(n))
+            else:
+                t = {**dm_types, **ts_types, **hs_types}[n]
+                cols.append(F.lit(None).cast(t).alias(n))
+        return cols
 
     # branch 0: collapsed IR per key (one row, always included)
-    b0 = q.join(collapsed, gb.keys, "left").select(
+    b0j = q.join(collapsed, gb.keys, "left")
+    b0 = b0j.select(
         *gb.keys, QTS, F.lit(0).alias(BRANCH), F.lit(0).alias(RES),
         F.lit(0).cast("long").alias(TILE), *ir_names,
+        *_dk_fill(list(dm_types)),
     )
     # branch 1: tail tiles — bounded fan-out (at most horizon/h tiles/window)
     ta = tail_tiles.select(
-        *[F.col(k).alias(f"__e_{k}") for k in gb.keys], RES, TILE, *ir_names
+        *[F.col(k).alias(f"__e_{k}") for k in gb.keys], RES, TILE, *ir_names,
+        *list(ts_types),
     )
     kcond = F.lit(True)
     for k in gb.keys:
         kcond = kcond & (F.col(k) == F.col(f"__e_{k}"))
     b1 = q.join(ta, kcond, "inner").select(
-        *gb.keys, QTS, F.lit(1).alias(BRANCH), RES, F.col(TILE), *ir_names
+        *gb.keys, QTS, F.lit(1).alias(BRANCH), RES, F.col(TILE), *ir_names,
+        *_dk_fill(list(ts_types)),
     )
     # branch 2: streaming head — per-pair sawtooth-masked partials
     sev = _normalize_events(stream_events, gb, tiebreak).where(
@@ -348,13 +509,21 @@ def fetch_features(
                     *[c for c in sev.columns if c not in gb.keys])
     jh = q.join(se, kcond & (F.col(ETS) < F.col(QTS)), "inner")
     branches = [b0, b1]
-    if pairs:
+    if pairs or dk_slots:
         head_exprs = {}
         for i, (a, w) in enumerate(pairs):
             mask = W.in_window(F.col(ETS), F.col(QTS), w)
             val = F.when(mask, F.col(a.input_column))
             ts = F.when(mask, F.col(ETS))
             head_exprs.update(O.partial_cols(a, val, ts, F.when(mask, tb), f"p{i}"))
+        # TIME_DECAYED streaming head: the request time is on every joined
+        # row, so the head partial is the ALREADY-weighted scaled sum
+        for slot, a, w in dk_slots:
+            mask = W.in_window(F.col(ETS), F.col(QTS), w)
+            wgt = O.decayed_weight(a, F.col(QTS), F.when(mask, F.col(ETS)))
+            head_exprs[f"{slot}__hs"] = F.sum(
+                F.when(mask, _dk_base(a)) * wgt
+            ).cast(hs_types[f"{slot}__hs"])
         branches.append(
             jh.groupBy(*gb.keys, QTS)
             .agg(*[c.alias(n) for n, c in head_exprs.items()])
@@ -363,6 +532,7 @@ def fetch_features(
                 F.lit(0).cast("long").alias(TILE),
                 *[n for n in all_cols],
                 *[F.lit(None).cast(HH._MAP_T).alias(n) for n, _a, _w in mg_slots],
+                *_dk_fill(list(hs_types)),
             )
         )
     # MG streaming heads: one row per (request, pair), the pair's window
@@ -382,6 +552,7 @@ def fetch_features(
                     (F.col(n2) if n2 == name else F.lit(None).cast(HH._MAP_T)).alias(n2)
                     for n2, _a, _w in mg_slots
                 ],
+                *_dk_fill([]),
             )
         )
     unioned = branches[0]
@@ -418,6 +589,43 @@ def fetch_features(
             HH.topk_map_expr(HH.merge_summary_maps(maps), a.k).alias(
                 a.output_name(w, None)
             )
+        )
+    for slot, a, w in dk_slots:
+        # TIME_DECAYED lambda merge: fold the collapsed halflife-bucket map
+        # at the request's bucket + weight in-band tail tiles from their
+        # tile start + the pre-weighted streaming head; one 2^-cap division
+        # at the end. NULL iff no region contributed (zero window events —
+        # the offline engine's empty semantics).
+        from pyspark.sql import types as ST
+
+        acc_t = "long" if isinstance(hs_types[f"{slot}__hs"], ST.LongType) else "double"
+        col_part = F.sum(
+            F.when(
+                F.col(BRANCH) == 0,
+                _dk_fold_map(a, F.col(f"{slot}__dm"), F.col(QTS), acc_t),
+            )
+        )
+        parts = [col_part]
+        if w is not None:
+            lo = _stable_lo(w, batch_end, horizon_ms)
+            inc_t = (
+                (F.col(BRANCH) == 1)
+                & (F.col(RES) == w.tail_hop_millis())
+                & (F.col(TILE) >= W.sawtooth_tail(F.col(QTS), w))
+                & (F.col(TILE) < F.lit(lo))
+            )
+            w_tile = O.decayed_weight(a, F.col(QTS), F.col(TILE))
+            parts.append(F.sum(F.when(inc_t, F.col(f"{slot}__ts") * w_tile)))
+        parts.append(F.sum(F.col(f"{slot}__hs")))
+        all_null = parts[0].isNull()
+        for p in parts[1:]:
+            all_null = all_null & p.isNull()
+        total = F.when(
+            ~all_null,
+            sum([F.coalesce(p, F.lit(0)) for p in parts[1:]], F.coalesce(parts[0], F.lit(0))),
+        )
+        merge_exprs.append(
+            O.decayed_finalize(a, total).alias(a.output_name(w, None))
         )
     feat = unioned.groupBy(*gb.keys, QTS).agg(*merge_exprs)
     out = left_n.join(feat, [*gb.keys, QTS], "left").drop(QTS)

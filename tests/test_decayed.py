@@ -288,7 +288,10 @@ def test_validation_errors(spark):
         G.temporal_events(q, ev, bad_cap, strategy="exact").collect()
 
 
-def test_serving_rejects_decayed(spark):
+def test_serving_decayed_halflife_misaligned_rejected(spark):
+    """Serving requires the halflife to be a whole multiple of each
+    window's tail hop (tail tiles must sit inside one halflife bucket);
+    90min vs a 7d window's 1h hop is not."""
     from chronon_spark.operators.upload import upload_batch_irs
 
     ev = spark.createDataFrame([(1, 1, 100, 1)], "event_id long, user_id long, ts long, v long")
@@ -299,12 +302,12 @@ def test_serving_rejects_decayed(spark):
             Aggregation(
                 Op.TIME_DECAYED_SUM,
                 "v",
-                windows=(Window(1, TimeUnit.DAYS),),
-                halflife=Window(1, TimeUnit.DAYS),
+                windows=(Window(7, TimeUnit.DAYS),),
+                halflife=Window(90, TimeUnit.MINUTES),
             )
         ],
     )
-    with pytest.raises(ValueError, match="mergeable"):
+    with pytest.raises(ValueError, match="whole multiple"):
         upload_batch_irs(ev, gb, batch_end_ds="1970-01-05")
 
 

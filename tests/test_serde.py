@@ -511,6 +511,14 @@ def test_fetch_over_kv_bytes_equals_typed_fetch(spark, events):
             Aggregation(Op.LAST_K, "event_type", k=3, windows=(W1D,)),
             Aggregation(Op.AVERAGE, "value"),  # lifetime
             Aggregation(Op.APPROX_UNIQUE_COUNT, "event_type", windows=(W7D,)),  # HLL bytes
+            # TIME_DECAYED: the halflife-bucket map IR (map<string,long/double>)
+            # must survive the Avro byte codec and fetch identically
+            Aggregation(
+                Op.TIME_DECAYED_COUNT,
+                "value",
+                windows=(W7D,),
+                halflife=Window(1, TimeUnit.DAYS),
+            ),
         ],
     )
     days = [

@@ -612,3 +612,112 @@ def test_serving_mg_histogram_requires_cap(spark, events, split):
     )
     with pytest.raises(ValueError, match="mg_cap"):
         upload_batch_irs(batch, gb, batch_end_ds, tiebreak="event_id")
+
+
+# ---------------------------------------------------------------------------
+# TIME_DECAYED serving: halflife-bucket map (collapsed) + fetch-weighted
+# tail tiles + pre-weighted streaming head
+# ---------------------------------------------------------------------------
+
+HL1D = Window(1, TimeUnit.DAYS)
+HL12H = Window(12, TimeUnit.HOURS)
+HL2D = Window(2, TimeUnit.DAYS)
+
+
+def _with_v_int(df):
+    return df.withColumn("v_int", F.floor("value").cast("long"))
+
+
+GB_DK = GroupBy(
+    name="serve_dk",
+    keys=["user_id"],
+    aggregations=[
+        # mixed with a plain scalar pair to exercise slot coexistence
+        Aggregation(Op.COUNT, "value", windows=(W7D,)),
+        Aggregation(Op.TIME_DECAYED_COUNT, "value", windows=(W7D,), halflife=HL1D),
+        Aggregation(Op.TIME_DECAYED_SUM, "v_int", windows=(W1D,), halflife=HL12H),
+        Aggregation(Op.TIME_DECAYED_SUM, "v_int", halflife=HL2D),  # lifetime
+    ],
+)
+
+
+def test_serving_decayed_equals_full_log(spark, events, split):
+    """Lambda invariant for TIME_DECAYED: upload + fetch == the offline
+    engine over the unified log, bit-exact (integer-scaled weights)."""
+    batch, stream, requests, batch_end_ds = split
+    batch, stream = _with_v_int(batch), _with_v_int(stream)
+    collapsed, tails = upload_batch_irs(batch, GB_DK, batch_end_ds, tiebreak="event_id")
+    served = fetch_features(
+        requests, collapsed, tails, stream, GB_DK, batch_end_ds, tiebreak="event_id"
+    )
+    offline = temporal_events(
+        requests,
+        _with_v_int(batch.unionByName(stream, allowMissingColumns=True)),
+        GB_DK,
+        tiebreak="event_id",
+    )
+    cols = [
+        "user_id",
+        "value_count_7d",
+        "value_time_decayed_count_hl1d_7d",
+        "v_int_time_decayed_sum_hl12h_1d",
+        "v_int_time_decayed_sum_hl2d",
+    ]
+    assert _rows(served, cols) == _rows(offline, cols)
+
+
+def test_serving_decayed_only_groupby(spark, events, split):
+    """A decayed-ONLY GroupBy (no scalar pairs): the dk path carries the
+    whole fetch, including the head branch."""
+    batch, stream, requests, batch_end_ds = split
+    gb = GroupBy(
+        name="serve_dk_only",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.TIME_DECAYED_COUNT, "value", windows=(W7D,), halflife=HL1D)
+        ],
+    )
+    collapsed, tails = upload_batch_irs(batch, gb, batch_end_ds, tiebreak="event_id")
+    served = fetch_features(
+        requests, collapsed, tails, stream, gb, batch_end_ds, tiebreak="event_id"
+    )
+    offline = temporal_events(
+        requests, batch.unionByName(stream), gb, tiebreak="event_id"
+    )
+    cols = ["user_id", "value_time_decayed_count_hl1d_7d"]
+    assert _rows(served, cols) == _rows(offline, cols)
+
+
+def test_serving_decayed_collapsed_map_bounded(spark, split):
+    """Lifetime decayed IR stays bounded on unbounded history: buckets
+    already >= cap halflives old at batch end merge into ONE ancient bucket
+    (their fetch-time weight is pinned at 2^-cap)."""
+    _b, _s, _r, batch_end_ds = split
+    DAY = 86_400_000
+    import calendar
+    import datetime as _dt
+
+    end_ms = (
+        calendar.timegm(_dt.datetime.strptime(batch_end_ds, "%Y-%m-%d").timetuple())
+        * 1000
+        + DAY
+    )
+    # one event per day for 400 days back — way past the cap horizon
+    rows = [(i, 7, end_ms - 1 - i * DAY, 1.0) for i in range(400)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts long, value double")
+    gb = GroupBy(
+        name="dk_bound",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(
+                Op.TIME_DECAYED_COUNT, "value", halflife=HL1D, decay_cap=20
+            )
+        ],
+    )
+    collapsed, _tails = upload_batch_irs(ev, gb, batch_end_ds, tiebreak="event_id")
+    row = collapsed.collect()[0]
+    dm = row["p0__dm"]
+    # cap + current partial bucket (+1 slack for the ancient sentinel)
+    assert len(dm) <= 22
+    # the ancient bucket absorbed every old event: totals preserved
+    assert sum(dm.values()) == 400
