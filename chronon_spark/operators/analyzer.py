@@ -52,6 +52,7 @@ class ValidationError:
 # dispatch rejects other input types at plan time)
 _NUMERIC_OPS = {
     Op.SUM,
+    Op.TIME_DECAYED_SUM,
     Op.AVERAGE,
     Op.VARIANCE,
     Op.SKEW,
@@ -164,6 +165,39 @@ def validate_group_by(
                     "(map-valued output cannot nest)",
                 )
             )
+        from chronon_spark.functions.ops import DECAYED_OPS
+
+        if a.operation in DECAYED_OPS:
+            if a.halflife is None:
+                errs.append(
+                    ValidationError(
+                        "missing_halflife", a.input_column,
+                        f"{a.operation.value} requires halflife "
+                        "(e.g. halflife=Window(1, TimeUnit.DAYS))",
+                    )
+                )
+            elif a.halflife.millis <= 0:
+                errs.append(
+                    ValidationError(
+                        "bad_halflife", a.input_column,
+                        f"halflife must be positive; got {a.halflife.suffix}",
+                    )
+                )
+            if not (1 <= a.decay_cap <= 40):
+                errs.append(
+                    ValidationError(
+                        "bad_decay_cap", a.input_column,
+                        f"decay_cap must be in [1, 40]; got {a.decay_cap}",
+                    )
+                )
+            if mutations is not None and a.windows is None:
+                errs.append(
+                    ValidationError(
+                        "decayed_lifetime_cdc", a.input_column,
+                        f"{a.operation.value} on a mutation (CDC) source "
+                        "requires a window (event-time mask)",
+                    )
+                )
         for b in a.buckets or ():
             if b not in fields:
                 errs.append(

@@ -413,3 +413,27 @@ def test_cdc_decayed_lifetime_rejected(spark):
     )
     with pytest.raises(ValueError, match="requires a window"):
         temporal_entities(q, snap, mut, gb, left_time_column="ts").collect()
+
+
+def test_analyzer_validates_decayed(spark):
+    from chronon_spark.operators.analyzer import validate_group_by
+
+    ev = spark.createDataFrame(
+        [(1, 1, 100, 1.0, "x")], "event_id long, user_id long, ts long, v double, s string"
+    )
+    gb = GroupBy(
+        name="an",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.TIME_DECAYED_SUM, "v"),  # missing halflife
+            Aggregation(
+                Op.TIME_DECAYED_SUM, "s", halflife=Window(1, TimeUnit.DAYS)
+            ),  # non-numeric input
+            Aggregation(
+                Op.TIME_DECAYED_COUNT, "v",
+                halflife=Window(1, TimeUnit.DAYS), decay_cap=99,
+            ),  # bad cap
+        ],
+    )
+    codes = {e.code for e in validate_group_by(ev, gb, check_data=False)}
+    assert {"missing_halflife", "bad_input_type", "bad_decay_cap"} <= codes
