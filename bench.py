@@ -55,8 +55,9 @@ def main() -> None:
         "gopher_quality",      # full Gopher rule battery, one gram pass (round 4)
         "c4_clean",            # C4 line filtering, zero-shuffle HOF plan (round 4)
         "transcript_quality",  # conversation battery, one conv partitioning (round 4)
-        "corpus_drift",        # hashed-histogram TVD/JSD summary (round 4)
+        "corpus_drift",        # hashed-histogram TVD/JSD/PSI summary (round 4)
         "doc_chunks",          # token-budget chunking, zero-shuffle (round 4)
+        "time_decayed",        # recency-weighted aggs on cascade tiles (round 4)
     ):
         if extra in QUERIES:
             headline.append(extra)
