@@ -1756,6 +1756,57 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining (similarity.hard_negatives,
+    DPR/SimCSE-style data prep): per anchor, the top near-duplicate
+    (cosine >= 0.9) is its positive, the 3 most-similar below-threshold
+    vectors are hard negatives. Positives exist via the embedding_neardup
+    planting trick (every 25th vector re-inserted under vec_id+100000);
+    gated against an exact brute-force SQL twin."""
+    from chronon_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.unionByName(
+        emb.where(F.col("vec_id") % 25 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(100000)
+        )
+    )
+    anchors = planted.where(F.col("vec_id") < 60)
+    return hard_negatives(planted, anchors=anchors, k_neg=3, pos_eps=0.9)
+
+
+SQL_HARD_NEGATIVES = """
+WITH v0 AS (SELECT vec_id, embedding FROM embeddings),
+v AS (SELECT vec_id, embedding FROM v0
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM v0 WHERE vec_id % 25 = 0),
+q AS (SELECT vec_id, embedding FROM v WHERE vec_id < 60),
+pairs AS (
+  SELECT q.vec_id AS anchor_id, v.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(q.embedding, v.embedding),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS sim
+  FROM q JOIN v ON q.vec_id <> v.vec_id
+),
+ranked AS (
+  SELECT anchor_id, neighbor_id, sim,
+         CASE WHEN sim >= 0.9 THEN 'positive' ELSE 'negative' END AS kind,
+         CAST(row_number() OVER (
+           PARTITION BY anchor_id, CASE WHEN sim >= 0.9 THEN 'positive' ELSE 'negative' END
+           ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM pairs
+)
+SELECT anchor_id, neighbor_id, sim, kind, rank FROM ranked
+WHERE (kind = 'positive' AND rank = 1) OR (kind = 'negative' AND rank <= 3)
+"""
+
+QUERIES["hard_negatives"] = q_hard_negatives
+ORACLES["hard_negatives"] = SQL_HARD_NEGATIVES
+
+
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN with nprobe == n_lists (every inverted list
     probed => EXACT search regardless of centroid quality) — gates the IVF
@@ -2751,17 +2802,32 @@ SELECT o.*, 'capped' AS variant FROM ({SQL_DEDUP_NGRAM_CAPPED}) o
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k and IVF with nprobe == n_lists (exhaustive
-    => exact) in one labeled union against the same brute-force oracle."""
+    """Brute-force cosine top-k, IVF with nprobe == n_lists (exhaustive
+    => exact), and the hard-negative leg of triplet mining in one labeled
+    union against brute-force oracles."""
     brute = q_knn_cosine(spark, sf_dir).withColumn("method", F.lit("brute"))
     ivf = q_ivf_knn(spark, sf_dir).withColumn("method", F.lit("ivf"))
-    return brute.unionByName(ivf)
+    hn = (
+        q_hard_negatives(spark, sf_dir)
+        .where(F.col("kind") == "negative")
+        .select(
+            F.col("anchor_id").alias("query_id"),
+            "neighbor_id",
+            "sim",
+            "rank",
+            F.lit("hardneg").alias("method"),
+        )
+    )
+    return brute.unionByName(ivf).unionByName(hn)
 
 
 SQL_KNN = f"""
 SELECT o.*, m.method
 FROM ({SQL_KNN_COSINE}) o
 CROSS JOIN (VALUES ('brute'), ('ivf')) m(method)
+UNION ALL
+SELECT anchor_id AS query_id, neighbor_id, sim, rank, 'hardneg' AS method
+FROM ({SQL_HARD_NEGATIVES}) WHERE kind = 'negative'
 """
 
 

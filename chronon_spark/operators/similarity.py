@@ -329,6 +329,63 @@ def cosine_neardup_pairs(
     )
 
 
+def hard_negatives(
+    vectors: DataFrame,
+    anchors: DataFrame | None = None,
+    k_neg: int = 3,
+    pos_eps: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Contrastive-training triplet mining (the DPR / SimCSE / sentence-
+    transformers data-prep step, public practice): per anchor, the single
+    most-similar vector with cosine >= ``pos_eps`` is its POSITIVE (a
+    near-duplicate / paraphrase), and the ``k_neg`` most-similar vectors
+    BELOW ``pos_eps`` are its HARD NEGATIVES — similar enough to be
+    informative, dissimilar enough to be wrong. Anchors without a positive
+    still emit negatives (consumers pair them with in-batch positives).
+
+    Output: (anchor_id, neighbor_id, sim, kind 'positive'|'negative',
+    rank) — rank is per (anchor, kind), ties broken by neighbor_id, sim
+    rounded to 6 (the knn_cosine cross-engine contract: Spark's aggregate
+    left-fold and DuckDB's list_sum fold the same order, so the doubles
+    are bit-identical).
+
+    Scale shape: with ``candidate_pairs`` (a (query_id, neighbor_id) frame
+    from lsh_knn / ivf_assign bucketing) only candidates are scored — the
+    100TB path; without it, anchors broadcast into an exact brute-force
+    scoring pass (the labeled baseline, same stance as brute_force_knn)."""
+    a_df = vectors if anchors is None else anchors
+    q = a_df.select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("__qv"))
+    v = _spread(vectors, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    )
+    if candidate_pairs is not None:
+        pairs = candidate_pairs.select(
+            F.col("query_id").alias("anchor_id"), "neighbor_id"
+        ).join(q, "anchor_id").join(v, "neighbor_id")
+    else:
+        pairs = v.crossJoin(F.broadcast(q))
+    pairs = pairs.where(F.col("anchor_id") != F.col("neighbor_id"))
+    q_n = _norm(F.col("__qv"))
+    v_n = _norm(F.col("__v"))
+    sim = F.round(_dot(F.col("__qv"), F.col("__v")) / (q_n * v_n), 6)
+    scored = pairs.select("anchor_id", "neighbor_id", sim.alias("sim"))
+    w = SW.partitionBy("anchor_id", "__kind").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn(
+        "__kind", F.when(F.col("sim") >= pos_eps, "positive").otherwise("negative")
+    ).withColumn("rank", F.row_number().over(w))
+    keep = ((F.col("__kind") == "positive") & (F.col("rank") == 1)) | (
+        (F.col("__kind") == "negative") & (F.col("rank") <= k_neg)
+    )
+    return ranked.where(keep).select(
+        "anchor_id", "neighbor_id", "sim", F.col("__kind").alias("kind"), "rank"
+    )
+
+
 def _int_dot(a: Column, b: Column) -> Column:
     """Exact integer dot product over quantized (long) vectors — order-
     independent and bit-identical in any engine, unlike float folds."""
