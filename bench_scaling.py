@@ -138,7 +138,14 @@ Raw job JSONs:
 """
     for c in LADDER:
         md += f"- local[{c}]: `{json.dumps(results[c])}`\n"
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # append-under-separator: BENCH/BASELINE.md accumulates every session's
+    # runs and triage appendices — a fresh ladder must never erase them
+    # (learned the hard way: the 2026-08-21 run wiped 600 lines of history)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    mode = "a" if os.path.exists(path) else "w"
+    with open(path, mode) as f:
+        if mode == "a":
+            f.write("\n\n---\n\n")
         f.write(md)
     print(json.dumps({"effs": effs, "calib_effs": calib_effs}))
 

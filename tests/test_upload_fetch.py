@@ -721,3 +721,32 @@ def test_serving_decayed_collapsed_map_bounded(spark, split):
     assert len(dm) <= 22
     # the ancient bucket absorbed every old event: totals preserved
     assert sum(dm.values()) == 400
+
+
+def test_serving_decayed_pure_tail_window(spark, events, split):
+    """A 6h window's stable region is empty (the whole window is the
+    ambiguous tail band): the decayed feature must be served entirely from
+    5-minute tail tiles + head, with a NULL collapsed map everywhere."""
+    batch, stream, requests, batch_end_ds = split
+    gb = GroupBy(
+        name="serve_dk_tail",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(
+                Op.TIME_DECAYED_COUNT,
+                "value",
+                windows=(W6H,),
+                halflife=Window(6, TimeUnit.HOURS),
+            )
+        ],
+    )
+    collapsed, tails = upload_batch_irs(batch, gb, batch_end_ds, tiebreak="event_id")
+    assert collapsed.where(F.col("p0__dm").isNotNull()).count() == 0
+    served = fetch_features(
+        requests, collapsed, tails, stream, gb, batch_end_ds, tiebreak="event_id"
+    )
+    offline = temporal_events(
+        requests, batch.unionByName(stream), gb, tiebreak="event_id"
+    )
+    cols = ["user_id", "value_time_decayed_count_hl6h_6h"]
+    assert _rows(served, cols) == _rows(offline, cols)
