@@ -269,6 +269,16 @@ class GroupBy:
                             if a.halflife is not None
                             else {}
                         ),
+                        # SKEW/KURTOSIS moved onto the tile estimators under
+                        # 'auto' (raw-power-sum IRs; ulp-level differences
+                        # vs the exact streaming central moments) — resumed
+                        # tables with these ops recompute instead of mixing
+                        # estimator routes across ds partitions
+                        **(
+                            {"moment_route": "tiled-v1"}
+                            if a.operation in (Op.SKEW, Op.KURTOSIS)
+                            else {}
+                        ),
                     }
                     for a in self.aggregations or []
                 ],

@@ -47,6 +47,73 @@ def _decay_params(agg: Aggregation) -> tuple[int, int]:
     return agg.halflife.millis, cap
 
 
+def _chan_pair(acc: Column, x: Column) -> Column:
+    """Exact pairwise combination of two central-moment states
+    (n, mu, M2, M3, M4) — Chan, Golub & LeVeque's parallel update formulas
+    (the same algebra Spark's own CentralMomentAgg uses across partitions),
+    which never subtracts large near-equal raw sums, so tight clusters far
+    from zero keep full precision."""
+    na, nb = acc["n"], x["n"]
+    n = na + nb
+    d = x["mu"] - acc["mu"]
+    m2 = acc["m2"] + x["m2"] + d * d * na * nb / n
+    m3 = (
+        acc["m3"]
+        + x["m3"]
+        + d * d * d * na * nb * (na - nb) / (n * n)
+        + 3 * d * (na * x["m2"] - nb * acc["m2"]) / n
+    )
+    m4 = (
+        acc["m4"]
+        + x["m4"]
+        + d * d * d * d * na * nb * (na * na - na * nb + nb * nb) / (n * n * n)
+        + 6 * d * d * (na * na * x["m2"] + nb * nb * acc["m2"]) / (n * n)
+        + 4 * d * (na * x["m3"] - nb * acc["m3"]) / n
+    )
+    merged = F.struct(
+        n.alias("n"),
+        (acc["mu"] + d * nb / n).alias("mu"),
+        m2.alias("m2"),
+        m3.alias("m3"),
+        m4.alias("m4"),
+    )
+    return F.when(x["n"].isNull(), acc).otherwise(
+        F.when(na == 0, x).otherwise(merged)
+    )
+
+
+def chan_moment_fold(states: Column) -> Column:
+    """Fold an array of central-moment states into one. The array is sorted
+    first so the result is deterministic under any partition order (Chan
+    merges are exact algebra; float rounding differs only at ulp by order,
+    and a canonical order pins even that)."""
+    zero = F.struct(
+        F.lit(0.0).alias("n"),
+        F.lit(0.0).alias("mu"),
+        F.lit(0.0).alias("m2"),
+        F.lit(0.0).alias("m3"),
+        F.lit(0.0).alias("m4"),
+    )
+    arr = F.array_sort(states)
+    folded = F.aggregate(arr, zero, _chan_pair)
+    return F.when(folded["n"] > 0, folded)
+
+
+def moment_finalize(op: Op, state: Column) -> Column:
+    """Central-moment state -> Spark's skewness/kurtosis value: population
+    skew = (M3/n)/(M2/n)^1.5, excess kurtosis = (M4/n)/(M2/n)^2 - 3. A
+    zero-variance group yields NULL (F.skewness/F.kurtosis return NULL on
+    M2 == 0, verified empirically)."""
+    n, m2 = state["n"], state["m2"] / state["n"]
+    if op == Op.SKEW:
+        val = F.when(m2 > 0, (state["m3"] / n) / F.pow(m2, F.lit(1.5)))
+    elif op == Op.KURTOSIS:
+        val = F.when(m2 > 0, (state["m4"] / n) / (m2 * m2) - F.lit(3.0))
+    else:  # pragma: no cover
+        raise ValueError(op)
+    return F.when(state.isNotNull() & (n > 0), val)
+
+
 def halflife_bucket(agg: Aggregation, ts: Column) -> Column:
     """floor(ts / halflife) as an exact integer (pmod arithmetic, no float
     division of raw epoch values)."""
@@ -180,6 +247,11 @@ HOP_MERGEABLE_OPS = {
     Op.SUM,
     Op.AVERAGE,
     Op.VARIANCE,
+    # raw power-sum IRs + central-moment reconstruction (the moments-oracle
+    # formula); ulp-level difference vs the exact estimator's streaming
+    # central moments, recorded in the semantic hash (api.py moment_route)
+    Op.SKEW,
+    Op.KURTOSIS,
     Op.MIN,
     Op.MAX,
     Op.FIRST,
@@ -297,6 +369,30 @@ def partial_cols(agg: Aggregation, value: Column, ts: Column, tiebreak: Column |
             f"{slot}__s": F.sum(d),
             f"{slot}__q": F.sum(d * d),
         }
+    if op in (Op.SKEW, Op.KURTOSIS):
+        # CENTRAL-moment tile state (n, mean, M2, M3, M4 = sums of centered
+        # powers), recovered from Spark's own numerically-stable streaming
+        # aggregates — raw power sums would cancel catastrophically when
+        # spread << mean (a 2-event cluster at ~500 loses 8+ digits of
+        # excess kurtosis). Tiles merge with the exact Chan et al. pairwise
+        # combination (chan_moment_merge).
+        d = value.cast("double")
+        n = F.count(d).cast("double")
+        var = F.var_pop(d)
+        m3n = F.coalesce(F.skewness(d) * F.pow(var, F.lit(1.5)), F.lit(0.0)) * n
+        m4n = (F.coalesce(F.kurtosis(d), F.lit(-3.0)) + F.lit(3.0)) * var * var * n
+        return {
+            f"{slot}__mn": F.when(
+                n > 0,
+                F.struct(
+                    n.alias("n"),
+                    F.avg(d).alias("mu"),
+                    (var * n).alias("m2"),
+                    m3n.alias("m3"),
+                    m4n.alias("m4"),
+                ),
+            )
+        }
     if op == Op.MIN:
         return {f"{slot}__m": F.min(value)}
     if op == Op.MAX:
@@ -410,6 +506,8 @@ def partial_merge_cols(agg: Aggregation, slot: str) -> dict[str, Column]:
             f"{slot}__s": F.sum(c("s")),
             f"{slot}__q": F.sum(c("q")),
         }
+    if op in (Op.SKEW, Op.KURTOSIS):
+        return {f"{slot}__mn": chan_moment_fold(F.collect_list(c("mn")))}
     if op == Op.MIN:
         return {f"{slot}__m": F.min(c("m"))}
     if op == Op.MAX:

@@ -414,6 +414,8 @@ def _merge_with_masked_cols(a: Aggregation, slot: str, mask: Column) -> Column:
     if op == Op.VARIANCE:
         n, s, q_ = F.sum(c("n")), F.sum(c("s")), F.sum(c("q"))
         return F.when(n > 0, q_ / n - (s / n) * (s / n))
+    if op in (Op.SKEW, Op.KURTOSIS):
+        return O.moment_finalize(op, O.chan_moment_fold(F.collect_list(c("mn"))))
     if op == Op.MIN:
         return F.min(c("m"))
     if op == Op.MAX:

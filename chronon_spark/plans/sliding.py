@@ -54,7 +54,14 @@ DAY_MS = 86_400_000
 # need a per-(query, tile) weight, which a plain window-frame sum over
 # pre-computed tile IRs cannot express without int64-overflowing rescales,
 # so they ride the cascade too)
-SLIDING_OPS = O.HOP_MERGEABLE_OPS - {Op.APPROX_UNIQUE_COUNT, Op.APPROX_PERCENTILE} - O.DECAYED_OPS
+SLIDING_OPS = (
+    O.HOP_MERGEABLE_OPS
+    - {Op.APPROX_UNIQUE_COUNT, Op.APPROX_PERCENTILE}
+    - O.DECAYED_OPS
+    # SKEW/KURTOSIS merge central-moment states with a Chan fold — exact
+    # algebra but not a window-frame sum; they ride the cascade instead
+    - {Op.SKEW, Op.KURTOSIS}
+)
 
 
 # ---------------------------------------------------------------------------
