@@ -482,3 +482,43 @@ def test_stream_tiles_support_time_decayed(spark, events, tmp_path):
     got = sorted(str(r) for r in got_df.select(*key, "a0__s").collect())
     want = sorted(str(r) for r in want_df.select(*key, "a0__s").collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_tiles_support_moments(spark, events, tmp_path):
+    """SKEW/KURTOSIS tile state (central moments recovered from Spark's
+    stable aggregates) streams: tiles maintained by a real streaming run
+    equal the batch tile computation struct-for-struct."""
+    from chronon_spark.api import TimeUnit, Window
+    from chronon_spark.plans.windows import to_millis
+    from chronon_spark.streaming.tiles import tile_aggregates
+
+    src = tmp_path / "momsrc"
+    src.mkdir()
+    ev = events.orderBy("event_id").limit(400)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    gb = GroupBy(
+        name="smo", keys=["user_id"],
+        aggregations=[Aggregation(Op.KURTOSIS, "value", windows=(Window(7, TimeUnit.DAYS),))],
+    )
+    raw = read_event_stream(
+        spark, str(src),
+        schema="user_id long, event_id long, event_type string, value double, ts timestamp",
+        source_format="parquet",
+    )
+    tiles = streaming_tiles(raw, gb, hop="1 hour", tiebreak="event_id")
+    run_to_completion(tiles, str(tmp_path / "momckpt"), query_name="t_mo")
+    got_df = spark.table("t_mo")
+
+    batch_in = spark.read.parquet(str(src))
+    exprs = tile_aggregates(gb, "event_id")
+    want_df = (
+        batch_in.withColumn("__ts_ms", to_millis(F.col("ts")))
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("tile"), "user_id")
+        .agg(*[c.alias(n) for n, c in exprs.items()])
+        .select("user_id", F.unix_millis("tile.start").alias("tile_start_ms"), *exprs.keys())
+    )
+    key = ["user_id", "tile_start_ms"]
+    got = sorted(str(r) for r in got_df.select(*key, "a0__mn").collect())
+    want = sorted(str(r) for r in want_df.select(*key, "a0__mn").collect())
+    assert got == want and len(got) > 0
