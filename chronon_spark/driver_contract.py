@@ -341,6 +341,35 @@ DECAYED_SQL_COLS = f"""
            AS vint_decayed_sum_7d
 """
 
+#: windowed SKEW/KURTOSIS shared by the estimator gates. DuckDB's skewness
+#: is SAMPLE skewness (G1); population g1 = G1 * (n-2) / sqrt(n(n-1)),
+#: defined for n >= 3 (both sides guard); kurtosis_pop IS population excess
+#: kurtosis with Spark-identical NULL-on-zero-variance semantics.
+MOMENT_AGGS = (
+    Aggregation(Op.SKEW, "value", windows=(W7D,)),
+    Aggregation(Op.KURTOSIS, "value", windows=(W7D,)),
+)
+
+
+def _moment_selects() -> list:
+    return [
+        F.when(
+            F.col("value_count_7d") >= 3, F.round(F.col("value_skew_7d"), 6)
+        ).alias("value_skew7"),
+        F.round(F.col("value_kurtosis_7d"), 6).alias("value_kurt7"),
+    ]
+
+
+MOMENT_SQL_COLS = """
+       CASE WHEN count(CASE WHEN e.ems >= {tail7} THEN e.value END) >= 3
+            THEN round(skewness(CASE WHEN e.ems >= {tail7} THEN e.value END)
+                 * (count(CASE WHEN e.ems >= {tail7} THEN e.value END) - 2)
+                 / sqrt(count(CASE WHEN e.ems >= {tail7} THEN e.value END)
+                        * (count(CASE WHEN e.ems >= {tail7} THEN e.value END) - 1)), 6)
+       END AS value_skew7,
+       round(kurtosis_pop(CASE WHEN e.ems >= {tail7} THEN e.value END), 6) AS value_kurt7
+"""
+
 
 def q_asof_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count/sum/avg over sawtooth 7d & 1d windows + lifetime + recency-
@@ -356,6 +385,7 @@ def q_asof_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(Op.COUNT, "value"),
             Aggregation(Op.MAX, "value", windows=(W6H,)),
             *DECAYED_AGGS,
+            *MOMENT_AGGS,
         ],
     )
     out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id", strategy="exact")
@@ -372,6 +402,7 @@ def q_asof_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_count"),
         _r(F.col("value_max_6h"), 2).alias("value_max_6h"),
         *_decayed_selects(),
+        *_moment_selects(),
     )
 
 
@@ -389,7 +420,8 @@ SELECT q.user_id, q.ts_ms,
              / nullif(count(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END), 0), 6) AS value_average_1d,
        count(e.value) AS value_count,
        round(max(CASE WHEN e.ems >= {TAIL_6H} THEN e.value END), 2) AS value_max_6h,
-{DECAYED_SQL_COLS.format(tail7=TAIL_7D)}
+{DECAYED_SQL_COLS.format(tail7=TAIL_7D)},
+{MOMENT_SQL_COLS.format(tail7=TAIL_7D)}
 FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
 GROUP BY q.user_id, q.ts_ms
 """
@@ -406,6 +438,7 @@ def q_asof_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(Op.COUNT, "value", windows=(W7D, W1D)),
             Aggregation(Op.SUM, "value", windows=(W7D,)),
             *DECAYED_AGGS,
+            *MOMENT_AGGS,
         ],
     )
     out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id", strategy="hops")
@@ -416,6 +449,7 @@ def q_asof_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_count_1d"),
         _r(F.col("value_sum_7d")).alias("value_sum_7d"),
         *_decayed_selects(),
+        *_moment_selects(),
     )
 
 
@@ -429,7 +463,8 @@ SELECT q.user_id, q.ts_ms,
        count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS value_count_7d,
        count(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END) AS value_count_1d,
        round(sum(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END), 3) AS value_sum_7d,
-{DECAYED_SQL_COLS.format(tail7=TAIL_7D)}
+{DECAYED_SQL_COLS.format(tail7=TAIL_7D)},
+{MOMENT_SQL_COLS.format(tail7=TAIL_7D)}
 FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
 GROUP BY q.user_id, q.ts_ms
 """
@@ -2393,8 +2428,10 @@ def q_asof_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(Op.COUNT, "value", windows=(W7D, W1D)),
             Aggregation(Op.SUM, "value", windows=(W7D,)),
             # decayed ops are not sliding-capable: under strategy='sliding'
-            # they exercise the router's exact fallback inside this leg
+            # they exercise the router's exact fallback inside this leg;
+            # SKEW/KURTOSIS take the cascade mid-tier the same way
             *DECAYED_AGGS,
+            *MOMENT_AGGS,
         ],
     )
     out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id", strategy="sliding")
@@ -2405,6 +2442,7 @@ def q_asof_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_count_1d"),
         _r(F.col("value_sum_7d")).alias("value_sum_7d"),
         *_decayed_selects(),
+        *_moment_selects(),
     )
 
 
@@ -2748,6 +2786,10 @@ def q_asof_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (leg 3, sliding strategy) paths in one row
         "value_decayed_cnt_7d",
         "vint_decayed_sum_7d",
+        # tiled SKEW/KURTOSIS (Chan central-moment merge) hash-gated on all
+        # three legs against DuckDB's sample-converted skew / kurtosis_pop
+        "value_skew7",
+        "value_kurt7",
     ]
     parts = [
         q_asof_window_agg(spark, sf_dir).select(*common).withColumn("estimator", F.lit("exact")),
