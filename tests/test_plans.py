@@ -359,3 +359,45 @@ def test_gopher_one_doc_partitioning(spark):
 
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         assert "id" in m.group(1), m.group(0)
+
+
+def test_decayed_cascade_adds_no_exchanges(spark):
+    """TIME_DECAYED weighting lives entirely in the tile-merge expressions:
+    the cascade plan for decayed count+sum compiles to EXACTLY the exchange
+    count of the identical plain count+sum cascade (measured 18 == 18 at
+    round-4; this pins the zero-extra-shuffle property)."""
+    import re
+
+    import chronon_spark.operators.groupby as G
+    from chronon_spark.api import Aggregation, GroupBy, Op, TimeUnit, Window
+
+    ev = spark.createDataFrame(
+        [(i, i % 5, (i * 7919) % (40 * 86_400_000), i % 100) for i in range(400)],
+        "event_id long, user_id long, ts long, v long",
+    )
+    q = ev.select("user_id", "ts").distinct()
+    w7 = (Window(7, TimeUnit.DAYS),)
+    hl = Window(1, TimeUnit.DAYS)
+
+    def exchanges(gb):
+        df = G.temporal_events(q, ev, gb, tiebreak="event_id", strategy="hops")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange", plan))
+
+    plain = GroupBy(
+        name="p", keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "v", windows=w7),
+            Aggregation(Op.SUM, "v", windows=w7),
+            Aggregation(Op.SUM, "v"),
+        ],
+    )
+    decayed = GroupBy(
+        name="d", keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.TIME_DECAYED_COUNT, "v", windows=w7, halflife=hl),
+            Aggregation(Op.TIME_DECAYED_SUM, "v", windows=w7, halflife=hl),
+            Aggregation(Op.TIME_DECAYED_SUM, "v", halflife=hl),
+        ],
+    )
+    assert exchanges(decayed) == exchanges(plain)
