@@ -437,3 +437,52 @@ def test_analyzer_validates_decayed(spark):
     )
     codes = {e.code for e in validate_group_by(ev, gb, check_data=False)}
     assert {"missing_halflife", "bad_input_type", "bad_decay_cap"} <= codes
+
+
+def test_decayed_and_moments_through_compute_join(spark):
+    """Join-level integration: two parts sharing one source, one carrying
+    TIME_DECAYED + SKEW (struct/tile-merged IRs) — the shared-estimator
+    merge-group path must produce exactly what per-part temporal_events
+    produces, with prefixed columns."""
+    from chronon_spark.api import Join, JoinPart
+    from chronon_spark.operators.join import compute_join
+
+    rng = random.Random(23)
+    rows = [
+        (i, i % 4, rng.randrange(0, 20 * DAY), float(rng.randrange(0, 500)))
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts long, v double")
+    left = ev.where(F.col("event_id") % 5 == 0).select("user_id", "ts").distinct()
+    w7 = (Window(7, TimeUnit.DAYS),)
+    gb_a = GroupBy(
+        name="dkj_a",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "v", windows=w7),
+            Aggregation(
+                Op.TIME_DECAYED_SUM, "v", windows=w7, halflife=Window(1, TimeUnit.DAYS)
+            ),
+            Aggregation(Op.SKEW, "v", windows=w7),
+        ],
+    )
+    gb_b = GroupBy(
+        name="dkj_b",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.SUM, "v", windows=w7)],
+    )
+    join = Join(
+        name="dkj",
+        left_keys=["user_id"],
+        join_parts=[JoinPart(group_by=gb_a), JoinPart(group_by=gb_b)],
+    )
+    out = compute_join(left, {"dkj_a": ev, "dkj_b": ev}, join)
+    solo_a = G.temporal_events(left, ev, gb_a, strategy="auto")
+    got = {(r["user_id"], r["ts"]): r.asDict() for r in out.collect()}
+    want = {(r["user_id"], r["ts"]): r.asDict() for r in solo_a.collect()}
+    assert got.keys() == want.keys() and len(got) > 0
+    for k in got:
+        assert got[k]["dkj_a_v_count_7d"] == want[k]["v_count_7d"]
+        assert got[k]["dkj_a_v_time_decayed_sum_hl1d_7d"] == want[k]["v_time_decayed_sum_hl1d_7d"]
+        ga, wa = got[k]["dkj_a_v_skew_7d"], want[k]["v_skew_7d"]
+        assert (ga is None and wa is None) or abs(ga - wa) <= 1e-9 * max(1, abs(wa))
