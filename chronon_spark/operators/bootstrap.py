@@ -151,6 +151,18 @@ def label_join(
             f"label_events frame is missing columns {ev_missing} "
             f"(has: {label_events.columns})"
         )
+    from chronon_spark.functions.ops import DECAYED_OPS
+
+    decayed = [a for a in label_gb.aggregations or [] if a.operation in DECAYED_OPS]
+    if decayed:
+        # the negated axis would silently mirror halflife-bucket boundaries
+        # (floor on -t = ceil on t): decay-by-lead-time is a coherent ask,
+        # but it needs its own forward bucketing, not a reflected one
+        raise ValueError(
+            f"TIME_DECAYED ops are not supported in label GroupBys "
+            f"({[a.input_column for a in decayed]}): the reflected-time "
+            "engine would quantize halflife buckets on mirrored boundaries"
+        )
     # negated REAL timestamps (pre-1970 instants) so all millis arithmetic in
     # the engine (to_millis, pmod tail rounding) stays exact
     # schema-aware conversion: a LONG epoch-millis ts run through a bare

@@ -486,3 +486,21 @@ def test_decayed_and_moments_through_compute_join(spark):
         assert got[k]["dkj_a_v_time_decayed_sum_hl1d_7d"] == want[k]["v_time_decayed_sum_hl1d_7d"]
         ga, wa = got[k]["dkj_a_v_skew_7d"], want[k]["v_skew_7d"]
         assert (ga is None and wa is None) or abs(ga - wa) <= 1e-9 * max(1, abs(wa))
+
+
+def test_label_join_rejects_decayed(spark):
+    """The reflected-time label engine would mirror halflife buckets —
+    decayed label aggs fail fast with a descriptive error."""
+    from chronon_spark.operators.bootstrap import label_join
+
+    feats = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+    lab = spark.createDataFrame([(1, 200, 1.0)], "user_id long, ts long, v double")
+    gb = GroupBy(
+        name="lbl",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.TIME_DECAYED_SUM, "v", halflife=Window(1, TimeUnit.DAYS))
+        ],
+    )
+    with pytest.raises(ValueError, match="mirrored"):
+        label_join(feats, lab, gb, horizon=Window(3, TimeUnit.DAYS))
