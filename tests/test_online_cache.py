@@ -165,7 +165,16 @@ def test_fetcher_caches_verified_batch_irs(spark, events, upload_env):
 
     want = temporal_events(requests, events, gb, tiebreak="event_id")
     cols = ["user_id", "ts", *gb.output_columns()]
-    rows = lambda df: sorted(str(df.select(*cols).collect()))  # noqa: E731
+
+    def rows(df):
+        # round floats: double SUM merge order varies run-to-run at ulp
+        # level (the earlier sorted(str(...)) compared the CHARACTER
+        # multiset of the stringified list and flaked on exactly that)
+        return sorted(
+            tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+            for r in df.select(*cols).collect()
+        )
+
     assert rows(out1) == rows(out2) == rows(want)
 
 
