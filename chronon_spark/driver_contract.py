@@ -385,7 +385,6 @@ def q_asof_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(Op.COUNT, "value"),
             Aggregation(Op.MAX, "value", windows=(W6H,)),
             *DECAYED_AGGS,
-            *MOMENT_AGGS,
         ],
     )
     out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id", strategy="exact")
@@ -402,7 +401,6 @@ def q_asof_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_count"),
         _r(F.col("value_max_6h"), 2).alias("value_max_6h"),
         *_decayed_selects(),
-        *_moment_selects(),
     )
 
 
@@ -420,8 +418,7 @@ SELECT q.user_id, q.ts_ms,
              / nullif(count(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END), 0), 6) AS value_average_1d,
        count(e.value) AS value_count,
        round(max(CASE WHEN e.ems >= {TAIL_6H} THEN e.value END), 2) AS value_max_6h,
-{DECAYED_SQL_COLS.format(tail7=TAIL_7D)},
-{MOMENT_SQL_COLS.format(tail7=TAIL_7D)}
+{DECAYED_SQL_COLS.format(tail7=TAIL_7D)}
 FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
 GROUP BY q.user_id, q.ts_ms
 """
@@ -438,7 +435,6 @@ def q_asof_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(Op.COUNT, "value", windows=(W7D, W1D)),
             Aggregation(Op.SUM, "value", windows=(W7D,)),
             *DECAYED_AGGS,
-            *MOMENT_AGGS,
         ],
     )
     out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id", strategy="hops")
@@ -449,7 +445,6 @@ def q_asof_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_count_1d"),
         _r(F.col("value_sum_7d")).alias("value_sum_7d"),
         *_decayed_selects(),
-        *_moment_selects(),
     )
 
 
@@ -463,8 +458,7 @@ SELECT q.user_id, q.ts_ms,
        count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS value_count_7d,
        count(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END) AS value_count_1d,
        round(sum(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END), 3) AS value_sum_7d,
-{DECAYED_SQL_COLS.format(tail7=TAIL_7D)},
-{MOMENT_SQL_COLS.format(tail7=TAIL_7D)}
+{DECAYED_SQL_COLS.format(tail7=TAIL_7D)}
 FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
 GROUP BY q.user_id, q.ts_ms
 """
@@ -2428,10 +2422,8 @@ def q_asof_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(Op.COUNT, "value", windows=(W7D, W1D)),
             Aggregation(Op.SUM, "value", windows=(W7D,)),
             # decayed ops are not sliding-capable: under strategy='sliding'
-            # they exercise the router's exact fallback inside this leg;
-            # SKEW/KURTOSIS take the cascade mid-tier the same way
+            # they exercise the router's exact fallback inside this leg
             *DECAYED_AGGS,
-            *MOMENT_AGGS,
         ],
     )
     out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id", strategy="sliding")
@@ -2442,7 +2434,6 @@ def q_asof_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_count_1d"),
         _r(F.col("value_sum_7d")).alias("value_sum_7d"),
         *_decayed_selects(),
-        *_moment_selects(),
     )
 
 
@@ -2768,33 +2759,48 @@ QUERIES["approx_unique_exact"] = q_approx_unique_exact
 ORACLES["approx_unique_exact"] = SQL_APPROX_UNIQUE_EXACT
 
 
+def _asof_estimator_leg(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    """One estimator leg of the combined gate: counts/sums + TIME_DECAYED +
+    SKEW/KURTOSIS over the same definition. Lives apart from the benched
+    standalone queries (q_asof_window_agg / q_asof_hops / q_asof_sliding)
+    so the Chan-fold moment columns gate correctness here without
+    inflating the benchmark's longitudinal query shapes."""
+    ev = _with_v_int(_t(spark, sf_dir, "events"))
+    gb = GroupBy(
+        name="user_events_est",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "value", windows=(W7D, W1D)),
+            Aggregation(Op.SUM, "value", windows=(W7D,)),
+            *DECAYED_AGGS,
+            *MOMENT_AGGS,
+        ],
+    )
+    out = G.temporal_events(_purchase_left(ev), ev, gb, tiebreak="event_id", strategy=strategy)
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("value_count_7d"),
+        F.col("value_count_1d"),
+        _r(F.col("value_sum_7d")).alias("value_sum_7d"),
+        *_decayed_selects(),
+        *_moment_selects(),
+    )
+
+
 def q_asof_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three window-engine estimators — exact sawtooth, hop-cascade
-    tiles, sliding tiles — over the same GroupBy, unioned under an
-    ``estimator`` label: one driver row hash-gates every physical strategy
-    against the same oracle (reference GroupBy.scala:170-273 /
-    SawtoothAggregator; the per-estimator queries stay registered past the
-    driver window for pytest)."""
-    common = [
-        "user_id",
-        "ts_ms",
-        "value_count_7d",
-        "value_count_1d",
-        "value_sum_7d",
-        # TIME_DECAYED ops: integer-exact recency weighting, hash-gated on
-        # the exact (leg 1), cascade-tile (leg 2) and router-fallback
-        # (leg 3, sliding strategy) paths in one row
-        "value_decayed_cnt_7d",
-        "vint_decayed_sum_7d",
-        # tiled SKEW/KURTOSIS (Chan central-moment merge) hash-gated on all
-        # three legs against DuckDB's sample-converted skew / kurtosis_pop
-        "value_skew7",
-        "value_kurt7",
-    ]
+    tiles, sliding tiles — over the same GroupBy (counts/sums + TIME_DECAYED
+    + tiled SKEW/KURTOSIS), unioned under an ``estimator`` label: one driver
+    row hash-gates every physical strategy against the same oracle
+    (reference GroupBy.scala:170-273 / SawtoothAggregator; the per-estimator
+    queries stay registered past the driver window for pytest). The decayed
+    columns gate integer-exact recency weighting on the exact, cascade and
+    router-fallback paths; the moment columns gate the Chan central-moment
+    merge against DuckDB's kurtosis_pop / sample-converted skewness."""
     parts = [
-        q_asof_window_agg(spark, sf_dir).select(*common).withColumn("estimator", F.lit("exact")),
-        q_asof_hops(spark, sf_dir).withColumn("estimator", F.lit("hops")),
-        q_asof_sliding(spark, sf_dir).withColumn("estimator", F.lit("sliding")),
+        _asof_estimator_leg(spark, sf_dir, s).withColumn("estimator", F.lit(lbl))
+        for s, lbl in (("exact", "exact"), ("hops", "hops"), ("sliding", "sliding"))
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2802,9 +2808,25 @@ def q_asof_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+SQL_ASOF_ESTIMATOR_LEG = f"""
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value FROM events
+)
+SELECT q.user_id, q.ts_ms,
+       count(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END) AS value_count_7d,
+       count(CASE WHEN e.ems >= {TAIL_1D} THEN e.value END) AS value_count_1d,
+       round(sum(CASE WHEN e.ems >= {TAIL_7D} THEN e.value END), 3) AS value_sum_7d,
+{DECAYED_SQL_COLS.format(tail7=TAIL_7D)},
+{MOMENT_SQL_COLS.format(tail7=TAIL_7D)}
+FROM q LEFT JOIN e ON e.user_id = q.user_id AND e.ems < q.ts_ms
+GROUP BY q.user_id, q.ts_ms
+"""
+
 SQL_ASOF_ESTIMATORS = f"""
 SELECT o.*, e.estimator
-FROM ({SQL_ASOF_HOPS}) o
+FROM ({SQL_ASOF_ESTIMATOR_LEG}) o
 CROSS JOIN (VALUES ('exact'), ('hops'), ('sliding')) e(estimator)
 """
 
