@@ -256,6 +256,29 @@ def _band_lower(w: Window | None, r: int, q_ts: Column) -> Column | None:
     return W.round_down(q_ts, levels[i - 1])
 
 
+def _ir_slot_key(a: Aggregation) -> tuple:
+    """Slot-sharing key: aggs mapping to the same key produce byte-identical
+    partial_cols tile expressions (see _temporal_pass_hops). Windows are
+    deliberately absent — tiles are window-agnostic; windows apply at merge."""
+    fam = {
+        Op.SKEW: "mom",
+        Op.KURTOSIS: "mom",
+        Op.SUM: "s",
+        Op.TIME_DECAYED_SUM: "s",
+        Op.COUNT: "n",
+        Op.TIME_DECAYED_COUNT: "n",
+    }.get(a.operation, a.operation.value)
+    return (
+        fam,
+        a.input_column,
+        a.k,
+        a.percentiles,
+        a.accuracy,
+        a.lg_k,
+        a.mg_cap,
+    )
+
+
 def _temporal_pass_hops(
     q: DataFrame,
     ev: DataFrame,
@@ -274,17 +297,26 @@ def _temporal_pass_hops(
     """
     keys = gb.keys
     pairs = [(a, w) for a in aggs for w, _ in a.unpacked()]
-    slot_of: dict[int, str] = {}
+    # aggs whose partial_cols are IDENTICAL expressions share ONE slot — one
+    # tile column set, and (because Spark dedups identical AggregateExprs)
+    # one merge-side sub-aggregate: SKEW+KURTOSIS share the central-moment
+    # struct, TIME_DECAYED_* share the plain SUM/COUNT partials (their
+    # weights apply only at merge), duplicate shapes collapse outright
+    slot_of: dict[tuple, str] = {}
+    slot_agg: dict[str, Aggregation] = {}
     partial_exprs: dict[str, Column] = {}
     tb = _tiebreak_col(tiebreak)
     for a, _w in pairs:
-        if id(a) not in slot_of:
-            slot_of[id(a)] = f"a{len(slot_of)}"
+        sk = _ir_slot_key(a)
+        if sk not in slot_of:
+            slot = f"a{len(slot_of)}"
+            slot_of[sk] = slot
+            slot_agg[slot] = a
             partial_exprs.update(
-                O.partial_cols(a, F.col(a.input_column), F.col(ETS), tb, slot_of[id(a)])
+                O.partial_cols(a, F.col(a.input_column), F.col(ETS), tb, slot)
             )
     ir_cols = list(partial_exprs.keys())
-    aggs_unique = list({id(a): a for a, _ in pairs}.values())
+    aggs_unique = list(slot_agg.values())
 
     used = sorted({r for _, w in pairs for r in _levels_for(w)}, reverse=True)
     finest = used[-1]
@@ -307,8 +339,8 @@ def _temporal_pass_hops(
     for idx in range(len(used) - 2, -1, -1):  # build coarser from finer
         r, finer = used[idx], used[idx + 1]
         merged: dict[str, Column] = {}
-        for a in aggs_unique:
-            merged.update(O.partial_merge_cols(a, slot_of[id(a)]))
+        for slot, a in slot_agg.items():
+            merged.update(O.partial_merge_cols(a, slot))
         tiles_by_res[r] = (
             tiles_by_res[finer]
             .withColumn(TILE, W.round_down(F.col(TILE), r))
@@ -375,7 +407,7 @@ def _temporal_pass_hops(
 
     merge_exprs = []
     for a, w in pairs:
-        slot = slot_of[id(a)]
+        slot = slot_of[_ir_slot_key(a)]
         name = a.output_name(w, None)
         mask = F.col(RES) == 0  # raw head rows belong to every window
         for r in _levels_for(w):
