@@ -171,6 +171,9 @@ class Aggregation:
         if self.halflife is not None:
             # decayed ops with different halflives must not collide
             name += f"_hl{self.halflife.suffix}"
+            if self.decay_cap != 20:
+                # non-default caps change the value — keep names distinct too
+                name += f"_cap{self.decay_cap}"
         if window is not None:
             name += f"_{window.suffix}"
         if bucket is not None:

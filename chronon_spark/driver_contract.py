@@ -2422,7 +2422,10 @@ def q_asof_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation(Op.COUNT, "value", windows=(W7D, W1D)),
             Aggregation(Op.SUM, "value", windows=(W7D,)),
             # decayed ops are not sliding-capable: under strategy='sliding'
-            # they exercise the router's exact fallback inside this leg
+            # the mid tier routes these hop-mergeable aligned ops through the
+            # hop-CASCADE pass, so this leg re-verifies the cascade path (the
+            # router's true exact fallback — unaligned halflife — is covered
+            # by tests/test_decayed.py::test_unaligned_halflife_falls_back_to_exact)
             *DECAYED_AGGS,
         ],
     )
@@ -2795,8 +2798,10 @@ def q_asof_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     row hash-gates every physical strategy against the same oracle
     (reference GroupBy.scala:170-273 / SawtoothAggregator; the per-estimator
     queries stay registered past the driver window for pytest). The decayed
-    columns gate integer-exact recency weighting on the exact, cascade and
-    router-fallback paths; the moment columns gate the Chan central-moment
+    columns gate integer-exact recency weighting on the exact and cascade
+    paths (the sliding leg's mid tier routes aligned decayed/moment ops
+    through the cascade; the unaligned-halflife exact fallback is covered by
+    tests/test_decayed.py); the moment columns gate the Chan central-moment
     merge against DuckDB's kurtosis_pop / sample-converted skewness."""
     parts = [
         _asof_estimator_leg(spark, sf_dir, s).withColumn("estimator", F.lit(lbl))

@@ -211,6 +211,42 @@ def validate_group_by(
                         f"bucket column '{b}' is {fields[b].simpleString()}; buckets must be string",
                     )
                 )
+    # duplicate output-name gate WITHIN one GroupBy (join-part level dedup
+    # runs across parts in validate_join; two aggs identical except for a
+    # non-name-bearing knob would otherwise silently collide)
+    seen_outputs: dict[str, str] = {}
+    for a in gb.aggregations:
+        for w, b in a.unpacked():
+            nm = a.output_name(w, b)
+            desc = f"{a.operation.value}({a.input_column})"
+            if nm in seen_outputs:
+                errs.append(
+                    ValidationError(
+                        "duplicate_output_column", nm,
+                        f"output column '{nm}' produced by both {seen_outputs[nm]} "
+                        f"and {desc} — rename inputs or vary windows/halflife",
+                    )
+                )
+            else:
+                seen_outputs[nm] = desc
+        # int64 headroom warning for integer-scaled decayed sums: the IR is
+        # sum(value << (decay_cap - age_halflives)), so integral inputs must
+        # stay below 2^(63 - decay_cap) per row (and the per-key sum below
+        # int64) or Spark's non-ANSI SUM wraps silently.
+        if a.operation is Op.TIME_DECAYED_SUM and a.input_column in fields:
+            _widths = {T.ByteType: 7, T.ShortType: 15, T.IntegerType: 31, T.LongType: 63}
+            width = next((w_ for t, w_ in _widths.items() if isinstance(fields[a.input_column], t)), None)
+            if width is not None and width + a.decay_cap > 62:
+                import warnings
+
+                warnings.warn(
+                    f"TIME_DECAYED_SUM({a.input_column}): "
+                    f"{fields[a.input_column].simpleString()} input with decay_cap="
+                    f"{a.decay_cap} can overflow the int64 scaled sum if values "
+                    f"exceed 2^{63 - a.decay_cap}; lower decay_cap or cast to double",
+                    stacklevel=2,
+                )
+
     if mutations is not None:
         mfields = {f.name for f in mutations.schema.fields}
         for req in ("mutation_ts", "is_before"):

@@ -312,3 +312,57 @@ def test_analyzer_accepts_declarative_sources(spark, events):
     assert res.errors == []
     names = [n for n, _ in res.output_schema]
     assert "g_value_sum_7d" in names and "acct_balance_sum_7d" in names
+
+
+def test_groupby_duplicate_output_columns(spark, events):
+    """Two aggs identical except for a non-name-bearing knob collide within
+    one GroupBy and must fail the gate (not silently overwrite)."""
+    gb = _gb(
+        aggregations=[
+            Aggregation(Op.SUM, "value", windows=(Window(7, TimeUnit.DAYS),)),
+            Aggregation(Op.SUM, "value", windows=(Window(7, TimeUnit.DAYS),)),
+        ]
+    )
+    assert "duplicate_output_column" in _codes(
+        validate_group_by(events, gb, check_data=False)
+    )
+
+
+def test_decay_cap_distinguishes_output_names(spark, events):
+    """decay_cap != default feeds the output name, so two TIME_DECAYED aggs
+    differing only in cap neither collide nor fail the gate."""
+    hl = Window(1, TimeUnit.DAYS)
+    a20 = Aggregation(Op.TIME_DECAYED_SUM, "value", windows=(Window(7, TimeUnit.DAYS),), halflife=hl)
+    a10 = Aggregation(
+        Op.TIME_DECAYED_SUM, "value", windows=(Window(7, TimeUnit.DAYS),), halflife=hl, decay_cap=10
+    )
+    names = {a.output_name(a.unpacked()[0][0], None) for a in (a20, a10)}
+    assert len(names) == 2 and any("_cap10" in n for n in names)
+    gb = _gb(aggregations=[a20, a10])
+    assert validate_group_by(events, gb, check_data=False) == []
+
+
+def test_decayed_sum_overflow_warns_on_wide_integrals(spark, events):
+    """LongType input + default cap can overflow the int64 scaled sum; the
+    gate warns (schema passes — data-dependent risk, not a hard error)."""
+    import warnings
+
+    gb = _gb(
+        aggregations=[
+            Aggregation(
+                Op.TIME_DECAYED_SUM, "value",
+                windows=(Window(7, TimeUnit.DAYS),), halflife=Window(1, TimeUnit.DAYS),
+            )
+        ]
+    )
+    long_events = events.withColumn("value", F.col("value").cast("long"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert validate_group_by(long_events, gb, check_data=False) == []
+    assert any("overflow the int64 scaled sum" in str(x.message) for x in w)
+    # double input carries no integer-overflow risk: silent
+    dbl_events = events.withColumn("value", F.col("value").cast("double"))
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        assert validate_group_by(dbl_events, gb, check_data=False) == []
+    assert not [x for x in w2 if "scaled sum" in str(x.message)]
