@@ -2445,25 +2445,51 @@ ORACLES["asof_sliding"] = SQL_ASOF_HOPS
 
 
 def q_approx_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate sketches (HLL distinct, approx percentile). Sketch values
-    are engine-specific so there is no DuckDB oracle (rows-only driver
-    check); pytest bounds them against exact answers with rsd tolerance.
+    """Approximate sketches (HLL distinct, approx percentile) under a
+    TOLERANCE oracle: sketch values are engine-specific, so instead of
+    hashing them directly the query emits the EXACT answers (count,
+    distinct) plus boolean in-bound columns — |HLL − exact|/exact within
+    5×rsd, and each percentile_approx value inside the exact continuous
+    quantile band rank±0.02. The DuckDB oracle recomputes the exact columns
+    and emits literal TRUEs, so the hash gate proves both that the exact
+    legs match AND that every sketch answer sits inside its documented
+    error bound (a FALSE anywhere breaks the hash).
 
-    The percentile_approx array is projected to SCALAR columns so the
-    harness canonicalizer (pandas sort over object cells) never sees an
-    unhashable list value."""
+    percentile_approx arrays are projected to scalar booleans so the
+    harness canonicalizer never sees an unhashable list value."""
     ev = _t(spark, sf_dir, "events")
     pct = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 10000)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("user_approx_unique"),
-        F.round(pct[0], 4).alias("value_approx_p50"),
-        F.round(pct[1], 4).alias("value_approx_p90"),
+    exact_pct = F.percentile("value", F.array(*(F.lit(q) for q in (0.48, 0.52, 0.88, 0.92))))
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("hll"),
+        F.count_distinct("user_id").alias("user_unique"),
+        pct[0].alias("ap50"),
+        pct[1].alias("ap90"),
+        exact_pct.alias("bands"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        "user_unique",
+        "n",
+        (F.abs(F.col("hll") - F.col("user_unique")) <= 0.10 * F.col("user_unique")).alias(
+            "unique_within_rsd"
+        ),
+        F.col("ap50").between(F.col("bands")[0], F.col("bands")[1]).alias("p50_within_band"),
+        F.col("ap90").between(F.col("bands")[2], F.col("bands")[3]).alias("p90_within_band"),
     )
 
 
 QUERIES["approx_ops"] = q_approx_ops
-# intentionally no oracle: sketch outputs differ across engines
+ORACLES["approx_ops"] = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS user_unique,
+       COUNT(*) AS n,
+       TRUE AS unique_within_rsd,
+       TRUE AS p50_within_band,
+       TRUE AS p90_within_band
+FROM events GROUP BY event_type
+"""
 
 
 def q_approx_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
