@@ -64,6 +64,24 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    def shape_hash(fn, df) -> str:
+        """Semantic pin for longitudinal comparability: sha8 of the query
+        function's SOURCE plus the resolved OUTPUT SCHEMA. A bench row is
+        cross-round comparable iff its shape hash matches — query-definition
+        growth (e.g. decayed columns joining a benched GroupBy mid-round,
+        the r4 asof_sliding triage problem) changes the hash, while
+        engine-internal plan changes do not."""
+        import hashlib
+        import inspect
+
+        try:
+            src = inspect.getsource(inspect.unwrap(fn))
+        except (OSError, TypeError):
+            src = getattr(fn, "__name__", repr(fn))
+        return hashlib.sha256(
+            (src + "\n--schema--\n" + df.schema.simpleString()).encode()
+        ).hexdigest()[:8]
+
     def force(df):
         """count + checksum over all columns — defeats Catalyst column
         pruning so the timed work includes every feature value."""
@@ -117,6 +135,7 @@ def main() -> None:
     # of inferring throttle exposure from run order (the r3 triage problem)
     marks: list[float] = [calib_pre]
     feature_rows = 0
+    shapes: dict[str, str] = {}
     t_all = time.time()
     for name in headline:
         fn = QUERIES[name]
@@ -136,6 +155,15 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         marks.append(calib())
         timings[name] = round(best, 3)
+        # shape pin computed OUTSIDE the timed region (plan build only, no
+        # execution) so timings stay comparable with pre-pin rounds
+        try:
+            shapes[name] = shape_hash(fn, fn(spark, sf_dir))
+        finally:
+            from chronon_spark.plans.cache import release_plan_caches
+
+            release_plan_caches()
+            spark.catalog.clearCache()
         if name in ("transcripts_backfill", "asof_window_agg", "asof_hops", "asof_sliding", "asof_join_multi"):
             feature_rows += n
     total = round(time.time() - t_all, 3)
@@ -170,6 +198,7 @@ def main() -> None:
                 "host_calib_mops_pre": calib_pre,
                 "host_calib_mops_post": marks[-1],
                 "queries_calib_mops": queries_calib,
+                "query_shapes": shapes,
             }
         )
     )

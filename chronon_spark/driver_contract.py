@@ -5347,6 +5347,7 @@ def _release_before(fn):
 
     wrapped.__name__ = getattr(fn, "__name__", "q")
     wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn  # bench.py shape pins hash the ORIGINAL source
     return wrapped
 
 
