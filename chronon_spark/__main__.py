@@ -63,6 +63,15 @@ Conf-module contract (only the names a given subcommand needs):
                              Lands survivors as a snapshot table + writes
                              the per-stage lineage report
 
+    serve                 -> ``join`` and/or ``group_by`` + ``streams(spark)
+                             -> {group_by_name: DataFrame}`` (each part's
+                             post-batch-end events); args --upload-root
+                             --batch-end-ds [--port 0] [--host]. Announces
+                             the bound port as one stdout JSON line, then
+                             serves POST /v1/features/{join|groupby}/<name>
+                             (service.py; reference WebServiceVerticle +
+                             FeaturesHandler)
+
     compile               -> no conf module; ``--conf-root <dir>`` walks a
                              whole conf TREE, validates every module (the
                              analyzer where data callables exist), and
@@ -953,6 +962,39 @@ def cmd_curate(spark, conf, args) -> dict:
     }
 
 
+def cmd_serve(spark, conf, args) -> dict:
+    """HTTP feature service over online.Fetcher (reference
+    service/src/main/java/ai/chronon/service/WebServiceVerticle.java +
+    handlers/FeaturesHandler.java): POST /v1/features/{join|groupby}/<name>
+    with a JSON array of entity-key maps; GET /ping, GET /v1/metrics.
+    Binds --port (0 = ephemeral), prints ONE json announce line with the
+    bound port, then blocks serving until the process is stopped. The conf
+    provides ``join`` and/or ``group_by`` plus ``streams(spark)`` (each
+    part's post-batch-end event frame — the lambda's online leg)."""
+    from chronon_spark.online import Fetcher
+    from chronon_spark.service import FeatureService
+
+    join = getattr(conf, "join", None)
+    gb = getattr(conf, "group_by", None)
+    if join is None and gb is None:
+        raise SystemExit("serve: conf must define 'join' and/or 'group_by'")
+    streams = conf.streams(spark)
+    svc = FeatureService(
+        spark,
+        Fetcher(spark, args.upload_root),
+        args.batch_end_ds,
+        joins={join.name: join} if join is not None else None,
+        group_bys={gb.name: gb} if gb is not None else None,
+        streams=streams,
+        tiebreak=_opt(conf, "tiebreak"),
+    )
+    try:
+        svc.serve_forever(host=args.host, port=args.port)
+    except KeyboardInterrupt:
+        pass
+    return {"command": "serve", "stopped": True}
+
+
 COMMANDS = {
     "join": (cmd_join, True),
     "join-left": (cmd_join_left, True),
@@ -976,6 +1018,7 @@ COMMANDS = {
     "compile": (cmd_compile, False),
     "expire-snapshots": (cmd_expire_snapshots, False),
     "compact-table": (cmd_compact_table, False),
+    "serve": (cmd_serve, False),
 }
 
 
@@ -992,6 +1035,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "log-summary": ["--out-root"],
         "metadata-upload": ["--out-root"],
         "curate": ["--out-root"],
+        "serve": ["--upload-root", "--batch-end-ds"],
     }
     for name, (_, needs_range) in COMMANDS.items():
         sp = sub.add_parser(name)
@@ -1025,6 +1069,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             sp.add_argument(flag, required=True)
         if name == "log-summary":
             sp.add_argument("--sample", type=float, default=0.1)
+        if name == "serve":
+            sp.add_argument("--port", type=int, default=0,
+                            help="0 binds an ephemeral port (announced on stdout)")
+            sp.add_argument("--host", default="127.0.0.1")
         if name == "join-final":
             # scheduler fan-out unit: materialize only these part tables,
             # skip final assembly (a later full run resumes + assembles)
