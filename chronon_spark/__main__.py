@@ -617,6 +617,9 @@ def cmd_metadata_export(spark, conf, args) -> dict:
 
 def _metadata_payload(spark, conf) -> dict:
     """Shared payload builder for metadata-export/metadata-upload."""
+    from chronon_spark.lineage import LineageMetaData, group_by_lineage, join_lineage
+
+    lineage = LineageMetaData()
     out: dict = {}
     if hasattr(conf, "group_by"):
         gb = conf.group_by
@@ -628,6 +631,7 @@ def _metadata_payload(spark, conf) -> dict:
             "output_columns": gb.output_columns(),
             "max_window_millis": gb.max_window_millis(),
         }
+        lineage.store(group_by_lineage(spark, gb, f"source:{gb.name}"))
     if hasattr(conf, "join"):
         from chronon_spark.operators.join import join_semantic_hash
 
@@ -646,6 +650,17 @@ def _metadata_payload(spark, conf) -> dict:
                 for p in j.join_parts
             ],
         }
+        lineage.store(
+            join_lineage(
+                spark, j, f"left:{j.name}",
+                sources={p.group_by.name: f"source:{p.group_by.name}" for p in j.join_parts},
+            )
+        )
+    if lineage.edges:
+        # column-level lineage (reference lineage_parser.py exports
+        # ColumnTransform edges per output table): output_col -> input_col
+        # with the root-first transform chain, parsed by Catalyst itself
+        out["lineage"] = lineage.as_dict()
     return out
 
 
@@ -691,8 +706,19 @@ def cmd_metadata_upload(spark, conf, args) -> dict:
     # by overwrite — the registry is tiny definition metadata, file-per-key
     # is the simple durable shape (and trivially mirrors to a real KV store)
     entries = []
+    lineage = payload.pop("lineage", None)
     for kind, meta in payload.items():
         doc = {**meta, "kind": kind, "uploaded_at": now}
+        if lineage is not None:
+            # column lineage rides inside each definition's document (the
+            # governance consumer reads edges next to the hash they describe)
+            doc["lineage"] = {
+                "edges": [
+                    e for e in lineage["edges"]
+                    if e["output_table"] == meta["name"]
+                    or e["output_table"].startswith(f"{meta['name']}__")
+                ],
+            }
         # definition names are arbitrary strings: sanitize like
         # tableio.resolve_table so a name with '/' or '..' cannot escape
         # (or crash out of) the registry directory; a short hash of the RAW
