@@ -28,7 +28,15 @@ def main() -> None:
     from chronon_spark.operators.groupby import temporal_events
     from chronon_spark.operators.sessionize import sessionize
 
-    spark = get_spark("scale_job", master=master, shuffle_partitions=max(cpus * 2, 16))
+    # SCALE_PROFILE_OUT=<path>: dump per-stage task-time/GC/shuffle metrics
+    # from the status REST API after the run (the SparkListener-equivalent
+    # evidence for attributing scaling-efficiency gaps to SMT vs GC vs
+    # shuffle contention). UI server only spins up when profiling.
+    profile_out = os.environ.get("SCALE_PROFILE_OUT")
+    extra = {"spark.ui.enabled": "true"} if profile_out else None
+    spark = get_spark(
+        "scale_job", master=master, shuffle_partitions=max(cpus * 2, 16), extra_conf=extra
+    )
     t = spark.read.parquet(input_dir)
 
     t0 = time.time()
@@ -56,8 +64,46 @@ def main() -> None:
         F.count(F.lit(1)), F.avg(F.xxhash64(*[F.col(c) for c in out.columns]))
     ).first()
     sec = time.time() - t0
+    if profile_out:
+        _dump_stage_profile(spark, profile_out, {"master": master, "sec": round(sec, 2)})
     print(json.dumps({"rows": n, "sec": round(sec, 2), "rows_per_sec": round(n / sec, 1)}))
     spark.stop()
+
+
+def _dump_stage_profile(spark, out_path: str, run_meta: dict) -> None:
+    """Per-completed-stage metrics via the status REST API: wall-clock-free
+    aggregates (executorRunTime, executorCpuTime, jvmGcTime, shuffle
+    read/write) that localize where scaling efficiency is lost."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{base}/api/v1/applications") as r:
+        app_id = json.load(r)[0]["id"]
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    keep = (
+        "stageId", "attemptId", "name", "numTasks", "executorRunTime",
+        "executorCpuTime", "executorDeserializeTime", "jvmGcTime",
+        "resultSerializationTime", "inputBytes", "inputRecords",
+        "outputBytes", "shuffleReadBytes", "shuffleReadRecords",
+        "shuffleWriteBytes", "shuffleWriteRecords", "shuffleFetchWaitTime",
+        "shuffleWriteTime", "memoryBytesSpilled", "diskBytesSpilled",
+        "peakExecutorMetrics",
+    )
+    rows = [{k: s.get(k) for k in keep if k in s} for s in stages]
+    rows.sort(key=lambda s: -(s.get("executorRunTime") or 0))
+    totals = {
+        k: sum(s.get(k) or 0 for s in rows)
+        for k in (
+            "executorRunTime", "executorCpuTime", "jvmGcTime", "shuffleReadBytes",
+            "shuffleWriteBytes", "shuffleFetchWaitTime", "shuffleWriteTime",
+            "memoryBytesSpilled", "diskBytesSpilled", "inputBytes",
+        )
+    }
+    with open(out_path, "w") as f:
+        json.dump({"run": run_meta, "totals": totals, "stages": rows}, f, indent=1)
 
 
 if __name__ == "__main__":
