@@ -34,8 +34,17 @@ def main() -> None:
     # shuffle contention). UI server only spins up when profiling.
     profile_out = os.environ.get("SCALE_PROFILE_OUT")
     extra = {"spark.ui.enabled": "true"} if profile_out else None
+    # 4x cores (round-5 profile finding): at 2x, 32 concurrent tasks shrank
+    # the per-task memory share enough that the final window stage spilled
+    # 54.8GB (memory) + 5.3GB (disk); at 4x the same stage spills ZERO and
+    # the leg runs 25% faster (448.6s -> 336.8s, BENCH/profile_r5_*). The
+    # cluster-form equivalent: size spark.sql.shuffle.partitions so a
+    # task's sort footprint fits its unified-memory share.
+    shuffle_parts = int(
+        os.environ.get("SCALE_SHUFFLE_PARTITIONS", str(max(cpus * 4, 16)))
+    )
     spark = get_spark(
-        "scale_job", master=master, shuffle_partitions=max(cpus * 2, 16), extra_conf=extra
+        "scale_job", master=master, shuffle_partitions=shuffle_parts, extra_conf=extra
     )
     t = spark.read.parquet(input_dir)
 
