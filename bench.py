@@ -26,7 +26,8 @@ def main() -> None:
     from chronon_spark import get_spark
     from chronon_spark.driver_contract import QUERIES
 
-    spark = get_spark("bench", master=master, shuffle_partitions=max(cpus, 8))
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cpus, 8))))
+    spark = get_spark("bench", master=master, shuffle_partitions=shuffle)
 
     headline = [
         "transcripts_backfill",  # flagship: as-of + session + lag over transcripts
