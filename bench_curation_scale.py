@@ -209,8 +209,8 @@ unique. Job (fresh JVM per leg, warm-up discarded): dedup_exact ->
 MinHash-LSH (16 perms, 4 bands, est_jaccard >= 0.5, distinct content only)
 -> connected components -> keep-best canonical, forced by a checksum over
 every decision row. Removed {r0['exact_dups_removed']:,} exact dups
-linearly before LSH; {r0['components']:,} near-dup components;
-{r0['canonical']:,} canonical docs kept.
+linearly before LSH; near-dup merges collapsed {r0['distinct_content']:,}
+distinct-content docs to {r0['canonical']:,} canonical.
 
 | master | sec | docs/sec | host calib (Mops/s) |
 |---|---|---|---|
