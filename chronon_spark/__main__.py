@@ -1086,6 +1086,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             sp.add_argument("--target-files", type=int, default=1)
             continue
         sp.add_argument("--conf", required=True, help="path to a Python conf module")
+        # reference run.py local mode (--local-data-path): load csv/json/jsonl
+        # files under this directory as catalog tables BEFORE the command runs,
+        # so conf modules can reference them via spark.table(...)
+        sp.add_argument("--local-data-path", default=None)
         if needs_range:
             sp.add_argument("--out-root", required=True)
             sp.add_argument("--start-ds", required=True)
@@ -1115,6 +1119,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         spark = get_spark(f"chronon_spark-{args.command}")
     try:
+        if getattr(args, "local_data_path", None):
+            from chronon_spark.devtools import load_data_recursively
+
+            load_data_recursively(spark, args.local_data_path)
         fn, _ = COMMANDS[args.command]
         result = fn(spark, conf, args)
     finally:

@@ -110,3 +110,39 @@ def test_export_single_file_csv_and_parquet(spark, csv_file, tmp_path):
     with pytest.raises(ValueError, match="unsupported export format"):
         export_table(spark, "default.devtools_exp", str(tmp_path), "orc")
     _cleanup(spark, "default.devtools_exp")
+
+
+def test_cli_local_data_path_preload(spark, tmp_path, capsys):
+    """reference run.py local mode: --local-data-path loads files as tables
+    before the command runs, so confs can spark.table() them."""
+    import json as _json
+
+    from chronon_spark.__main__ import main
+
+    data = tmp_path / "localdata"
+    data.mkdir()
+    (data / "ev.csv").write_text(
+        "user_id,value,ts\n1,2.0,2024-01-01 00:00:00\n1,3.0,2024-01-01 01:00:00\n"
+    )
+    conf = tmp_path / "conf.py"
+    conf.write_text(
+        """
+from chronon_spark.api import Aggregation, GroupBy, Op, TimeUnit, Window
+
+group_by = GroupBy(
+    name="local_gb", keys=["user_id"],
+    aggregations=[Aggregation(Op.SUM, "value", windows=(Window(1, TimeUnit.DAYS),))],
+)
+
+def source(spark):
+    return spark.table("localdata.ev")
+"""
+    )
+    rc = main(
+        ["analyze", "--conf", str(conf), "--local-data-path", str(data)], spark=spark
+    )
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["errors"] == []
+    spark.sql("DROP TABLE IF EXISTS localdata.ev")
+    spark.sql("DROP DATABASE IF EXISTS localdata")
