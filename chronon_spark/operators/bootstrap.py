@@ -128,7 +128,14 @@ def label_join(
     Implemented by reflecting time: negate both query and event timestamps
     and run the standard strict-past temporal engine — `-ev < -q  <=>
     ev > q`, and the trailing window becomes the leading horizon. Reuses all
-    leakage discipline (now guaranteeing labels see ONLY the future)."""
+    leakage discipline (now guaranteeing labels see ONLY the future).
+
+    TIME_DECAYED aggs decay by LEAD TIME (forward-bucketed on the real
+    axis: age = floor(t/H) - floor(q/H)), implemented by additionally
+    shifting the negated axis by H-1 ms per distinct halflife — exact for
+    integer millis (floor((H-1-x)/H) == -floor(x/H)); one engine pass per
+    halflife, plain aggs on the unshifted pass, derivations applied after
+    the passes re-join (so lead-time EWMA works)."""
     # fail fast with actionable messages — the negated-axis engine's own
     # errors for these misconfigurations are cryptic AnalysisExceptions
     if horizon is None or horizon.millis <= 0:
@@ -151,85 +158,125 @@ def label_join(
             f"label_events frame is missing columns {ev_missing} "
             f"(has: {label_events.columns})"
         )
+    from collections import OrderedDict
+
     from chronon_spark.functions.ops import DECAYED_OPS
 
-    decayed = [a for a in label_gb.aggregations or [] if a.operation in DECAYED_OPS]
-    if decayed:
-        # the negated axis would silently mirror halflife-bucket boundaries
-        # (floor on -t = ceil on t): decay-by-lead-time is a coherent ask,
-        # but it needs its own forward bucketing, not a reflected one
-        raise ValueError(
-            f"TIME_DECAYED ops are not supported in label GroupBys "
-            f"({[a.input_column for a in decayed]}): the reflected-time "
-            "engine would quantize halflife buckets on mirrored boundaries"
-        )
-    # negated REAL timestamps (pre-1970 instants) so all millis arithmetic in
-    # the engine (to_millis, pmod tail rounding) stays exact
-    # schema-aware conversion: a LONG epoch-millis ts run through a bare
-    # timestamp cast would be read as SECONDS and shrink the horizon 1000x
-    neg_ts = F.timestamp_millis(-ts_to_millis(features, time_column))
-    neg_q = features.select(*label_gb.keys, time_column, neg_ts.alias("__neg_ts"))
-    neg_ev = label_events.withColumn(
-        "__neg_ts",
-        F.timestamp_millis(-ts_to_millis(label_events, label_gb.time_column)),
-    )
-    gb_neg = GroupBy(
-        name=label_gb.name,
-        keys=label_gb.keys,
-        aggregations=[
-            Aggregation(
-                operation=a.operation,
-                input_column=a.input_column,
-                windows=(horizon,),
-                buckets=a.buckets,
-                k=a.k,
-                percentiles=a.percentiles,
-                # sketch knobs must survive the horizon rewrite — dropping
-                # them silently resets requested-exact labels to defaults
-                lg_k=a.lg_k,
-                mg_cap=a.mg_cap,
-                accuracy=a.accuracy,
+    all_aggs = list(label_gb.aggregations or [])
+    decayed = [a for a in all_aggs if a.operation in DECAYED_OPS]
+    for a in decayed:
+        if a.halflife is None:
+            raise ValueError(
+                f"{a.operation.value} label on '{a.input_column}' requires "
+                "halflife (decay-by-lead-time buckets)"
             )
-            for a in label_gb.aggregations
-        ],
-        accuracy=Accuracy.TEMPORAL,
-        time_column="__neg_ts",
-        derivations=label_gb.derivations,
-        setups=label_gb.setups,
-    )
-    # strict past on negated axis = strict future on real axis; the sawtooth
-    # tail on the negated axis rounds the horizon start — acceptable for
-    # labels (same hop semantics, mirrored). round_down uses pmod (true
-    # mathematical floor), so the tile identity floor(q,hop)-w holds for the
-    # negative (pre-1970) instants too and the default auto router applies:
-    # labels over a hot key ride the same skew-proof sliding-tile plan as
-    # features instead of re-entering the quadratic range join.
-    q = neg_q.select(
-        *label_gb.keys, F.col("__neg_ts").alias("__q_neg"), F.col(time_column)
-    )
-    ev2 = neg_ev.withColumn("__label_ts", F.col("__neg_ts"))
-    gb_neg.time_column = "__label_ts"
-    out = G.temporal_events(
-        q,
-        ev2,
-        gb_neg,
-        left_time_column="__q_neg",
-        tiebreak=tiebreak,
-        strategy="auto",
-    )
+    # TIME_DECAYED labels decay by LEAD TIME with FORWARD bucketing on the
+    # real axis: age = floor(t/H) - floor(q/H) whole halflives for a label
+    # event at t in (q, q+horizon]. The reflected engine alone would compute
+    # floor(-q/H) - floor(-t/H) = ceil-bucketed ages (mirrored boundaries);
+    # shifting BOTH negated axes by H-1 ms fixes it EXACTLY for integer
+    # millis: floor((H-1-x)/H) == -floor(x/H), so the engine's bucket
+    # difference becomes the true forward age while every comparison and
+    # window bound (all shift-invariant) is untouched. Aggs with different
+    # halflives need different shifts, hence one engine pass per halflife
+    # (plain aggs ride the unshifted pass).
+    plain = [a for a in all_aggs if a.operation not in DECAYED_OPS]
+    passes: list[tuple[int, list]] = []
+    if plain:
+        passes.append((0, plain))
+    by_h: OrderedDict[int, list] = OrderedDict()
+    for a in decayed:
+        by_h.setdefault(a.halflife.millis, []).append(a)
+    passes.extend(by_h.items())
+    multi = len(passes) > 1
+
+    def engine_pass(shift_ms: int, pass_aggs: list) -> DataFrame:
+        # negated REAL timestamps (pre-1970 instants) so all millis
+        # arithmetic in the engine (to_millis, pmod tail rounding) stays
+        # exact. Schema-aware conversion: a LONG epoch-millis ts run through
+        # a bare timestamp cast would be read as SECONDS and shrink the
+        # horizon 1000x.
+        neg_ts = F.timestamp_millis(-ts_to_millis(features, time_column) + shift_ms)
+        q = features.select(
+            *label_gb.keys, neg_ts.alias("__q_neg"), F.col(time_column)
+        )
+        ev2 = label_events.withColumn(
+            "__label_ts",
+            F.timestamp_millis(
+                -ts_to_millis(label_events, label_gb.time_column) + shift_ms
+            ),
+        )
+        gb_neg = GroupBy(
+            name=label_gb.name,
+            keys=label_gb.keys,
+            aggregations=[
+                Aggregation(
+                    operation=a.operation,
+                    input_column=a.input_column,
+                    windows=(horizon,),
+                    buckets=a.buckets,
+                    k=a.k,
+                    percentiles=a.percentiles,
+                    # sketch/decay knobs must survive the horizon rewrite —
+                    # dropping them silently resets requested-exact labels
+                    # (or decay shape) to defaults
+                    lg_k=a.lg_k,
+                    mg_cap=a.mg_cap,
+                    accuracy=a.accuracy,
+                    halflife=a.halflife,
+                    decay_cap=a.decay_cap,
+                )
+                for a in pass_aggs
+            ],
+            accuracy=Accuracy.TEMPORAL,
+            time_column="__label_ts",
+            # with several passes, derivations apply AFTER the outputs are
+            # re-joined (they may reference columns from different passes,
+            # e.g. lead-time EWMA = decayed_sum / decayed_count)
+            derivations={} if multi else label_gb.derivations,
+            setups=label_gb.setups,
+        )
+        # strict past on negated axis = strict future on real axis; the
+        # sawtooth tail on the negated axis rounds the horizon start —
+        # acceptable for labels (same hop semantics, mirrored). round_down
+        # uses pmod (true mathematical floor), so the tile identity
+        # floor(q,hop)-w holds for the negative (pre-1970) instants too and
+        # the default auto router applies: labels over a hot key ride the
+        # same skew-proof sliding-tile plan as features instead of
+        # re-entering the quadratic range join.
+        out = G.temporal_events(
+            q,
+            ev2,
+            gb_neg,
+            left_time_column="__q_neg",
+            tiebreak=tiebreak,
+            strategy="auto",
+        )
+        # features with duplicate (keys, ts) rows fan out into `out`; dedup
+        # the label side so joins preserve the left row count instead of
+        # multiplying duplicates n x m
+        return out.drop("__q_neg").dropDuplicates([*label_gb.keys, time_column])
+
+    out = None
+    for h_ms, pass_aggs in passes:
+        shift = h_ms - 1 if h_ms > 0 else 0  # H-1 for decayed passes
+        part = engine_pass(shift, pass_aggs)
+        out = part if out is None else out.join(
+            part, [*label_gb.keys, time_column], "full"
+        )
+    if multi and label_gb.derivations:
+        out = G.apply_derivations(
+            out, label_gb.derivations, keep=[*label_gb.keys, time_column]
+        )
     # rename from the ACTUAL output columns (derivations may have renamed
     # or replaced the raw aggregation outputs)
     renames = {
         c: f"{prefix}_{c}"
         for c in out.columns
-        if c not in (*label_gb.keys, time_column, "__q_neg")
+        if c not in (*label_gb.keys, time_column)
     }
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
-    # features with duplicate (keys, ts) rows fan out into `out`; dedup the
-    # label side so the final join preserves the left row count instead of
-    # multiplying duplicates n x m
-    out = out.drop("__q_neg").dropDuplicates([*label_gb.keys, time_column])
     return features.join(out, [*label_gb.keys, time_column], "left")
 
 

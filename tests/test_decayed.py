@@ -488,13 +488,74 @@ def test_decayed_and_moments_through_compute_join(spark):
         assert (ga is None and wa is None) or abs(ga - wa) <= 1e-9 * max(1, abs(wa))
 
 
-def test_label_join_rejects_decayed(spark):
-    """The reflected-time label engine would mirror halflife buckets —
-    decayed label aggs fail fast with a descriptive error."""
+DAY = 86_400_000
+HOUR = 3_600_000
+
+
+def _naive_forward_decayed(q_ms, evs, h_ms, cap, horizon, shift):
+    """Python oracle for decay-by-lead-time labels: events in the sawtooth
+    horizon (strict head at q; far end rounded on the shifted negated axis
+    exactly as the engine rounds it) weighted by 2^-min(age, cap) with
+    FORWARD age = floor(t/H) - floor(q/H)."""
+    hop = horizon.tail_hop_millis()
+    far = shift - hop * ((shift - q_ms - horizon.millis) // hop)
+    total = 0
+    for t_ms, v in evs:
+        if q_ms < t_ms <= far:
+            age = min(t_ms // h_ms - q_ms // h_ms, cap)
+            total += v * 2 ** (cap - age)
+    return total / 2**cap
+
+
+def test_label_join_forward_decayed_matches_naive(spark):
+    """Decay-by-lead-time labels: engine == python oracle, including
+    halflife-boundary-aligned events where the un-shifted reflected axis
+    would bucket wrong."""
     from chronon_spark.operators.bootstrap import label_join
 
-    feats = spark.createDataFrame([(1, 100)], "user_id long, ts long")
-    lab = spark.createDataFrame([(1, 200, 1.0)], "user_id long, ts long, v double")
+    h = Window(1, TimeUnit.DAYS)
+    horizon = Window(3, TimeUnit.DAYS)
+    evs = {
+        1: [(1 * DAY, 10), (1 * DAY + HOUR, 5), (2 * DAY, 3), (3 * DAY + HOUR, 7),
+            (5 * DAY, 100)],  # beyond horizon of the early queries
+        2: [(2 * DAY, 4), (2 * DAY + 2 * HOUR, 6), (4 * DAY, 8)],
+    }
+    qs = {1: [HOUR, 1 * DAY], 2: [DAY + HOUR]}
+    feats = spark.createDataFrame(
+        [(u, q) for u, qq in qs.items() for q in qq], "user_id long, ts long"
+    )
+    lab = spark.createDataFrame(
+        [(u, t, v) for u, ee in evs.items() for t, v in ee],
+        "user_id long, ts long, v long",
+    )
+    gb = GroupBy(
+        name="lbl",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.TIME_DECAYED_SUM, "v", halflife=h)],
+    )
+    out = label_join(feats, lab, gb, horizon=horizon, tiebreak="v")
+    col = f"label_{gb.aggregations[0].output_name(horizon, None)}"
+    assert col in out.columns
+    shift = h.millis - 1
+    for r in out.collect():
+        want = _naive_forward_decayed(
+            r["ts"], evs[r["user_id"]], h.millis, 20, horizon, shift
+        )
+        got = r[col] or 0.0
+        assert abs(got - want) <= 1e-9 * max(1.0, abs(want)), (
+            r["user_id"], r["ts"], got, want,
+        )
+
+
+def test_label_decayed_boundary_is_forward_bucketed(spark):
+    """q off-boundary, label event exactly ON a halflife boundary: forward
+    age = floor(t/H) - floor(q/H) = 1 (weight 1/2). The mirrored reflected
+    axis (ceil buckets) would give age 0 (weight 1) — this pins the shift
+    fix."""
+    from chronon_spark.operators.bootstrap import label_join
+
+    feats = spark.createDataFrame([(1, HOUR)], "user_id long, ts long")
+    lab = spark.createDataFrame([(1, DAY, 8)], "user_id long, ts long, v long")
     gb = GroupBy(
         name="lbl",
         keys=["user_id"],
@@ -502,5 +563,61 @@ def test_label_join_rejects_decayed(spark):
             Aggregation(Op.TIME_DECAYED_SUM, "v", halflife=Window(1, TimeUnit.DAYS))
         ],
     )
-    with pytest.raises(ValueError, match="mirrored"):
+    out = label_join(feats, lab, gb, horizon=Window(3, TimeUnit.DAYS))
+    col = f"label_{gb.aggregations[0].output_name(Window(3, TimeUnit.DAYS), None)}"
+    (r,) = out.collect()
+    assert r[col] == 4.0  # 8 * 2^-1, NOT 8.0
+
+
+def test_label_decayed_mixed_plain_two_halflives_and_derivation(spark):
+    """One label GroupBy mixing a plain COUNT, decayed aggs at TWO
+    halflives (two engine passes), and an EWMA derivation across the
+    1d-halflife pair — all land on one feature row."""
+    from chronon_spark.operators.bootstrap import label_join
+
+    h1, h2 = Window(1, TimeUnit.DAYS), Window(2, TimeUnit.DAYS)
+    horizon = Window(3, TimeUnit.DAYS)
+    evs = [(1 * DAY, 10), (2 * DAY + HOUR, 6), (3 * DAY, 2)]
+    feats = spark.createDataFrame([(1, HOUR)], "user_id long, ts long")
+    lab = spark.createDataFrame(
+        [(1, t, v) for t, v in evs], "user_id long, ts long, v long"
+    )
+    gb = GroupBy(
+        name="lbl",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.COUNT, "v"),
+            Aggregation(Op.TIME_DECAYED_SUM, "v", halflife=h1),
+            Aggregation(Op.TIME_DECAYED_COUNT, "v", halflife=h1),
+            Aggregation(Op.TIME_DECAYED_SUM, "v", halflife=h2),
+        ],
+        derivations={
+            "*": "*",
+            "lead_ewma": "v_time_decayed_sum_hl1d_3d / v_time_decayed_count_hl1d_3d",
+        },
+    )
+    out = label_join(feats, lab, gb, horizon=horizon)
+    (r,) = out.collect()
+    assert r["label_v_count_3d"] == 3
+    s1 = _naive_forward_decayed(HOUR, evs, h1.millis, 20, horizon, h1.millis - 1)
+    c1 = _naive_forward_decayed(
+        HOUR, [(t, 1) for t, _ in evs], h1.millis, 20, horizon, h1.millis - 1
+    )
+    s2 = _naive_forward_decayed(HOUR, evs, h2.millis, 20, horizon, h2.millis - 1)
+    assert abs(r["label_v_time_decayed_sum_hl1d_3d"] - s1) <= 1e-9
+    assert abs(r["label_v_time_decayed_sum_hl2d_3d"] - s2) <= 1e-9
+    assert abs(r["label_lead_ewma"] - s1 / c1) <= 1e-9
+
+
+def test_label_decayed_requires_halflife(spark):
+    from chronon_spark.operators.bootstrap import label_join
+
+    feats = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+    lab = spark.createDataFrame([(1, 200, 1.0)], "user_id long, ts long, v double")
+    gb = GroupBy(
+        name="lbl",
+        keys=["user_id"],
+        aggregations=[Aggregation(Op.TIME_DECAYED_SUM, "v")],
+    )
+    with pytest.raises(ValueError, match="halflife"):
         label_join(feats, lab, gb, horizon=Window(3, TimeUnit.DAYS))
