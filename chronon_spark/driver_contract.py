@@ -5304,6 +5304,63 @@ QUERIES["time_decayed"] = q_time_decayed
 ORACLES["time_decayed"] = SQL_TIME_DECAYED
 
 
+def q_label_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decay-by-lead-time labels: TIME_DECAYED aggs through label_join with
+    FORWARD halflife bucketing on the real axis (age = floor(t/H) -
+    floor(q/H)), exact via the H-1 ms shifted negated engine pass
+    (operators/bootstrap.label_join). Past-window, entry-parity gated."""
+    from chronon_spark.operators.bootstrap import label_join
+
+    ev = _with_v_int(_t(spark, sf_dir, "events"))
+    feats = _purchase_left(ev)
+    gb = GroupBy(
+        name="lab",
+        keys=["user_id"],
+        aggregations=[
+            Aggregation(Op.TIME_DECAYED_COUNT, "value", halflife=W1D),
+            Aggregation(Op.TIME_DECAYED_SUM, "v_int", halflife=W1D),
+        ],
+    )
+    out = label_join(feats, ev, gb, horizon=W1D, tiebreak="event_id")
+    return out.select(
+        "user_id",
+        to_millis(F.col("ts")).alias("ts_ms"),
+        F.col("label_value_time_decayed_count_hl1d_1d").alias("label_decayed_cnt"),
+        F.col("label_v_int_time_decayed_sum_hl1d_1d").alias("label_decayed_sum"),
+    )
+
+
+#: forward decayed weight: age in whole halflives of LEAD time (t after q)
+LABEL_DECAYED_W_SQL = (
+    "CAST(pow(2, 20 - least(e.ems // 86400000 - h.ts_ms // 86400000, 20)) AS BIGINT)"
+)
+
+# far end of the shifted sawtooth horizon: the engine rounds the negated
+# SHIFTED axis (shift s = H-1 ms) by the 1h hop, which on the real axis is
+# far = s + hop * ceil((q + W - s) / hop)  (all-positive ceil division)
+SQL_LABEL_DECAYED = """
+WITH q AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_ms(ts) AS ems, value, CAST(floor(value) AS BIGINT) AS v_int FROM events
+), h AS (
+  SELECT user_id, ts_ms,
+         86399999 + 3600000 * ((ts_ms + 86400000 - 86399999 + 3600000 - 1) // 3600000) AS h_end
+  FROM q
+)
+SELECT h.user_id, h.ts_ms,
+       sum(CASE WHEN e.ems > h.ts_ms AND e.ems <= h.h_end THEN {w} END) / 1048576.0
+           AS label_decayed_cnt,
+       sum(CASE WHEN e.ems > h.ts_ms AND e.ems <= h.h_end THEN e.v_int * {w} END) / 1048576.0
+           AS label_decayed_sum
+FROM h LEFT JOIN e ON e.user_id = h.user_id
+GROUP BY h.user_id, h.ts_ms
+""".format(w=LABEL_DECAYED_W_SQL)
+
+QUERIES["label_decayed"] = q_label_decayed
+ORACLES["label_decayed"] = SQL_LABEL_DECAYED
+
+
 #: the first 50 registry names — every one oracle-backed — form the driver's
 #: CORRECTNESS window; everything after is pytest-parity-only (rows-only
 #: diagnostics and the standalone halves of the combined gates)
