@@ -617,10 +617,22 @@ def cmd_metadata_export(spark, conf, args) -> dict:
 
 def _metadata_payload(spark, conf) -> dict:
     """Shared payload builder for metadata-export/metadata-upload."""
-    from chronon_spark.lineage import LineageMetaData, group_by_lineage, join_lineage
+    from chronon_spark.lineage import (
+        LineageMetaData,
+        group_by_lineage,
+        join_lineage,
+        sql_lineage,
+    )
 
     lineage = LineageMetaData()
     out: dict = {}
+    if hasattr(conf, "staging_sql"):
+        name = getattr(conf, "name", "staging")
+        out["staging_query"] = {
+            "name": name,
+            "semantic_hash": hashlib.sha256(conf.staging_sql.encode()).hexdigest()[:16],
+        }
+        lineage.store(sql_lineage(spark, conf.staging_sql, name))
     if hasattr(conf, "group_by"):
         gb = conf.group_by
         out["group_by"] = {

@@ -118,6 +118,249 @@ def expression_inputs(spark: SparkSession, expr: str) -> dict[str, list[tuple]]:
 
 
 # ---------------------------------------------------------------------------
+# full-statement (StagingQuery) lineage
+# ---------------------------------------------------------------------------
+
+
+def _subtrees(nodes: list[dict]) -> list[list[dict]]:
+    """Split a pre-order TreeNode list into its root's child subtrees."""
+    root = nodes[0]
+    out, i = [], 1
+    for _ in range(int(root.get("num-children", 0))):
+        j, depth = i, 1
+        while depth:
+            depth += int(nodes[j].get("num-children", 0)) - 1
+            j += 1
+        out.append(nodes[i:j])
+        i = j
+    return out
+
+
+def _expr_item(nodes: list[dict]):
+    """One select-list expression (pre-order node list) ->
+    (output_name | None, [((qualifier | None, column | '*'), chain), ...])."""
+    refs: list = []
+
+    def walk(i: int, path: tuple) -> int:
+        node = nodes[i]
+        cls = node.get("class", "").rsplit(".", 1)[-1]
+        if cls == "UnresolvedAttribute":
+            parts = _name_parts(node.get("nameParts", ""))
+            qual = parts[-2] if len(parts) >= 2 else None
+            refs.append(((qual, parts[-1]), path))
+        elif cls == "UnresolvedStar":
+            target = _name_parts(node.get("target", "") or "")
+            refs.append(((target[-1] if target else None, "*"), path))
+        label = _node_label(node)
+        child_path = path + (label,) if label else path
+        j = i + 1
+        for _ in range(int(node.get("num-children", 0))):
+            j = walk(j, child_path)
+        return j
+
+    walk(0, ())
+    root = nodes[0]
+    cls = root.get("class", "").rsplit(".", 1)[-1]
+    if cls == "Alias":
+        name = root.get("name")
+    elif cls == "UnresolvedAttribute":
+        name = _name_parts(root.get("nameParts", ""))[-1]
+    elif cls == "UnresolvedStar":
+        name = "*"
+    else:
+        name = None
+    return name, refs
+
+
+class _Scope:
+    """Resolution scope for one SELECT: alias -> source, where a source is
+    ("table", name) or ("virtual", mapping output_col -> edge list)."""
+
+    def __init__(self):
+        self.aliases: dict[str, tuple] = {}
+        self.order: list[tuple] = []
+
+    def add(self, alias: str, source: tuple) -> None:
+        self.aliases[alias] = source
+        self.order.append(source)
+
+
+_PASSTHROUGH_PLANS = {
+    "Filter", "Sort", "GlobalLimit", "LocalLimit", "Distinct", "UnresolvedHaving",
+    "Deduplicate", "RepartitionByExpression", "Repartition", "WithCTE", "Offset",
+}
+
+
+def _resolve_edges(ref, chain, scope: _Scope, schemas: dict | None):
+    """One (qualifier, column) reference -> concrete (table, col, chain)
+    edges, composing through virtual (CTE/subquery) sources."""
+    (qual, col) = ref
+
+    def from_source(src):
+        kind, payload = src
+        if col == "*":
+            if kind == "virtual":
+                return [
+                    (t, c, chain + sub)
+                    for edges in payload.values()
+                    for (t, c, sub) in edges
+                ]
+            if schemas and payload in schemas:
+                return [(payload, c, chain) for c in schemas[payload]]
+            return [(payload, "*", chain)]
+        if kind == "virtual":
+            return [(t, c, chain + sub) for (t, c, sub) in payload.get(col, [("<unknown>", col, ())])]
+        return [(payload, col, chain)]
+
+    if qual is not None and qual in scope.aliases:
+        return from_source(scope.aliases[qual])
+    if qual is None:
+        if len(scope.order) == 1:
+            return from_source(scope.order[0])
+        if schemas:
+            owners = [
+                s for s in scope.order
+                if (s[0] == "table" and col in schemas.get(s[1], ()))
+                or (s[0] == "virtual" and col in s[1])
+            ]
+            if len(owners) == 1:
+                return from_source(owners[0])
+        if col == "*":
+            return [e for s in scope.order for e in from_source(s)]
+        return [("<ambiguous>", col, chain)]
+    # qualified with an unknown alias — keep it visible rather than drop it
+    return [(f"<unknown:{qual}>", col, chain)]
+
+
+def _star_expand(scope: _Scope, qual: str | None, chain, schemas: dict | None) -> dict:
+    """``[alias.]*`` -> output column -> edges, keyed by the source's OWN
+    output names (virtual mapping keys / schema'd table columns)."""
+    sources = [scope.aliases[qual]] if qual in scope.aliases else scope.order
+    out: dict = {}
+    for kind, payload in sources:
+        if kind == "virtual":
+            for col, edges in payload.items():
+                out.setdefault(col, []).extend(
+                    (t, c, chain + sub) for (t, c, sub) in edges
+                )
+        elif schemas and payload in schemas:
+            for c in schemas[payload]:
+                out.setdefault(c, []).append((payload, c, chain))
+        else:
+            out.setdefault("*", []).append((payload, "*", chain))
+    return out
+
+
+def _build_scope(tree: list[dict], cte_env: dict, schemas: dict | None) -> _Scope:
+    scope = _Scope()
+
+    def visit(nodes: list[dict], alias: str | None):
+        root = nodes[0]
+        cls = root.get("class", "").rsplit(".", 1)[-1]
+        if cls == "SubqueryAlias":
+            name = (root.get("identifier") or {}).get("name") or alias
+            visit(_subtrees(nodes)[0], name)
+        elif cls == "UnresolvedRelation":
+            name = _name_parts(root.get("multipartIdentifier", ""))[-1]
+            src = cte_env.get(name, ("table", name))
+            scope.add(alias or name, src)
+        elif cls == "Join":
+            for sub in _subtrees(nodes):
+                visit(sub, None)
+        elif cls in _PASSTHROUGH_PLANS:
+            visit(_subtrees(nodes)[0], alias)
+        elif cls in ("Project", "Aggregate", "UnresolvedWith", "Union"):
+            mapping = _select_mapping(nodes, dict(cte_env), schemas)
+            scope.add(alias or f"__subquery{len(scope.order)}", ("virtual", mapping))
+        else:  # unknown relation-producing node: opaque source
+            scope.add(alias or cls.lower(), ("table", f"<{cls.lower()}>"))
+
+    visit(tree, None)
+    return scope
+
+
+def _select_mapping(tree: list[dict], cte_env: dict, schemas: dict | None) -> dict:
+    """Resolve a plan subtree to mapping: output column -> edge list."""
+    root = tree[0]
+    cls = root.get("class", "").rsplit(".", 1)[-1]
+    if cls == "UnresolvedWith":
+        for cte in root.get("cteRelations", []):
+            name, plan = cte["_1"], cte["_2"]
+            cte_env[name] = ("virtual", _select_mapping(plan, dict(cte_env), schemas))
+        return _select_mapping(_subtrees(tree)[0], cte_env, schemas)
+    if cls == "Union":
+        merged: dict = {}
+        for sub in _subtrees(tree):
+            for col, edges in _select_mapping(sub, dict(cte_env), schemas).items():
+                merged.setdefault(col, []).extend(
+                    e for e in edges if e not in merged.get(col, [])
+                )
+        return merged
+    if cls in _PASSTHROUGH_PLANS or cls == "SubqueryAlias":
+        return _select_mapping(_subtrees(tree)[0], cte_env, schemas)
+    if cls not in ("Project", "Aggregate"):
+        # bare relation (SELECT-less): passthrough of whatever it exposes
+        scope = _build_scope(tree, cte_env, schemas)
+        out: dict = {}
+        for t, c, chain in _resolve_edges((None, "*"), (), scope, schemas):
+            out.setdefault(c, []).append((t, c, chain))
+        return out
+    items = root.get("projectList") or root.get("aggregateExpressions") or []
+    scope = _build_scope(_subtrees(tree)[0], cte_env, schemas)
+    mapping: dict = {}
+    for idx, item in enumerate(items):
+        name, refs = _expr_item(item)
+        if name == "*":
+            # star expansion preserves the SOURCE's output names (a virtual
+            # source's mapping keys, a schema'd table's columns)
+            for (qual, _c), chain in refs:
+                for col, edges in _star_expand(scope, qual, chain, schemas).items():
+                    dst = mapping.setdefault(col, [])
+                    dst.extend(e for e in edges if e not in dst)
+            continue
+        out_name = name or f"_col{idx}"
+        edges = mapping.setdefault(out_name, [])
+        for ref, chain in refs:
+            for e in _resolve_edges(ref, chain, scope, schemas):
+                if e not in edges:
+                    edges.append(e)
+    return mapping
+
+
+def _render_macros_for_parse(sql: str) -> str:
+    """StagingQuery macros ({{ start_date }}, {{ max_date(table=...) }})
+    are not SQL — substitute a literal so Catalyst can parse the statement
+    for lineage (values are irrelevant to column edges)."""
+    import re
+
+    return re.sub(r"\{\{[^}]*\}\}", "'1970-01-01'", sql)
+
+
+def sql_lineage(
+    spark: SparkSession,
+    sql: str,
+    output_table: str,
+    schemas: dict[str, list] | None = None,
+) -> list[ColumnLineage]:
+    """Column-level lineage for a FULL SQL statement (the reference's
+    staging-query path, lineage_parser.parse_staging_query): the statement
+    parses through Catalyst's parsePlan and the unresolved logical plan is
+    walked — CTEs become virtual sources whose edges compose, table/
+    subquery aliases resolve qualified references, unqualified references
+    resolve by sole-source or the optional ``schemas`` map (table ->
+    columns; the reference's schema_provider), else surface as
+    '<ambiguous>' rather than silently guessing."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    tree = json.loads(parser.parsePlan(_render_macros_for_parse(sql)).toJSON())
+    mapping = _select_mapping(tree, {}, schemas)
+    return [
+        ColumnLineage(output_table, out_col, t, c, tuple(chain))
+        for out_col, edges in mapping.items()
+        for (t, c, chain) in edges
+    ]
+
+
+# ---------------------------------------------------------------------------
 # definition-level lineage
 # ---------------------------------------------------------------------------
 

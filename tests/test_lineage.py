@@ -207,3 +207,89 @@ join = Join(name="exp_join", left_keys=["user_id"], join_parts=[JoinPart(group_b
         for e in edges
     )
     assert "exp_join" in res["lineage"]["tables"]
+
+
+def test_sql_lineage_cte_composition(spark):
+    from chronon_spark.lineage import sql_lineage
+
+    sql = """
+    WITH x AS (SELECT user_id, value * 2 AS v2 FROM events WHERE ds = '2024-01-01')
+    SELECT e.user_id, sum(x.v2) AS total, count(*) AS n
+    FROM events e JOIN x ON e.user_id = x.user_id
+    GROUP BY e.user_id
+    """
+    edges = set(sql_lineage(spark, sql, "stg"))
+    assert ColumnLineage("stg", "user_id", "events", "user_id") in edges
+    # composes THROUGH the CTE: total <- events.value with both chains
+    assert ColumnLineage("stg", "total", "events", "value", ("sum", "multiply")) in edges
+    # count(*) has no column inputs (Catalyst normalizes to count(1))
+    assert not any(e.output_column == "n" for e in edges)
+
+
+def test_sql_lineage_union_star_and_macros(spark):
+    from chronon_spark.lineage import sql_lineage
+
+    sql = """
+    SELECT * FROM (
+      SELECT user_id AS uid, upper(event_type) AS et FROM events
+      WHERE ds BETWEEN {{ start_date }} AND {{ end_date }}
+      UNION ALL
+      SELECT customer_id AS uid, 'x' AS et FROM orders
+    ) u
+    """
+    edges = set(sql_lineage(spark, sql, "stg"))
+    # star over the subquery preserves ITS output names; union merges sides
+    assert ColumnLineage("stg", "uid", "events", "user_id") in edges
+    assert ColumnLineage("stg", "uid", "orders", "customer_id") in edges
+    assert ColumnLineage("stg", "et", "events", "event_type", ("upper",)) in edges
+    # the 'x' literal side of et contributes no edge
+    assert not any(e.output_column == "et" and e.input_table == "orders" for e in edges)
+
+
+def test_sql_lineage_ambiguity_and_schema_resolution(spark):
+    from chronon_spark.lineage import sql_lineage
+
+    sql = "SELECT value, o_totalprice FROM events e JOIN orders o ON e.user_id = o.o_custkey"
+    amb = set(sql_lineage(spark, sql, "stg"))
+    # without schemas an unqualified two-source reference is SURFACED, not guessed
+    assert ColumnLineage("stg", "value", "<ambiguous>", "value") in amb
+    res = set(
+        sql_lineage(
+            spark, sql, "stg",
+            schemas={"events": ["value", "user_id"], "orders": ["o_totalprice", "o_custkey"]},
+        )
+    )
+    assert ColumnLineage("stg", "value", "events", "value") in res
+    assert ColumnLineage("stg", "o_totalprice", "orders", "o_totalprice") in res
+
+
+def test_metadata_export_staging_query_lineage(spark, tmp_path, capsys):
+    """metadata-export on a staging conf parses the FULL SQL for lineage
+    (reference parse_staging_query), macros included."""
+    from chronon_spark.__main__ import main
+
+    conf = tmp_path / "stg_conf.py"
+    conf.write_text(
+        '''
+name = "stg_q"
+staging_sql = """
+  SELECT user_id, count(*) AS n, max(value) AS top_v
+  FROM events
+  WHERE ds BETWEEN {{ start_date }} AND {{ end_date }}
+  GROUP BY user_id
+"""
+'''
+    )
+    rc = main(["metadata-export", "--conf", str(conf)], spark=spark)
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["staging_query"]["name"] == "stg_q"
+    edges = res["lineage"]["edges"]
+    assert {
+        "output_table": "stg_q", "output_column": "top_v",
+        "input_table": "events", "input_column": "value", "transforms": ["max"],
+    } in edges
+    assert {
+        "output_table": "stg_q", "output_column": "user_id",
+        "input_table": "events", "input_column": "user_id", "transforms": [],
+    } in edges
