@@ -142,6 +142,16 @@ class FeatureService:
         if name not in self.joins:
             raise KeyError(f"unknown join '{name}'; serving: {sorted(self.joins)}")
         join = self.joins[name]
+        missing = [
+            p.group_by.name for p in join.join_parts if p.group_by.name not in self.streams
+        ]
+        if missing:
+            # server-side configuration gap (lambda's online leg absent), not
+            # a client error: surfaces as 500, never 404
+            raise RuntimeError(
+                f"service has no stream frame for join part(s) {missing}; "
+                "pass streams={name: post-batch-end frame} at construction"
+            )
         with self._lock:
             key_types = self._key_types(join.join_parts)
             req = self._requests_df(rows, key_types, join.time_column)
@@ -160,6 +170,11 @@ class FeatureService:
         if name not in self.group_bys:
             raise KeyError(f"unknown GroupBy '{name}'; serving: {sorted(self.group_bys)}")
         gb = self.group_bys[name]
+        if gb.name not in self.streams:
+            raise RuntimeError(
+                f"service has no stream frame for GroupBy '{gb.name}'; "
+                "pass streams={name: post-batch-end frame} at construction"
+            )
         with self._lock:
             collapsed, _ = self.fetcher.batch_frames(gb, self.batch_end_ds)
             types = {f.name: f.dataType for f in collapsed.schema.fields}

@@ -265,3 +265,23 @@ def test_serve_cli_subprocess_http_round_trip(spark, served, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=60)
+
+
+def test_missing_stream_config_is_500_not_404(spark, served):
+    """A join whose part has no configured stream is a SERVER config gap:
+    500 with the remedy, never 404 (which would read as 'no such join')."""
+    svc, base, *_ = served
+    orphan_gb = GroupBy(
+        name="no_stream_gb", keys=["user_id"],
+        aggregations=[Aggregation(Op.COUNT, "value", windows=(W1D,))],
+    )
+    svc.joins["orphan"] = Join(
+        name="orphan", left_keys=["user_id"], join_parts=[JoinPart(group_by=orphan_gb)]
+    )
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/v1/features/join/orphan", [{"user_id": 1}])
+        assert e.value.code == 500
+        assert "no stream frame" in json.loads(e.value.read())["error"]
+    finally:
+        svc.joins.pop("orphan", None)
