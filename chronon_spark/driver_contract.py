@@ -367,7 +367,15 @@ MOMENT_SQL_COLS = """
                  / sqrt(count(CASE WHEN e.ems >= {tail7} THEN e.value END)
                         * (count(CASE WHEN e.ems >= {tail7} THEN e.value END) - 1)), 6)
        END AS value_skew7,
-       round(kurtosis_pop(CASE WHEN e.ems >= {tail7} THEN e.value END), 6) AS value_kurt7
+       CASE WHEN count(CASE WHEN e.ems >= {tail7} THEN e.value END) = 2
+                 AND var_pop(CASE WHEN e.ems >= {tail7} THEN e.value END) > 0
+            -- any TWO distinct values have population excess kurtosis
+            -- EXACTLY -2; DuckDB's kurtosis_pop loses up to 2e-3 to
+            -- cancellation on near-equal doubles here (found by the sf0.1
+            -- registry sweep; Spark's Chan fold returns -2.0 exactly)
+            THEN -2.0
+            ELSE round(kurtosis_pop(CASE WHEN e.ems >= {tail7} THEN e.value END), 6)
+       END AS value_kurt7
 """
 
 
